@@ -1,0 +1,234 @@
+"""The optical domain: per-cell solver arrays + stacked phase tables.
+
+Re-design of the reference's domain model (reference:
+src/opticalProperties.f95:63-142). Components are added with 1D
+(horizontally uniform) or 3D extinction/albedo/phase-index fields and a
+``z_level_base`` sub-range; ``flatten`` produces the four per-cell arrays the
+transport kernel reads (total extinction, fractional cumulative extinction
+per component, single-scattering albedo per component, phase-function index
+per component; reference: src/opticalProperties.f95:966-1072
+getOpticalPropertiesByComponent).
+
+TPU-first deltas from the reference:
+  * All per-component phase-function tables are stacked into single device
+    matrices with per-component row offsets, so the kernel's per-event
+    lookup is one flattened gather instead of a per-component pointer chase.
+  * The inverse-CDF and forward matrices are padded to a common width at
+    build time (static shapes for XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcbrat3d_tpu.core.grid import Grid
+from mcbrat3d_tpu.physics.phase_function import PhaseFunctionTable, forward_tabulate
+from mcbrat3d_tpu.physics.inverse_cdf import inverse_cdf_table
+from mcbrat3d_tpu.physics.hybrid import hybrid_phase_values
+
+
+@dataclasses.dataclass
+class OpticalComponent:
+    """One optical component (cloud, aerosol, gas, Rayleigh...).
+
+    ``extinction``/``single_scattering_albedo``/``phase_function_index`` are
+    [nx, ny, nzc] or [1, 1, nzc] (horizontally uniform, spread at flatten
+    time; reference: src/opticalProperties.f95:1033-1043). ``z_level_base``
+    is the 0-based z index of the first occupied level
+    (reference: addOpticalComponent, src/opticalProperties.f95:557-730).
+    Phase-function indices are 0-based into ``phase_function_table``.
+    """
+
+    name: str
+    extinction: np.ndarray
+    single_scattering_albedo: np.ndarray
+    phase_function_index: np.ndarray
+    phase_function_table: PhaseFunctionTable
+    z_level_base: int = 0
+
+    def __post_init__(self):
+        self.extinction = np.atleast_3d(np.asarray(self.extinction, np.float64))
+        self.single_scattering_albedo = np.atleast_3d(
+            np.asarray(self.single_scattering_albedo, np.float64))
+        self.phase_function_index = np.atleast_3d(
+            np.asarray(self.phase_function_index, np.int32))
+        if not (self.extinction.shape == self.single_scattering_albedo.shape
+                == self.phase_function_index.shape):
+            raise ValueError(f"component '{self.name}': field shapes disagree")
+        if np.any(self.extinction < 0):
+            raise ValueError(f"component '{self.name}': negative extinction")
+        if (np.any(self.single_scattering_albedo < 0)
+                or np.any(self.single_scattering_albedo > 1)):
+            raise ValueError(f"component '{self.name}': SSA outside [0,1]")
+        n = self.phase_function_table.n_entries
+        if (np.any(self.phase_function_index < 0)
+                or np.any(self.phase_function_index >= n)):
+            raise ValueError(f"component '{self.name}': phase index out of range")
+
+    @property
+    def is_horizontally_uniform(self) -> bool:
+        return self.extinction.shape[0] == 1 and self.extinction.shape[1] == 1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceTables:
+    """Stacked phase-function matrices on device.
+
+    ``inverse``: [total_entries, n_cdf_steps] scattering angle vs CDF.
+    ``forward``: [total_entries, n_angles] hybridized phase values (radiance
+    path) -- zeros-sized placeholder when intensity is off.
+    ``forward_orig``: same, original (non-hybrid) values.
+    ``offsets``: [ncomp] row offset of each component's table.
+    """
+
+    inverse: jax.Array
+    forward: jax.Array
+    forward_orig: jax.Array
+    offsets: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OpticalDomain:
+    """Device-resident flattened domain consumed by the transport kernel.
+
+    ``cell_records`` packs everything a collision needs into one row so the
+    hot loop performs a *single* gather per event instead of one per field
+    (TPU gathers cost per-index, not per-byte). Layout, with C = ncomp:
+      [0]              total extinction
+      [1        : 1+C] fractional cumulative extinction per component
+      [1 + C    : 1+2C] single-scattering albedo per component
+      [1 + 2C   : 1+3C] phase-function index per component (as float)
+      [1 + 3C   : 1+4C] HG asymmetry g per component's active entry
+                        (used by the analytic sampling path when ``all_hg``)
+    """
+
+    grid: Grid
+    total_ext: jax.Array  # [nx, ny, nz] f32
+    cum_ext: jax.Array  # [nx, ny, nz, ncomp] f32, fractional, last == 1
+    ssa: jax.Array  # [nx, ny, nz, ncomp] f32
+    phase_index: jax.Array  # [nx, ny, nz, ncomp] i32, 0-based per-component
+    cell_records: jax.Array  # [nx*ny*nz, 1 + 4*ncomp] f32
+    tables: DeviceTables
+    all_hg: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    temps: Optional[jax.Array] = None  # [nx, ny, nz] f32 (broadband/LW)
+    lambda_um: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+
+    @property
+    def n_components(self) -> int:
+        return self.cum_ext.shape[-1]
+
+    @property
+    def max_extinction(self):
+        return jnp.max(self.total_ext)
+
+
+def build_domain(grid: Grid, components: Sequence[OpticalComponent],
+                 n_cdf_steps: int = 9001,
+                 n_forward_angles: int = 1801,
+                 compute_intensity_tables: bool = False,
+                 hybrid_width_deg: float = 0.0,
+                 temps: Optional[np.ndarray] = None,
+                 lambda_um: float = 0.0) -> OpticalDomain:
+    """Flatten components into the solver arrays and stack phase tables.
+
+    Cumulative extinction is *fractional*: cum_ext[..., -1] == 1 wherever
+    total extinction is positive (reference:
+    src/opticalProperties.f95:1055-1061); component selection in the kernel
+    bisects a uniform deviate against it.
+    """
+    if not components:
+        raise ValueError("need at least one optical component")
+    nx, ny, nz = grid.shape
+    ncomp = len(components)
+
+    ext = np.zeros((nx, ny, nz, ncomp), np.float64)
+    ssa = np.zeros((nx, ny, nz, ncomp), np.float64)
+    pfi = np.zeros((nx, ny, nz, ncomp), np.int32)
+
+    for c, comp in enumerate(components):
+        e = comp.extinction
+        a = comp.single_scattering_albedo
+        p = comp.phase_function_index
+        if comp.is_horizontally_uniform:
+            e = np.broadcast_to(e, (nx, ny, e.shape[2]))
+            a = np.broadcast_to(a, (nx, ny, a.shape[2]))
+            p = np.broadcast_to(p, (nx, ny, p.shape[2]))
+        z0 = comp.z_level_base
+        z1 = z0 + e.shape[2]
+        if z1 > nz:
+            raise ValueError(f"component '{comp.name}' extends past the domain top")
+        ext[:, :, z0:z1, c] = e
+        ssa[:, :, z0:z1, c] = a
+        pfi[:, :, z0:z1, c] = p
+
+    total = ext.sum(axis=-1)
+    cum = np.cumsum(ext, axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cum_frac = np.where(total[..., None] > 0, cum / np.maximum(total[..., None], 1e-300), 1.0)
+    cum_frac[..., -1] = 1.0
+
+    # --- stacked device tables ---
+    inv_list, fwd_list, offsets = [], [], []
+    row = 0
+    angles = np.linspace(0.0, np.pi, n_forward_angles)
+    for comp in components:
+        tbl = comp.phase_function_table
+        offsets.append(row)
+        row += tbl.n_entries
+        inv_list.append(inverse_cdf_table(tbl, n_cdf_steps))
+        if compute_intensity_tables:
+            fwd_list.append(forward_tabulate(tbl, n_forward_angles))
+    inverse = np.concatenate(inv_list, axis=0)
+
+    if compute_intensity_tables:
+        forward_orig = np.concatenate(fwd_list, axis=0)
+        if hybrid_width_deg > 0.0:
+            forward = hybrid_phase_values(angles, forward_orig, hybrid_width_deg)
+        else:
+            forward = forward_orig
+    else:
+        forward_orig = np.zeros((row, 1), np.float64)
+        forward = forward_orig
+
+    tables = DeviceTables(
+        inverse=jnp.asarray(inverse, jnp.float32),
+        forward=jnp.asarray(forward, jnp.float32),
+        forward_orig=jnp.asarray(forward_orig, jnp.float32),
+        offsets=jnp.asarray(np.asarray(offsets, np.int32)),
+    )
+
+    # --- packed per-cell collision records (one gather per event) ---
+    all_hg = all(p.hg_g is not None
+                 for comp in components
+                 for p in comp.phase_function_table.phase_functions)
+    n_cells = nx * ny * nz
+    rec = np.zeros((n_cells, 1 + 4 * ncomp), np.float32)
+    rec[:, 0] = total.reshape(-1)
+    rec[:, 1:1 + ncomp] = cum_frac.reshape(-1, ncomp)
+    rec[:, 1 + ncomp:1 + 2 * ncomp] = ssa.reshape(-1, ncomp)
+    rec[:, 1 + 2 * ncomp:1 + 3 * ncomp] = pfi.reshape(-1, ncomp)
+    for c, comp in enumerate(components):
+        gs = np.array([p.hg_g if p.hg_g is not None else 0.0
+                       for p in comp.phase_function_table.phase_functions],
+                      np.float32)
+        rec[:, 1 + 3 * ncomp + c] = gs[pfi.reshape(-1, ncomp)[:, c]]
+
+    return OpticalDomain(
+        grid=grid,
+        total_ext=jnp.asarray(total, jnp.float32),
+        cum_ext=jnp.asarray(cum_frac, jnp.float32),
+        ssa=jnp.asarray(ssa, jnp.float32),
+        phase_index=jnp.asarray(pfi),
+        cell_records=jnp.asarray(rec),
+        tables=tables,
+        all_hg=all_hg,
+        temps=None if temps is None else jnp.asarray(temps, jnp.float32),
+        lambda_um=float(lambda_um),
+    )

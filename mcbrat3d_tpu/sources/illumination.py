@@ -1,0 +1,178 @@
+"""Photon sources.
+
+Re-design of the reference's photonStream constructors (reference:
+src/monteCarloIllumination.f95:62-522). The reference precomputes arrays of
+photon positions/directions on the host and iterates; on TPU the transport
+kernel instead *samples the source on the fly* whenever a lane finishes its
+current photon (persistent-threads refill), so a Source is a small pytree of
+parameters plus a vectorized ``sample`` routine. Statistics are identical;
+storage is O(1) instead of O(n_photons).
+
+Source kinds (matching the reference's constructor overloads):
+  * directional   -- solar beam: fixed (mu0, phi0), random (x, y), top of domain
+  * random_azimuth-- fixed mu0, random azimuth
+  * flux          -- mu = -sqrt(u): global-average flux weighting
+  * spotlight     -- fixed direction and position
+  * emission      -- LW/broadband thermal emission from atmosphere + surface
+                     (BBEmission; reference: src/monteCarloIllumination.f95:431-522)
+
+All samples are returned in *fractional* coordinates (x, y, z in [0, 1]) the
+way the reference's photonStream stores them; the kernel maps them to domain
+coordinates (reference: Integrators/monteCarloRadiativeTransfer.f95:480-494).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DIRECTIONAL = "directional"
+RANDOM_AZIMUTH = "random_azimuth"
+FLUX = "flux"
+SPOTLIGHT = "spotlight"
+EMISSION = "emission"
+
+_TOP = np.float32(1.0 - 2.0 ** -23)  # z fraction just below the domain top
+_MIN_MU = np.float32(1e-6)  # guard against horizontally trapped photons
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Source:
+    """Photon source parameters. ``kind`` is static (one compile per kind)."""
+
+    kind: str = dataclasses.field(metadata=dict(static=True))
+    solar_mu: jax.Array = None  # |mu0|; photons travel with mu = -|mu0|
+    solar_azimuth: jax.Array = None  # radians
+    solar_x: jax.Array = None  # spotlight fractional position
+    solar_y: jax.Array = None
+    # Emission-source fields (thermal): flattened voxel power CDF over
+    # [nz, ny, nx] (C-order, z outermost -- matching the reference's
+    # level/col/voxel nested CDF scan order), and the fraction of total
+    # power emitted by the atmosphere (vs the surface).
+    voxel_cdf: jax.Array = None
+    atms_fraction: jax.Array = None
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True), default=None)
+
+
+def directional(solar_mu: float, solar_azimuth_deg: float) -> Source:
+    """Solar beam (reference: src/monteCarloIllumination.f95:62-101)."""
+    if abs(solar_mu) > 1.0 or abs(solar_mu) < 1e-30:
+        raise ValueError("solar_mu out of bounds")
+    if not 0.0 <= solar_azimuth_deg <= 360.0:
+        raise ValueError("solar azimuth out of bounds")
+    return Source(kind=DIRECTIONAL,
+                  solar_mu=jnp.float32(abs(solar_mu)),
+                  solar_azimuth=jnp.float32(np.deg2rad(solar_azimuth_deg)))
+
+
+def random_azimuth(solar_mu: float) -> Source:
+    if abs(solar_mu) > 1.0 or abs(solar_mu) < 1e-30:
+        raise ValueError("solar_mu out of bounds")
+    return Source(kind=RANDOM_AZIMUTH, solar_mu=jnp.float32(abs(solar_mu)))
+
+
+def flux() -> Source:
+    return Source(kind=FLUX)
+
+
+def spotlight(solar_mu: float, solar_azimuth_deg: float,
+              solar_x: float, solar_y: float) -> Source:
+    if not (0.0 < solar_x <= 1.0 and 0.0 < solar_y <= 1.0):
+        raise ValueError("spotlight x/y must be in (0, 1]")
+    return Source(kind=SPOTLIGHT,
+                  solar_mu=jnp.float32(abs(solar_mu)),
+                  solar_azimuth=jnp.float32(np.deg2rad(solar_azimuth_deg)),
+                  solar_x=jnp.float32(solar_x), solar_y=jnp.float32(solar_y))
+
+
+def emission(voxel_cdf, atms_fraction, grid_shape) -> Source:
+    """Thermal emission source.
+
+    ``voxel_cdf``: [nz*ny*nx] cumulative power fractions (last entry 1.0),
+    C-ordered as [nz, ny, nx]. ``atms_fraction``: probability that a photon
+    is emitted by the atmosphere rather than the surface (fracAtmsPower;
+    reference: src/monteCarloIllumination.f95:457-522).
+    """
+    nx, ny, nz = grid_shape
+    return Source(kind=EMISSION,
+                  voxel_cdf=jnp.asarray(voxel_cdf, jnp.float32),
+                  atms_fraction=jnp.float32(atms_fraction),
+                  grid_shape=(int(nx), int(ny), int(nz)))
+
+
+def sample(source: Source, key: jax.Array, n: int):
+    """Draw ``n`` photons: fractional (x, y, z), direction (mu, phi).
+
+    Draw count varies by kind (uniforms cost per stream on TPU); streams are
+    derived per field index so adding kinds never perturbs existing ones.
+    """
+    def u(i):
+        return jax.random.uniform(jax.random.fold_in(key, i), (n,),
+                                  dtype=jnp.float32)
+
+    if source.kind == DIRECTIONAL:
+        return (u(0), u(1), jnp.full((n,), _TOP),
+                jnp.full((n,), -source.solar_mu),
+                jnp.full((n,), source.solar_azimuth))
+    if source.kind == RANDOM_AZIMUTH:
+        return (u(0), u(1), jnp.full((n,), _TOP),
+                jnp.full((n,), -source.solar_mu),
+                2.0 * jnp.pi * u(2))
+    if source.kind == FLUX:
+        # mu = -sqrt(u): daytime-average weighting
+        # (reference: src/monteCarloIllumination.f95:142-176)
+        return (u(0), u(1), jnp.full((n,), _TOP),
+                -jnp.sqrt(jnp.maximum(u(2), 1e-12)),
+                2.0 * jnp.pi * u(3))
+    if source.kind == SPOTLIGHT:
+        return (jnp.full((n,), source.solar_x), jnp.full((n,), source.solar_y),
+                jnp.full((n,), _TOP),
+                jnp.full((n,), -source.solar_mu),
+                jnp.full((n,), source.solar_azimuth))
+    if source.kind == EMISSION:
+        return _sample_emission(source, [u(i) for i in range(6)], n)
+    raise ValueError(f"unknown source kind {source.kind!r}")
+
+
+def _sample_emission(source: Source, u, n: int):
+    """BBEmission: atmosphere-vs-surface split, voxel CDF bisection,
+    uniform position within the voxel, isotropic (atm) / Lambertian-up
+    (surface) directions (reference: src/monteCarloIllumination.f95:431-522).
+    """
+    nx, ny, nz = source.grid_shape
+    from_atm = u[0] < source.atms_fraction
+
+    # --- atmospheric photons: one deviate bisected through the voxel CDF
+    # (the reference collapses level/col/voxel scans into one search;
+    #  reference: src/monteCarloIllumination.f95:495-498) ---
+    flat = jnp.searchsorted(source.voxel_cdf, u[1]).astype(jnp.int32)
+    flat = jnp.clip(flat, 0, nx * ny * nz - 1)
+    ik = flat // (ny * nx)
+    ij = (flat // nx) % ny
+    ii = flat % nx
+    # Uniform position within the voxel, in fractional coordinates
+    xf_a = (ii.astype(jnp.float32) + u[2]) / nx
+    yf_a = (ij.astype(jnp.float32) + u[3]) / ny
+    zf_a = (ik.astype(jnp.float32) + u[4]) / nz
+    zf_a = jnp.clip(zf_a, 2.0 ** -24, _TOP)
+    # Isotropic direction with a minimum vertical component
+    mu_a = 1.0 - 2.0 * u[5]
+    mu_a = jnp.where(jnp.abs(mu_a) < _MIN_MU,
+                     jnp.sign(mu_a + 1e-30) * _MIN_MU, mu_a)
+
+    # --- surface photons: uniform (x, y), z = 0, Lambertian up ---
+    xf_s, yf_s = u[1], u[2]
+    zf_s = jnp.zeros((n,), jnp.float32)
+    mu_s = jnp.sqrt(jnp.maximum(u[5], jnp.float32(1e-12)))
+
+    xf = jnp.where(from_atm, xf_a, xf_s)
+    yf = jnp.where(from_atm, yf_a, yf_s)
+    zf = jnp.where(from_atm, zf_a, zf_s)
+    mu = jnp.where(from_atm, mu_a, mu_s)
+    # One shared azimuth stream; derive a fresh uniform from u[0]'s key space
+    phi = 2.0 * jnp.pi * jnp.where(from_atm, u[3], u[4])
+    return xf, yf, zf, mu, phi

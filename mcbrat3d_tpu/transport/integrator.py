@@ -1,0 +1,494 @@
+"""The Monte Carlo transport megakernel.
+
+TPU-first re-design of the reference integrator's hot loop
+(reference: Integrators/monteCarloRadiativeTransfer.f95:393-841, computeRT).
+The reference traces one photon at a time through nested branchy loops; here
+a *wave* of ``n_lanes`` photons advances together inside one
+``lax.while_loop``:
+
+  * struct-of-arrays photon state [N]; every branch is a masked select,
+  * persistent-lane refill: when a photon terminates, its lane immediately
+    samples a new photon from the source until the lane's quota is used, so
+    vector lanes stay busy (replaces the photon loop),
+  * maximum cross-section (Woodcock/Marchuk) free-path sampling by default
+    (reference's second mode; reference:
+    Integrators/monteCarloRadiativeTransfer.f95:566-571,709-710) -- one
+    fused move + null-collision test per step, no ray marching in the hot
+    loop,
+  * counter-based RNG (threefry fold-in per step/draw-site) instead of
+    sequential MT19937,
+  * analytic azimuth rotation instead of Marchuk's rejection disk
+    (statistically identical; reference: NEXT_DIRECT,
+    Integrators/monteCarloRadiativeTransfer.f95:1921-1948).
+
+Memory-access design (the performance-critical part on TPU, where random
+gathers cost per index):
+  * ONE packed record gather per step delivers extinction, cumulative
+    extinction, albedo, phase index and HG asymmetry for the collision cell
+    (see OpticalDomain.cell_records),
+  * Henyey-Greenstein domains sample the scattering angle *analytically*
+    (zero table gathers); tabulated phase functions fall back to the
+    inverse-CDF interpolation (two gathers),
+  * tallies accumulate via one-hot MXU contractions for small buffers and
+    scatter-add for large ones (transport.tally).
+
+Tallies are float32 within a batch and promoted to float64 across batches by
+the driver, mirroring the reference's batch-moment structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.core.grid import Grid
+from mcbrat3d_tpu.domain.domain import OpticalDomain
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport.tally import make_accumulator
+from mcbrat3d_tpu.transport.local_estimate import (
+    IntensityConfig,
+    accumulate_local_estimate,
+)
+
+_W_TINY = np.float32(1e-30)  # photon-weight cutoff (reference uses tiny(real))
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Static algorithm switches (one XLA program per distinct config).
+
+    Mirrors the reference's `algorithms` namelist
+    (reference: Drivers/monteCarloDriver.f95:110-118, specifyParameters
+    Integrators/monteCarloRadiativeTransfer.f95:1046-1337).
+    """
+
+    n_lanes: int = 1 << 17
+    photons_per_lane: int = 8
+    max_steps: int = 20_000
+    use_ray_tracing: bool = False  # False -> maximum cross-section (Woodcock)
+    use_russian_roulette: bool = True
+    russian_roulette_weight: float = 1.0
+    lw_mode: bool = False  # emission pre-credits to absorption tallies
+    max_dda_crossings: int = 0  # 0 -> auto (4 * (nx+ny+nz))
+
+    @property
+    def photons_per_batch(self) -> int:
+        return self.n_lanes * self.photons_per_lane
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Tallies:
+    """Per-batch tally arrays (unnormalized photon weights).
+
+    Equivalent of the integrator's tally fields
+    (reference: Integrators/monteCarloRadiativeTransfer.f95:40-117).
+    """
+
+    flux_up: jax.Array  # [nx, ny]
+    flux_down: jax.Array  # [nx, ny]
+    flux_absorbed: jax.Array  # [nx, ny]
+    volume_absorption: jax.Array  # [nx, ny, nz]
+    intensity: Optional[jax.Array] = None  # [nx, ny, ndir]
+    n_photons: jax.Array = None  # scalar i32: photons started
+    n_bad: jax.Array = None  # scalar i32: photons killed by the step cap
+    n_steps: jax.Array = None  # scalar i32: wave steps executed (diagnostic)
+
+    def normalized(self, grid: Grid) -> "Tallies":
+        """Per-column normalization (reference:
+        Integrators/monteCarloRadiativeTransfer.f95:326-389): fluxes and
+        intensity divided by photons-per-column; volume absorption also by
+        cell depth * 1000 (km -> m) to yield W m^-3 per unit incident flux.
+        """
+        nx, ny, nz = grid.shape
+        n = jnp.maximum(self.n_photons.astype(jnp.float32), 1.0)
+        per_col = n / (nx * ny)
+        dz = grid.z_edges[1:] - grid.z_edges[:-1]
+        return Tallies(
+            flux_up=self.flux_up / per_col,
+            flux_down=self.flux_down / per_col,
+            flux_absorbed=self.flux_absorbed / per_col,
+            volume_absorption=self.volume_absorption
+            / (per_col * dz[None, None, :] * 1000.0),
+            intensity=None if self.intensity is None
+            else self.intensity / per_col,
+            n_photons=self.n_photons,
+            n_bad=self.n_bad,
+            n_steps=self.n_steps,
+        )
+
+
+def make_direction_cosines(mu, phi):
+    """(mu, phi) -> unit direction cosines (reference:
+    Integrators/monteCarloRadiativeTransfer.f95:1876-1894)."""
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
+    return sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), mu
+
+
+def rotate_direction(ux, uy, uz, cos_theta, phi):
+    """Rotate a unit vector by scattering angle theta with azimuth phi.
+
+    Branch-free analytic replacement for the reference's Marchuk rejection
+    construction (reference:
+    Integrators/monteCarloRadiativeTransfer.f95:1921-1948); for uniform phi
+    the distributions are identical.
+    """
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cos_phi = jnp.cos(phi)
+    sin_phi = jnp.sin(phi)
+    denom_sq = jnp.maximum(1.0 - uz * uz, 0.0)
+    denom = jnp.sqrt(denom_sq)
+    safe = denom > 1e-6
+
+    inv_denom = jnp.where(safe, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
+    nx = ux * cos_theta + sin_theta * (ux * uz * cos_phi - uy * sin_phi) * inv_denom
+    ny = uy * cos_theta + sin_theta * (uy * uz * cos_phi + ux * sin_phi) * inv_denom
+    nz = uz * cos_theta - sin_theta * cos_phi * denom
+
+    sgn = jnp.sign(jnp.where(uz == 0, 1.0, uz))
+    vx = sin_theta * cos_phi
+    vy = sgn * sin_theta * sin_phi
+    vz = sgn * cos_theta
+
+    ox = jnp.where(safe, nx, vx)
+    oy = jnp.where(safe, ny, vy)
+    oz = jnp.where(safe, nz, vz)
+    # Renormalize to keep |u| = 1 over long photon lifetimes (f32 drift)
+    inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+    return ox * inv_norm, oy * inv_norm, oz * inv_norm
+
+
+def sample_hg_cos(g, u):
+    """Analytic Henyey-Greenstein scattering-cosine sampling.
+
+    cos(theta) = (1 + g^2 - ((1-g^2)/(1-g+2gu))^2) / (2g), with the
+    isotropic limit for |g| ~ 0. Exact inverse of the HG CDF -- statistically
+    identical to the reference's inverse-CDF table lookup for HG functions
+    but with zero memory traffic.
+    """
+    safe_g = jnp.where(jnp.abs(g) < 1e-5, 1.0, g)
+    s = (1.0 - g * g) / (1.0 - g + 2.0 * g * u)
+    ct = (1.0 + g * g - s * s) / (2.0 * safe_g)
+    return jnp.where(jnp.abs(g) < 1e-5, 2.0 * u - 1.0,
+                     jnp.clip(ct, -1.0, 1.0))
+
+
+def sample_scattering_cos(inverse_flat, n_steps, row, u):
+    """Scattering cosine by linear interpolation of the inverse CDF table
+    (reference: computeScatteringAngle,
+    Integrators/monteCarloRadiativeTransfer.f95:1594-1621)."""
+    t = u * (n_steps - 1)
+    k = jnp.clip(t.astype(jnp.int32), 0, n_steps - 2)
+    frac = t - k.astype(jnp.float32)
+    base = row * n_steps + k
+    a0 = inverse_flat[base]
+    a1 = inverse_flat[base + 1]
+    angle = (1.0 - frac) * a0 + frac * a1
+    return jnp.cos(angle)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "intensity_config"),
+)
+def run_batch(domain: OpticalDomain,
+              surface: Surface,
+              source: illumination.Source,
+              key: jax.Array,
+              config: KernelConfig,
+              intensity_config: Optional[IntensityConfig] = None,
+              intensity_dirs: Optional[jax.Array] = None) -> Tallies:
+    """Trace one batch of photons; return unnormalized tallies.
+
+    ``key`` identifies the batch (seed x batch index); results are
+    deterministic in (key, config) and independent of device placement.
+    """
+    cfg = config
+    grid = domain.grid
+    nx, ny, nz = grid.shape
+    nxy = nx * ny
+    nxyz = nxy * nz
+    ncomp = domain.n_components
+    N = cfg.n_lanes
+
+    records = domain.cell_records  # [nxyz, 1 + 4*ncomp]
+    inv_flat = domain.tables.inverse.reshape(-1)
+    n_cdf_steps = domain.tables.inverse.shape[1]
+    offsets = domain.tables.offsets
+
+    beta_max = jnp.maximum(domain.max_extinction, _W_TINY)
+    inv_beta_max = 1.0 / beta_max
+
+    x0, x_max = grid.x0, grid.x_max
+    y0, y_max = grid.y0, grid.y_max
+    z0, z_max = grid.z0, grid.z_max
+    z_eps = (z_max - z0) * jnp.float32(1e-6)
+
+    compute_intensity = intensity_config is not None
+    n_dirs = 0 if not compute_intensity else intensity_config.n_dirs
+
+    rr_w = jnp.float32(cfg.russian_roulette_weight)
+
+    flux_add = make_accumulator(3 * nxy)
+    vol_add = make_accumulator(nxyz)
+
+    f32 = jnp.float32
+    zeros = jnp.zeros((N,), f32)
+
+    state0 = dict(
+        x=zeros, y=zeros, z=zeros,
+        ux=zeros, uy=zeros, uz=jnp.ones((N,), f32),
+        w=zeros,
+        alive=jnp.zeros((N,), bool),
+        quota=jnp.full((N,), cfg.photons_per_lane, jnp.int32),
+    )
+    flux0 = jnp.zeros((3 * nxy,), f32)
+    vol0 = jnp.zeros((nxyz,), f32)
+    intensity0 = jnp.zeros((max(n_dirs, 1) * nxy,), f32)
+    carry0 = (state0, flux0, vol0, intensity0, jnp.int32(0), jnp.int32(0))
+
+    def cond(carry):
+        state, _, _, _, step, _ = carry
+        work = jnp.any(state["alive"] | (state["quota"] > 0))
+        return work & (step < cfg.max_steps)
+
+    def body(carry):
+        state, flux, vol, intensity, step, n_started = carry
+        x, y, z = state["x"], state["y"], state["z"]
+        ux, uy, uz = state["ux"], state["uy"], state["uz"]
+        w = state["w"]
+        alive = state["alive"]
+        quota = state["quota"]
+
+        def k(purpose):
+            return rng.step_key(key, step, purpose)
+
+        # ---------------- refill dead lanes from the source ----------------
+        need = (~alive) & (quota > 0)
+        xf, yf, zf, mu_s, phi_s = illumination.sample(source, k(rng.SOURCE), N)
+        sx = x0 + xf * (x_max - x0)
+        sy = y0 + yf * (y_max - y0)
+        sz = jnp.clip(grid.z_from_fraction(zf), z0 + z_eps, z_max - z_eps)
+        dx_, dy_, dz_ = make_direction_cosines(mu_s, phi_s)
+
+        x = jnp.where(need, sx, x)
+        y = jnp.where(need, sy, y)
+        z = jnp.where(need, sz, z)
+        ux = jnp.where(need, dx_, ux)
+        uy = jnp.where(need, dy_, uy)
+        uz = jnp.where(need, dz_, uz)
+        w = jnp.where(need, 1.0, w)
+        alive = alive | need
+        quota = quota - need.astype(jnp.int32)
+        n_started = n_started + jnp.sum(need, dtype=jnp.int32)
+
+        # LW emission pre-credit: emitted photons subtract 1 from the
+        # absorbed-flux and volume-absorption tallies at the emitting cell
+        # (flux-divergence accounting; reference:
+        # Integrators/monteCarloRadiativeTransfer.f95:504-508).
+        if cfg.lw_mode:
+            atm_emit = need & (zf > 0)
+            eix = grid.locate_x(x)
+            eiy = grid.locate_y(y)
+            eiz = grid.locate_z(z)
+            ecol = eix * ny + eiy
+            e_val = jnp.where(atm_emit, f32(-1.0), 0.0)
+            flux = flux_add(flux, jnp.where(atm_emit, 2 * nxy + ecol, 0), e_val)
+            vol = vol_add(vol, jnp.where(atm_emit, ecol * nz + eiz, 0), e_val)
+
+        # ---------------- one Woodcock step for all alive lanes -------------
+        tau = rng.exponential_deviate(k(rng.TAU), (N,))
+        d = tau * inv_beta_max
+        zn = z + uz * d
+
+        exit_top = alive & (zn >= z_max)
+        exit_bot = alive & ~exit_top & (zn <= z0)
+        collide = alive & ~exit_top & ~exit_bot
+
+        # Boundary-crossing point for exiting photons (backtrack along the
+        # ray to the z boundary; reference:
+        # Integrators/monteCarloRadiativeTransfer.f95:578-585,624-631)
+        z_b = jnp.where(exit_top, z_max, z0)
+        safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
+        t_b = (z_b - z) / safe_uz
+        xe = grid.wrap_x(x + ux * t_b)
+        ye = grid.wrap_y(y + uy * t_b)
+        ixe = grid.locate_x(xe)
+        iye = grid.locate_y(ye)
+        col_e = ixe * ny + iye
+
+        # Collision cell
+        xc = grid.wrap_x(x + ux * d)
+        yc = grid.wrap_y(y + uy * d)
+        zc = jnp.clip(zn, z0, z_max)
+        ix = grid.locate_x(xc)
+        iy = grid.locate_y(yc)
+        iz = grid.locate_z(zc)
+        col_c = ix * ny + iy
+        cell = col_c * nz + iz
+
+        # ---- single packed record gather: everything the collision needs --
+        rec = records[cell]  # [N, 1 + 4*ncomp]
+        beta = rec[:, 0]
+        u_col = rng.uniform(k(rng.COLLISION), (N,))
+        real = collide & (u_col * beta_max < beta)
+
+        # -------- component selection + absorption at real collisions -------
+        if ncomp == 1:
+            comp = jnp.zeros((N,), jnp.int32)
+            ssa_c = rec[:, 2]
+            pfi_c = rec[:, 3].astype(jnp.int32)
+            g_c = rec[:, 4]
+        else:
+            cum = rec[:, 1:1 + ncomp]
+            u_comp = rng.uniform(k(rng.COMPONENT), (N,))
+            comp = jnp.sum(cum < u_comp[:, None], axis=1).astype(jnp.int32)
+            comp = jnp.clip(comp, 0, ncomp - 1)
+            comp_hot = jax.nn.one_hot(comp, ncomp, dtype=f32)
+            ssa_c = jnp.sum(rec[:, 1 + ncomp:1 + 2 * ncomp] * comp_hot, axis=1)
+            pfi_c = jnp.sum(rec[:, 1 + 2 * ncomp:1 + 3 * ncomp] * comp_hot,
+                            axis=1).astype(jnp.int32)
+            g_c = jnp.sum(rec[:, 1 + 3 * ncomp:1 + 4 * ncomp] * comp_hot, axis=1)
+
+        absorbed = jnp.where(real, w * (1.0 - ssa_c), 0.0)
+        w = jnp.where(real, w * ssa_c, w)
+
+        # ---------------- local estimation (radiance) -----------------------
+        if compute_intensity:
+            # Scattering-event contribution with the post-absorption weight
+            # (reference: Integrators/monteCarloRadiativeTransfer.f95:776-790)
+            intensity = accumulate_local_estimate(
+                intensity, domain, intensity_dirs, intensity_config,
+                mask=real, weight=w, x=xc, y=yc, z=zc,
+                ux=ux, uy=uy, uz=uz, cell=cell, comp=comp,
+                kind="scatter", key=k(rng.INTENSITY_RR))
+
+        # ---------------- Russian roulette ---------------------------------
+        if cfg.use_russian_roulette:
+            u_rr = rng.uniform(k(rng.ROULETTE), (N,))
+            play = real & (w < 0.5 * rr_w)
+            survive = u_rr < w / rr_w
+            w = jnp.where(play, jnp.where(survive, rr_w, 0.0), w)
+        died_weight = real & (w <= _W_TINY)
+
+        # ---------------- scattering: new direction -------------------------
+        scatter = real & ~died_weight
+        u_ang = rng.uniform(k(rng.SCAT_ANGLE), (N,))
+        if domain.all_hg:
+            cos_theta = sample_hg_cos(g_c, u_ang)
+        else:
+            row = offsets[comp] + pfi_c
+            cos_theta = sample_scattering_cos(inv_flat, n_cdf_steps, row, u_ang)
+        phi_rot = rng.uniform(k(rng.SCAT_AZIMUTH), (N,), 0.0, 2.0 * np.pi)
+        rux, ruy, ruz = rotate_direction(ux, uy, uz, cos_theta, phi_rot)
+        ux = jnp.where(scatter, rux, ux)
+        uy = jnp.where(scatter, ruy, uy)
+        uz = jnp.where(scatter, ruz, uz)
+
+        # ---------------- surface reflection --------------------------------
+        # Tally downward flux with the pre-reflection weight, then reflect
+        # with mu = sqrt(u) and the surface reflectance (reference:
+        # Integrators/monteCarloRadiativeTransfer.f95:619-702).
+        w_down = w  # weight at the surface (pre-reflection)
+        u_mu = rng.uniform(k(rng.SURFACE_MU), (N,))
+        mu_new = jnp.sqrt(jnp.maximum(u_mu, f32(1e-12)))
+        phi_new = rng.uniform(k(rng.SURFACE_PHI), (N,), 0.0, 2.0 * np.pi)
+        if surface.is_uniform_lambertian:
+            refl = surface.params[0, 0, 0]
+        else:
+            xfrac = (xe - x0) / (x_max - x0)
+            yfrac = (ye - y0) / (y_max - y0)
+            phi_in = jnp.arctan2(uy, ux)
+            refl = surface.reflectance(xfrac, yfrac, uz, mu_new, phi_in, phi_new)
+        w_refl = w_down * refl
+        died_surface = exit_bot & (w_refl <= _W_TINY)
+        reflected = exit_bot & ~died_surface
+
+        sux, suy, suz = make_direction_cosines(mu_new, phi_new)
+        x = jnp.where(exit_bot, xe, jnp.where(collide, xc, x))
+        y = jnp.where(exit_bot, ye, jnp.where(collide, yc, y))
+        z = jnp.where(exit_bot, z0 + z_eps, jnp.where(collide, zc, z))
+        ux = jnp.where(reflected, sux, ux)
+        uy = jnp.where(reflected, suy, uy)
+        uz = jnp.where(reflected, suz, uz)
+        w = jnp.where(reflected, w_refl, w)
+
+        if compute_intensity:
+            # Surface-reflection contribution (component 0, normalized
+            # phase function 1/pi; reference:
+            # Integrators/monteCarloRadiativeTransfer.f95:680-702,1688-1694)
+            intensity = accumulate_local_estimate(
+                intensity, domain, intensity_dirs, intensity_config,
+                mask=reflected, weight=w, x=x, y=y, z=z,
+                ux=ux, uy=uy, uz=uz, cell=col_e * nz, comp=None,
+                kind="surface", key=k(rng.INTENSITY_RR))
+
+        alive = alive & ~exit_top & ~died_weight & ~died_surface
+
+        # ---------------- fused tally accumulation ---------------------------
+        # Each lane contributes at most one flux-type update (up | down |
+        # absorbed are exclusive per step) and one volume-absorption update.
+        f_idx = jnp.where(
+            exit_top, col_e,
+            jnp.where(exit_bot, nxy + col_e,
+                      jnp.where(real, 2 * nxy + col_c, 0)))
+        f_val = jnp.where(exit_top, w,
+                          jnp.where(exit_bot, w_down,
+                                    jnp.where(real, absorbed, 0.0)))
+        flux = flux_add(flux, f_idx, f_val)
+        vol = vol_add(vol, jnp.where(real, cell, 0),
+                      jnp.where(real, absorbed, 0.0))
+
+        new_state = dict(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w,
+                         alive=alive, quota=quota)
+        return (new_state, flux, vol, intensity, step + 1, n_started)
+
+    state_f, flux_f, vol_f, intensity_f, n_steps, n_started = (
+        jax.lax.while_loop(cond, body, carry0))
+    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+
+    return Tallies(
+        flux_up=flux_f[:nxy].reshape(nx, ny),
+        flux_down=flux_f[nxy:2 * nxy].reshape(nx, ny),
+        flux_absorbed=flux_f[2 * nxy:3 * nxy].reshape(nx, ny),
+        volume_absorption=vol_f.reshape(nx, ny, nz),
+        intensity=(intensity_f.reshape(n_dirs, nx, ny).transpose(1, 2, 0)
+                   if compute_intensity else None),
+        n_photons=n_started,
+        n_bad=n_bad,
+        n_steps=n_steps,
+    )
+
+
+class Integrator:
+    """Convenience wrapper: holds (domain, surface, config) and runs batches.
+
+    Role-equivalent of the reference's ``integrator`` object + its
+    new_Integrator/specifyParameters/computeRadiativeTransfer surface
+    (reference: Integrators/monteCarloRadiativeTransfer.f95:121-123).
+    """
+
+    def __init__(self, domain: OpticalDomain, surface: Surface,
+                 config: KernelConfig = KernelConfig(),
+                 intensity_config: Optional[IntensityConfig] = None,
+                 intensity_dirs: Optional[jax.Array] = None):
+        self.domain = domain
+        self.surface = surface
+        self.config = config
+        self.intensity_config = intensity_config
+        self.intensity_dirs = intensity_dirs
+
+    def compute(self, source: illumination.Source, seed: int,
+                batch_index: int = 0, normalize: bool = True) -> Tallies:
+        """Run one batch and (optionally) normalize per column."""
+        key = rng.batch_key(seed, batch_index)
+        t = run_batch(self.domain, self.surface, source, key, self.config,
+                      self.intensity_config, self.intensity_dirs)
+        return t.normalized(self.domain.grid) if normalize else t

@@ -1,0 +1,56 @@
+"""Headline benchmark: photon throughput on the I3RC step cloud (one chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): 1e8 photons/sec/chip on the step cloud.
+
+Timing uses host value fetches -- block_until_ready is unreliable through
+the remote-TPU relay (see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+BASELINE_PHOTONS_PER_SEC = 1e8
+
+
+def main():
+    domain = make_step_cloud(ssa=0.99)
+    surface = Surface.lambertian(0.0)
+    source = illumination.directional(0.5, 0.0)
+    config = KernelConfig(n_lanes=1 << 18, photons_per_lane=32,
+                          max_steps=100_000)
+
+    # Warm up / compile
+    t = run_batch(domain, surface, source, rng.batch_key(0, 0), config)
+    _ = int(t.n_photons)
+
+    n_batches = 3
+    t0 = time.time()
+    total = 0
+    checksum = 0.0
+    for b in range(1, 1 + n_batches):
+        t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
+        total += int(t.n_photons)  # host fetch forces completion
+        checksum += float(jnp.sum(t.flux_up))
+    dt = time.time() - t0
+
+    rate = total / dt
+    print(json.dumps({
+        "metric": "step_cloud_photon_throughput",
+        "value": round(rate, 1),
+        "unit": "photons/sec/chip",
+        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,9 +31,18 @@ INTENSITY_RR = 9
 TINY = jnp.float32(1.1754944e-38)  # smallest normal f32; lower bound for log()
 
 
-def batch_key(seed: int, batch_index) -> jax.Array:
-    """Key for one photon batch. (seed, batch) -> independent stream."""
-    return jax.random.fold_in(jax.random.key(seed), batch_index)
+def batch_key(seed, batch_index) -> jax.Array:
+    """Key for one photon batch. (seed, batch) -> independent stream.
+
+    Works with traced (device-dependent) indices too, so a device's
+    sub-batch stream in a sharded run is identical to the same-numbered
+    batch of a single-device run.
+    """
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(0), seed), batch_index)
+
+
+batch_key_traced = batch_key
 
 
 def step_key(bkey: jax.Array, step, purpose: int) -> jax.Array:

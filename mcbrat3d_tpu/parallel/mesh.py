@@ -1,0 +1,80 @@
+"""Multi-chip execution: photon data-parallelism over a device mesh.
+
+TPU-native replacement for the reference's MPI layer (reference:
+src/multipleProcesses_mpi.f95 + the master-worker scheduler in
+Drivers/monteCarloDriver.f95:665-880). The mapping, per SURVEY.md section 2:
+
+  * photon-batch data parallelism -> ``shard_map`` over an ICI mesh, one
+    transport wave per device, domain replicated (domains are small),
+  * the final ``sumAcrossProcesses`` tally reduce -> a single ``psum``
+    inside the shard_map (rides ICI, replicated result),
+  * the dynamic MPI master-worker work queue -> a *static deterministic
+    schedule*: every (global batch, device) pair is an independent,
+    globally-numbered sub-batch stream, so an N-device run produces
+    bit-identical sums to a 1-device run of N x batches (the modern
+    equivalent of the reference's (iseed, rank) stream reproducibility;
+    reference: Drivers/monteCarloDriver.f95:901).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.domain.domain import OpticalDomain
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport.integrator import KernelConfig, Tallies, run_batch
+from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+
+PHOTON_AXIS = "photons"
+
+
+def make_mesh(devices=None, axis_name: str = PHOTON_AXIS) -> Mesh:
+    """1D photon-DP mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "intensity_config", "mesh"))
+def run_batch_sharded(domain: OpticalDomain,
+                      surface: Surface,
+                      source: illumination.Source,
+                      seed,
+                      global_batch: int,
+                      config: KernelConfig,
+                      mesh: Mesh,
+                      intensity_config: Optional[IntensityConfig] = None,
+                      intensity_dirs: Optional[jax.Array] = None) -> Tallies:
+    """One *global* photon batch across the mesh.
+
+    Each device traces ``config.photons_per_batch`` photons as sub-batch
+    stream ``global_batch * n_devices + device_index``; tallies are psum-ed
+    over ICI and returned replicated. Total photons per call =
+    n_devices * config.photons_per_batch.
+    """
+    n_dev = mesh.devices.size
+
+    def worker(domain, surface, source):
+        d = jax.lax.axis_index(PHOTON_AXIS)
+        key = rng.batch_key_traced(seed, global_batch * n_dev + d)
+        t = run_batch(domain, surface, source, key, config,
+                      intensity_config, intensity_dirs)
+        return jax.tree.map(
+            lambda x: jax.lax.psum(x, PHOTON_AXIS) if x is not None else None,
+            t)
+
+    fn = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P()),  # domain/surface/source replicated
+        out_specs=P(),  # tallies replicated after psum
+        check_vma=False,
+    )
+    return fn(domain, surface, source)

@@ -1,9 +1,70 @@
-"""Command-line entry point (placeholder until the driver layer lands)."""
+"""Command-line driver.
+
+Equivalent of the reference's monteCarloDriver program surface: reads the
+five namelist groups from the file given on the command line and runs the
+simulation (reference: Drivers/monteCarloDriver.f95:103-121,230-238;
+userInterface_Unix.f95:68-78). Subcommands extend the offline tool suite
+(Mie tables, domain generators) as the reference's Tools/ executables do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
 
 
-def main():
-    print("mcbrat3d-tpu: driver CLI not yet implemented")
+def _cmd_run(args) -> int:
+    from mcbrat3d_tpu.driver.config import load_config
+    from mcbrat3d_tpu.driver.simulate import simulate_from_config
+
+    cfg = load_config(args.namelist)
+    results, written = simulate_from_config(cfg)
+    print(json.dumps({
+        "total_photons": results.total_photons,
+        "n_batches": results.n_batches,
+        "mean_flux_up": float(results.mean["mean_flux_up"]),
+        "mean_flux_down": float(results.mean["mean_flux_down"]),
+        "mean_flux_absorbed": float(results.mean["mean_flux_absorbed"]),
+        "elapsed_seconds": round(results.elapsed_seconds, 3),
+        "outputs": written,
+    }))
+    return 0
+
+
+def _cmd_mkdomain(args) -> int:
+    from mcbrat3d_tpu.tools import scene_cli
+    return scene_cli.main(args.scene, args.output, args.params)
+
+
+def _cmd_mie(args) -> int:
+    from mcbrat3d_tpu.tools import mie_table
+    return mie_table.main(args.namelist)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="mcbrat",
+        description="TPU-native broadband Monte Carlo radiative transfer")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run a simulation from a namelist file")
+    p_run.add_argument("namelist")
+    p_run.set_defaults(fn=_cmd_run)
+
+    p_dom = sub.add_parser("mkdomain", help="generate a scene domain file")
+    p_dom.add_argument("scene", help="step_cloud | plane_parallel | ...")
+    p_dom.add_argument("output")
+    p_dom.add_argument("params", nargs="*", help="key=value overrides")
+    p_dom.set_defaults(fn=_cmd_mkdomain)
+
+    p_mie = sub.add_parser("mie", help="build a Mie phase-function table")
+    p_mie.add_argument("namelist")
+    p_mie.set_defaults(fn=_cmd_mie)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -17,16 +17,17 @@ from mcbrat3d_tpu.domain.domain import OpticalComponent, OpticalDomain, build_do
 from mcbrat3d_tpu.physics.phase_function import PhaseFunction, PhaseFunctionTable
 
 
-def make_step_cloud(ssa: float = 1.0,
-                    n_columns: int = 32,
-                    n_layers: int = 32,
-                    domain_size: float = 500.0,
-                    thickness: float = 250.0,
-                    g: float = 0.85,
-                    n_legendre: int = 64,
-                    tau_thin: float = 2.0,
-                    tau_thick: float = 18.0,
-                    **build_kwargs) -> OpticalDomain:
+def step_cloud_scene(ssa: float = 1.0,
+                     n_columns: int = 32,
+                     n_layers: int = 32,
+                     domain_size: float = 500.0,
+                     thickness: float = 250.0,
+                     g: float = 0.85,
+                     n_legendre: int = 64,
+                     tau_thin: float = 2.0,
+                     tau_thick: float = 18.0):
+    """(grid, components, temps) for the step cloud; feed to build_domain
+    for transport or io_netcdf.write_domain for a reference-schema file."""
     grid = Grid.regular(nx=n_columns, ny=1, nz=n_layers,
                         dx=domain_size / n_columns, dy=domain_size,
                         dz=thickness / n_layers)
@@ -43,4 +44,12 @@ def make_step_cloud(ssa: float = 1.0,
         single_scattering_albedo=np.full_like(ext, ssa),
         phase_function_index=np.zeros(ext.shape, np.int32),
         phase_function_table=table)
-    return build_domain(grid, [comp], **build_kwargs)
+    return grid, [comp], None
+
+
+def make_step_cloud(ssa: float = 1.0, **kwargs) -> OpticalDomain:
+    build_kwargs = {k: kwargs.pop(k) for k in list(kwargs)
+                    if k in ("n_cdf_steps", "n_forward_angles",
+                             "compute_intensity_tables", "hybrid_width_deg")}
+    grid, components, temps = step_cloud_scene(ssa=ssa, **kwargs)
+    return build_domain(grid, components, temps=temps, **build_kwargs)

@@ -1,0 +1,172 @@
+"""Broadband (multi-wavelength) simulation driver.
+
+Re-design of the reference's broadband flow (reference:
+Drivers/monteCarloDriver.f95:289-505 setup, :889-1129 worker loop):
+
+  SW: solar spectral CDF (solar_Weighting) -> multinomial photon counts per
+      wavelength bin -> per-bin transport with directional source.
+  LW: per-bin emission weighting (Planck x absorption CDF per voxel) ->
+      spectral flux CDF over bins -> per-bin transport with the
+      atmosphere+surface emission source and LW pre-credits.
+
+The reference's dynamic MPI master-worker assignment of (lambda-bin, count)
+work units becomes a *static deterministic schedule*: the multinomial
+distribution is drawn once (seeded), then bins are processed in order with
+a traced per-batch photon count, so any device/batch layout reproduces the
+same totals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.core.accumulate import MomentAccumulator, kahan_cumsum
+from mcbrat3d_tpu.domain.common import read_common
+from mcbrat3d_tpu.domain.domain import build_domain
+from mcbrat3d_tpu.domain.ssp import components_from_ssp, read_ssp_table
+from mcbrat3d_tpu.driver.config import SimulationConfig
+from mcbrat3d_tpu.driver.run import Results, kernel_config_from
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.spectral import solar as solar_io
+from mcbrat3d_tpu.spectral.weights import (
+    absorption_coefficient,
+    emission_weighting,
+    frequency_distribution,
+    lambda_widths,
+    solar_weighting,
+)
+from mcbrat3d_tpu.transport.integrator import run_batch
+from mcbrat3d_tpu.transport.local_estimate import (
+    IntensityConfig,
+    make_intensity_directions,
+)
+
+import time
+
+
+def _tallies_to_arrays(t):
+    arrays = {
+        "flux_up": np.asarray(t.flux_up),
+        "flux_down": np.asarray(t.flux_down),
+        "flux_absorbed": np.asarray(t.flux_absorbed),
+        "volume_absorption": np.asarray(t.volume_absorption),
+    }
+    arrays["mean_flux_up"] = arrays["flux_up"].mean()
+    arrays["mean_flux_down"] = arrays["flux_down"].mean()
+    arrays["mean_flux_absorbed"] = arrays["flux_absorbed"].mean()
+    arrays["absorption_profile"] = arrays["volume_absorption"].mean(axis=(0, 1))
+    if t.intensity is not None:
+        arrays["intensity"] = np.asarray(t.intensity)
+    return arrays
+
+
+def run_broadband(cfg: SimulationConfig,
+                  common=None, ssp_tables=None) -> Results:
+    t_start = time.time()
+    if common is None:
+        common = read_common(cfg.phys_domain_file)
+    if ssp_tables is None:
+        ssp_tables = [read_ssp_table(f) for f in cfg.ssp_file_names if f]
+    if not ssp_tables:
+        raise ValueError("broadband runs need at least one SSP table")
+    grid = common.grid
+    lambdas = ssp_tables[0].lambdas_um
+    n_lambda = cfg.num_lambda or lambdas.size
+    if n_lambda != lambdas.size:
+        raise ValueError(f"namelist numLambda={n_lambda} but SSP tables have "
+                         f"{lambdas.size} wavelengths")
+    d_lambda = lambda_widths(lambdas)
+
+    srf = None
+    if cfg.instr_response_file:
+        srf = solar_io.read_spectral_response(cfg.instr_response_file, n_lambda)
+
+    # ---------------- spectral CDF ----------------
+    if cfg.is_longwave:
+        # Setup pass: per-lambda total emitted flux (atmosphere + surface)
+        # (reference: Drivers/monteCarloDriver.f95:304-450)
+        fluxes = np.zeros(n_lambda)
+        for li in range(n_lambda):
+            comps, albedo, lam_um = components_from_ssp(
+                common, ssp_tables, li, setup=True, calc_rayleigh=False)
+            kabs = absorption_coefficient(comps, grid)
+            w = emission_weighting(grid, common.temps, kabs,
+                                   cfg.surface_temp, 1.0 - albedo, lam_um,
+                                   d_lambda=d_lambda[li])
+            fluxes[li] = w.total_flux
+        if srf is not None:
+            fluxes = fluxes * srf
+        cdf = kahan_cumsum(fluxes)
+        total_flux = float(cdf[-1])
+        cdf = cdf / total_flux
+    else:
+        lam_file, source = solar_io.read_solar_source(
+            cfg.solar_source_file, n_lambda)
+        cdf, total_flux = solar_weighting(lam_file, source, cfg.solar_mu,
+                                          srf=srf)
+
+    # ---------------- static photon schedule ----------------
+    total_photons = cfg.num_photons_per_batch * cfg.num_batches
+    freq = frequency_distribution(cdf, total_photons, seed=cfg.iseed)
+
+    # ---------------- per-bin transport ----------------
+    kcfg = kernel_config_from(cfg)
+    icfg = idirs = None
+    if cfg.compute_intensity:
+        mus, phis = cfg.radiance_directions()
+        idirs = make_intensity_directions(mus, phis)
+        icfg = IntensityConfig(
+            n_dirs=int(mus.size),
+            use_russian_roulette=cfg.use_russian_roulette_intensity,
+            zeta_min=cfg.zeta_min,
+            use_hybrid_phase=cfg.use_hybrid_phase_funs,
+            n_orders_orig_phase=cfg.num_orders_orig_phase)
+
+    acc = MomentAccumulator()
+    global_batch = 0
+    for li in range(n_lambda):
+        if freq[li] <= 0:
+            continue
+        comps, albedo, lam_um = components_from_ssp(
+            common, ssp_tables, li, setup=False,
+            calc_rayleigh=cfg.calc_rayleigh)
+        domain = build_domain(
+            grid, comps, n_cdf_steps=cfg.n_phase_intervals,
+            compute_intensity_tables=cfg.compute_intensity,
+            hybrid_width_deg=(cfg.hybrid_phase_fun_width
+                              if cfg.use_hybrid_phase_funs else 0.0),
+            temps=common.temps, lambda_um=lam_um)
+        surface = Surface.lambertian(albedo, temperature=cfg.surface_temp,
+                                     emissivity=1.0 - albedo)
+        if cfg.is_longwave:
+            kabs = absorption_coefficient(comps, grid)
+            w = emission_weighting(grid, common.temps, kabs,
+                                   cfg.surface_temp, 1.0 - albedo, lam_um)
+            source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                           grid.shape)
+        else:
+            source = illumination.directional(cfg.solar_mu, cfg.solar_azimuth)
+
+        remaining = int(freq[li])
+        while remaining > 0:
+            n = min(remaining, kcfg.photons_per_batch)
+            t = run_batch(domain, surface, source,
+                          rng.batch_key(cfg.iseed, global_batch), kcfg,
+                          icfg, idirs, n_photons=n)
+            t = t.normalized(grid)
+            got = int(t.n_photons)
+            acc.add(float(got), _tallies_to_arrays(t))
+            remaining -= n
+            global_batch += 1
+
+    mean = {k: total_flux * acc.mean(k) for k in acc._sum_wx}
+    stderr = {k: total_flux * acc.stderr(k) for k in acc._sum_wx}
+    res = Results(mean=mean, stderr=stderr,
+                  total_photons=int(acc.total_weight),
+                  n_batches=acc.n_batches,
+                  solar_flux=total_flux,
+                  elapsed_seconds=time.time() - t_start,
+                  config=cfg, grid=grid)
+    return res

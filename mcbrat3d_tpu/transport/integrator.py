@@ -204,11 +204,15 @@ def run_batch(domain: OpticalDomain,
               key: jax.Array,
               config: KernelConfig,
               intensity_config: Optional[IntensityConfig] = None,
-              intensity_dirs: Optional[jax.Array] = None) -> Tallies:
+              intensity_dirs: Optional[jax.Array] = None,
+              n_photons: Optional[jax.Array] = None) -> Tallies:
     """Trace one batch of photons; return unnormalized tallies.
 
     ``key`` identifies the batch (seed x batch index); results are
     deterministic in (key, config) and independent of device placement.
+    ``n_photons`` (traced) overrides config.photons_per_batch so spectral
+    bins with uneven photon counts reuse one compiled kernel; it must be
+    <= config.photons_per_batch.
     """
     cfg = config
     grid = domain.grid
@@ -242,12 +246,20 @@ def run_batch(domain: OpticalDomain,
     f32 = jnp.float32
     zeros = jnp.zeros((N,), f32)
 
+    if n_photons is None:
+        quota0 = jnp.full((N,), cfg.photons_per_lane, jnp.int32)
+    else:
+        n_photons = jnp.minimum(jnp.asarray(n_photons, jnp.int32),
+                                cfg.photons_per_batch)
+        lane = jnp.arange(N, dtype=jnp.int32)
+        quota0 = (n_photons // N) + (lane < (n_photons % N)).astype(jnp.int32)
+
     state0 = dict(
         x=zeros, y=zeros, z=zeros,
         ux=zeros, uy=zeros, uz=jnp.ones((N,), f32),
         w=zeros,
         alive=jnp.zeros((N,), bool),
-        quota=jnp.full((N,), cfg.photons_per_lane, jnp.int32),
+        quota=quota0,
     )
     flux0 = jnp.zeros((3 * nxy,), f32)
     vol0 = jnp.zeros((nxyz,), f32)

@@ -1,0 +1,308 @@
+"""Spectral layer tests: weights, emission CDF, SSP tables, broadband runs."""
+
+import numpy as np
+import pytest
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.core.grid import Grid
+from mcbrat3d_tpu.core.planck import planck_radiance
+from mcbrat3d_tpu.domain.common import CommonDomain, write_common, read_common
+from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+from mcbrat3d_tpu.domain.ssp import (
+    SSPComponent,
+    SSPTable,
+    components_from_ssp,
+    read_ssp_table,
+    write_ssp_table,
+)
+from mcbrat3d_tpu.physics.phase_function import PhaseFunction, PhaseFunctionTable
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.spectral.weights import (
+    absorption_coefficient,
+    emission_weighting,
+    frequency_distribution,
+    lambda_widths,
+    solar_weighting,
+)
+from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+C = 2.99792458e8
+
+
+class TestWeights:
+    def test_lambda_widths(self):
+        lam = np.array([1.0, 2.0, 4.0, 5.0])
+        np.testing.assert_allclose(lambda_widths(lam), [1.0, 1.5, 1.5, 1.0])
+
+    def test_solar_weighting_uniform(self):
+        lam = np.linspace(0.4, 0.7, 31)
+        src = np.ones(31)
+        cdf, total = solar_weighting(lam, src, solar_mu=0.5)
+        assert cdf[-1] == pytest.approx(1.0)
+        # endpoint bins get the full adjacent gap (reference convention),
+        # so the integral is span + dLambda = 0.31
+        assert total == pytest.approx(0.5 * 0.31, rel=1e-6)
+        assert np.all(np.diff(cdf) >= 0)
+
+    def test_frequency_distribution(self):
+        cdf = np.array([0.25, 0.75, 1.0])
+        freq = frequency_distribution(cdf, 100000, seed=0)
+        assert freq.sum() == 100000
+        np.testing.assert_allclose(freq / 1e5, [0.25, 0.5, 0.25], atol=0.01)
+        np.testing.assert_array_equal(
+            freq, frequency_distribution(cdf, 100000, seed=0))
+
+
+def uniform_absorbing_components(grid, kabs, temp_field=None):
+    nx, ny, nz = grid.shape
+    ext = np.full((nx, ny, nz), kabs)
+    table = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+    return [OpticalComponent(
+        name="gray gas", extinction=ext,
+        single_scattering_albedo=np.zeros_like(ext),
+        phase_function_index=np.zeros(ext.shape, np.int32),
+        phase_function_table=table)]
+
+
+class TestEmissionWeighting:
+    def test_voxel_cdf_and_split(self):
+        grid = Grid.regular(2, 2, 4, 1.0, 1.0, 0.5)
+        temps = np.full((2, 2, 4), 288.0)
+        comps = uniform_absorbing_components(grid, kabs=2.0)
+        kabs = absorption_coefficient(comps, grid)
+        np.testing.assert_allclose(kabs, 2.0)
+        w = emission_weighting(grid, temps, kabs, surface_temp=288.0,
+                               surface_emissivity=1.0, lambda_um=10.0)
+        assert w.voxel_cdf[-1] == pytest.approx(1.0)
+        assert np.all(np.diff(w.voxel_cdf) >= -1e-12)
+        # uniform medium: CDF is linear in flat index
+        n = w.voxel_cdf.size
+        np.testing.assert_allclose(w.voxel_cdf,
+                                   np.arange(1, n + 1) / n, rtol=1e-9)
+        # analytic power split: atm = 4 pi B kappa H, sfc = pi B
+        b = planck_radiance(10.0, 288.0)
+        expect_frac = (4 * 2.0 * 2.0) / (4 * 2.0 * 2.0 + 1.0)
+        assert w.frac_atms_power == pytest.approx(expect_frac, rel=1e-6)
+        assert w.flux == pytest.approx(np.pi * b * (1 + 16.0), rel=1e-6)
+
+    def test_cold_surface_all_atmospheric(self):
+        grid = Grid.regular(2, 2, 2, 1.0, 1.0, 1.0)
+        temps = np.full((2, 2, 2), 250.0)
+        kabs = np.full((2, 2, 2), 1.0)
+        w = emission_weighting(grid, temps, kabs, surface_temp=0.0,
+                               surface_emissivity=1.0, lambda_um=11.0)
+        assert w.frac_atms_power == pytest.approx(1.0)
+
+
+class TestLWTransport:
+    def test_isothermal_blackbody_toa_flux(self):
+        """Optically thick isothermal atmosphere + black surface at the same
+        temperature: TOA upward flux must equal pi * B_lambda(T)."""
+        T = 288.0
+        lam = 10.0
+        grid = Grid.regular(4, 4, 8, 0.25, 0.25, 0.25)
+        temps = np.full((4, 4, 8), T)
+        kabs_val = 6.0  # tau_abs = 12: effectively black
+        comps = uniform_absorbing_components(grid, kabs=kabs_val)
+        domain = build_domain(grid, comps, n_cdf_steps=101, temps=temps)
+        kabs = absorption_coefficient(comps, grid)
+        w = emission_weighting(grid, temps, kabs, surface_temp=T,
+                               surface_emissivity=1.0, lambda_um=lam)
+        source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                       grid.shape)
+        cfg = KernelConfig(n_lanes=1 << 14, photons_per_lane=16,
+                           max_steps=4000, lw_mode=True)
+        t = run_batch(domain, Surface.lambertian(0.0), source,
+                      rng.batch_key(0, 0), cfg)
+        n = int(t.n_photons)
+        up = float(np.sum(np.asarray(t.flux_up))) / n
+        toa = up * w.flux
+        expect = np.pi * planck_radiance(lam, T)
+        # escape fraction is ~1/(1+4*tau), so relative MC noise is larger
+        sigma = expect * np.sqrt(1.0 / (up * n))
+        assert abs(toa - expect) < 4 * sigma + 0.01 * expect
+
+    def test_lw_precredit_balances_isothermal(self):
+        """In radiative equilibrium the net heating (absorbed - emitted,
+        which the LW pre-credits encode) must vanish within noise."""
+        T = 288.0
+        grid = Grid.regular(2, 2, 4, 1.0, 1.0, 0.5)
+        temps = np.full((2, 2, 4), T)
+        comps = uniform_absorbing_components(grid, kabs=3.0)
+        domain = build_domain(grid, comps, n_cdf_steps=101, temps=temps)
+        kabs = absorption_coefficient(comps, grid)
+        w = emission_weighting(grid, temps, kabs, surface_temp=T,
+                               surface_emissivity=1.0, lambda_um=10.0)
+        source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                       grid.shape)
+        cfg = KernelConfig(n_lanes=1 << 14, photons_per_lane=16,
+                           max_steps=4000, lw_mode=True)
+        t = run_batch(domain, Surface.lambertian(0.0), source,
+                      rng.batch_key(1, 0), cfg)
+        n = int(t.n_photons)
+        net = float(np.sum(np.asarray(t.volume_absorption))) / n
+        # net absorbed-minus-emitted per photon should be ~ -escape fraction
+        # of atmospheric photons; just require it is small and negative
+        assert -0.2 < net < 0.005
+
+
+class TestSSP:
+    def _make_table(self):
+        freq = C * 1e6 / np.array([0.5, 0.6])  # lambda = 0.5, 0.6 um
+        g = [0.8, 0.7]
+        coeffs = []
+        starts = np.zeros((2, 2))
+        lengths = np.zeros((2, 2))
+        cmat = np.zeros((16, 2))
+        for li in range(2):
+            pos = 1
+            for e in range(2):
+                c = (g[e] + 0.05 * li) ** np.arange(1, 9)
+                starts[e, li] = pos
+                lengths[e, li] = 8
+                cmat[pos - 1:pos + 7, li] = c
+                pos += 8
+        comp = SSPComponent(
+            name="cloud water", ext_type="volExt",
+            key=np.array([5.0, 15.0]),
+            extinction=np.array([[3.0, 3.5], [1.5, 1.8]]),
+            ssa=np.array([[0.99, 0.98], [0.97, 0.96]]),
+            legendre_start=starts, legendre_length=lengths,
+            legendre_coeffs=cmat)
+        return SSPTable(freq_hz=freq, surface_albedo=np.array([0.1, 0.2]),
+                        components=[comp])
+
+    def test_roundtrip(self, tmp_path):
+        tbl = self._make_table()
+        path = str(tmp_path / "ssp.nc")
+        write_ssp_table(path, tbl)
+        back = read_ssp_table(path)
+        np.testing.assert_allclose(back.lambdas_um, [0.5, 0.6], rtol=1e-9)
+        np.testing.assert_allclose(back.surface_albedo, [0.1, 0.2])
+        c = back.components[0]
+        assert c.ext_type == "volExt"
+        np.testing.assert_allclose(c.extinction, tbl.components[0].extinction)
+        np.testing.assert_allclose(c.legendre_coeffs,
+                                   tbl.components[0].legendre_coeffs,
+                                   rtol=1e-6)
+
+    def test_components_from_ssp_interpolation(self):
+        tbl = self._make_table()
+        grid = Grid.regular(2, 1, 2, 1.0, 1.0, 0.5)
+        mass = np.full((1, 2, 1, 2), 0.5)
+        reff = np.full((1, 2, 1, 2), 10.0)  # halfway between keys 5 and 15
+        common = CommonDomain(grid=grid, temps=np.full((2, 1, 2), 280.0),
+                              mass_conc=mass, reff=reff)
+        comps, albedo, lam = components_from_ssp(common, [tbl], 0,
+                                                 calc_rayleigh=False)
+        assert lam == pytest.approx(0.5, rel=1e-9)
+        assert albedo == pytest.approx(0.1)
+        c = comps[0]
+        # f = 0.5: ext = 0.5*(3.0+1.5)*mass
+        np.testing.assert_allclose(c.extinction, 0.5 * (3.0 + 1.5) * 0.5,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(c.single_scattering_albedo,
+                                   0.5 * (0.99 + 0.97), rtol=1e-6)
+        # f = 0.5 -> nearest phase function rounds up to entry 1
+        assert np.all(c.phase_function_index == 1)
+
+    def test_reff_out_of_range_raises(self):
+        tbl = self._make_table()
+        grid = Grid.regular(1, 1, 1, 1.0, 1.0, 1.0)
+        common = CommonDomain(grid=grid, temps=np.full((1, 1, 1), 280.0),
+                              mass_conc=np.full((1, 1, 1, 1), 0.5),
+                              reff=np.full((1, 1, 1, 1), 99.0))
+        with pytest.raises(ValueError, match="effective radius"):
+            components_from_ssp(common, [tbl], 0, calc_rayleigh=False)
+
+
+class TestCommonDomainIO:
+    def test_roundtrip(self, tmp_path):
+        grid = Grid.regular(2, 2, 3, 1.0, 1.0, 0.5)
+        temps = 280.0 + np.arange(12).reshape(2, 2, 3)
+        rho = np.full((2, 2, 3), 1.1)
+        mass = np.random.RandomState(0).rand(1, 2, 2, 3)
+        reff = 5.0 + 10 * np.random.RandomState(1).rand(1, 2, 2, 3)
+        common = CommonDomain(grid=grid, temps=temps, rho=rho,
+                              mass_conc=mass, reff=reff)
+        path = str(tmp_path / "common.nc")
+        pressure = np.array([900.0, 800.0, 700.0])
+        write_common(path, common, pressure_hpa=pressure)
+        back = read_common(path)
+        np.testing.assert_allclose(back.temps, temps)
+        np.testing.assert_allclose(back.mass_conc, mass, rtol=1e-12)
+        np.testing.assert_allclose(back.reff, reff, rtol=1e-12)
+        # numConc from ideal gas
+        assert back.num_conc is not None
+        expect = (900.0 * 100 * 6.02214076e23) / (8.31446261815324 * temps[0, 0, 0])
+        assert back.num_conc[0, 0, 0] == pytest.approx(expect, rel=1e-9)
+
+
+class TestBroadbandEndToEnd:
+    def test_sw_broadband_conserves(self, tmp_path):
+        """Two-wavelength SW broadband run over a scattering slab: with a
+        black surface, up+down per photon == 1, so scaled fluxes sum to the
+        spectrally integrated incident flux."""
+        from mcbrat3d_tpu.driver.config import SimulationConfig
+        from mcbrat3d_tpu.spectral import solar as solar_io
+        from mcbrat3d_tpu.spectral.broadband import run_broadband
+
+        tbl = TestSSP._make_table(self)
+        tbl.surface_albedo = np.array([0.0, 0.0])
+        ssp_path = str(tmp_path / "ssp.nc")
+        write_ssp_table(ssp_path, tbl)
+
+        grid = Grid.regular(2, 2, 2, 1.0, 1.0, 0.5)
+        common = CommonDomain(
+            grid=grid, temps=np.full((2, 2, 2), 280.0),
+            mass_conc=np.full((1, 2, 2, 2), 0.4),
+            reff=np.full((1, 2, 2, 2), 10.0))
+        common_path = str(tmp_path / "common.nc")
+        write_common(common_path, common)
+
+        solar_path = str(tmp_path / "solar.nc")
+        solar_io.write_solar_source(solar_path, [0.5, 0.6], [100.0, 80.0])
+
+        cfg = SimulationConfig(
+            solar_mu=0.6, num_lambda=2, lw_flag=-1.0, calc_rayleigh=False,
+            num_photons_per_batch=1 << 13, num_batches=4, iseed=3,
+            n_phase_intervals=501, n_lanes=1 << 11, max_steps=3000,
+            phys_domain_file=common_path, ssp_file_names=[ssp_path],
+            solar_source_file=solar_path)
+        res = run_broadband(cfg)
+        assert res.total_photons == 4 * (1 << 13)
+        # expected incident flux: mu0 * integral S dLambda (uniform widths .1)
+        expect_flux = 0.6 * (100.0 + 80.0) * 0.1
+        assert res.solar_flux == pytest.approx(expect_flux, rel=1e-6)
+        total = (res.mean["mean_flux_up"] + res.mean["mean_flux_down"]
+                 + res.mean["mean_flux_absorbed"])
+        assert total == pytest.approx(expect_flux, rel=1e-3)
+
+    def test_lw_broadband_runs(self, tmp_path):
+        from mcbrat3d_tpu.driver.config import SimulationConfig
+        from mcbrat3d_tpu.spectral.broadband import run_broadband
+
+        tbl = TestSSP._make_table(self)
+        tbl.surface_albedo = np.array([0.0, 0.0])
+        ssp_path = str(tmp_path / "ssp.nc")
+        write_ssp_table(ssp_path, tbl)
+
+        grid = Grid.regular(2, 2, 2, 1.0, 1.0, 0.5)
+        common = CommonDomain(
+            grid=grid, temps=np.full((2, 2, 2), 288.0),
+            mass_conc=np.full((1, 2, 2, 2), 0.4),
+            reff=np.full((1, 2, 2, 2), 10.0))
+        common_path = str(tmp_path / "common.nc")
+        write_common(common_path, common)
+
+        cfg = SimulationConfig(
+            num_lambda=2, lw_flag=1.0, surface_temp=288.0,
+            calc_rayleigh=False,
+            num_photons_per_batch=1 << 12, num_batches=2, iseed=5,
+            n_phase_intervals=501, n_lanes=1 << 10, max_steps=3000,
+            phys_domain_file=common_path, ssp_file_names=[ssp_path])
+        res = run_broadband(cfg)
+        assert res.total_photons == 2 * (1 << 12)
+        assert res.solar_flux > 0  # total emitted flux
+        assert res.mean["mean_flux_up"] > 0

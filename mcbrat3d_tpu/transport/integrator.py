@@ -51,6 +51,7 @@ from mcbrat3d_tpu.core.grid import Grid
 from mcbrat3d_tpu.domain.domain import OpticalDomain
 from mcbrat3d_tpu.physics.surface import Surface
 from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport import dda
 from mcbrat3d_tpu.transport.tally import make_accumulator
 from mcbrat3d_tpu.transport.local_estimate import (
     IntensityConfig,
@@ -264,15 +265,16 @@ def run_batch(domain: OpticalDomain,
     flux0 = jnp.zeros((3 * nxy,), f32)
     vol0 = jnp.zeros((nxyz,), f32)
     intensity0 = jnp.zeros((max(n_dirs, 1) * nxy,), f32)
-    carry0 = (state0, flux0, vol0, intensity0, jnp.int32(0), jnp.int32(0))
+    carry0 = (state0, flux0, vol0, intensity0, jnp.int32(0), jnp.int32(0),
+              jnp.int32(0))
 
     def cond(carry):
-        state, _, _, _, step, _ = carry
+        state, _, _, _, step, _, _ = carry
         work = jnp.any(state["alive"] | (state["quota"] > 0))
         return work & (step < cfg.max_steps)
 
     def body(carry):
-        state, flux, vol, intensity, step, n_started = carry
+        state, flux, vol, intensity, step, n_started, n_bad_acc = carry
         x, y, z = state["x"], state["y"], state["z"]
         ux, uy, uz = state["ux"], state["uy"], state["uz"]
         w = state["w"]
@@ -315,42 +317,69 @@ def run_batch(domain: OpticalDomain,
             flux = flux_add(flux, jnp.where(atm_emit, 2 * nxy + ecol, 0), e_val)
             vol = vol_add(vol, jnp.where(atm_emit, ecol * nz + eiz, 0), e_val)
 
-        # ---------------- one Woodcock step for all alive lanes -------------
+        # ---------------- one transport step for all alive lanes ------------
         tau = rng.exponential_deviate(k(rng.TAU), (N,))
-        d = tau * inv_beta_max
-        zn = z + uz * d
+        if cfg.use_ray_tracing:
+            # DDA ray tracing: march voxel-by-voxel until tau is accumulated
+            # or a z boundary is hit (reference's first free-path mode;
+            # reference: Integrators/monteCarloRadiativeTransfer.f95:555-563)
+            r = dda.trace(domain, x, y, z, ux, uy, uz, alive, tau_stop=tau,
+                          max_crossings=cfg.max_dda_crossings)
+            bad = alive & (r["tau"] < 0)
+            n_bad_acc = n_bad_acc + jnp.sum(bad, dtype=jnp.int32)
+            exit_top = alive & r["exit_top"]
+            exit_bot = alive & r["exit_bot"]
+            collide = alive & r["stopped"] & ~bad
+            xe = r["x"]
+            ye = r["y"]
+            col_e = r["ix"] * ny + r["iy"]
+            xc = r["x"]
+            yc = r["y"]
+            zc = jnp.clip(r["z"], z0, z_max)
+            ix = r["ix"]
+            iy = r["iy"]
+            iz = grid.locate_z(zc)
+            col_c = ix * ny + iy
+            cell = col_c * nz + iz
+            rec = records[cell]
+            real = collide  # ray tracing: every stop is a physical collision
+            alive = alive & ~bad
+        else:
+            # Maximum cross-section (Woodcock): one fused jump + null test
+            d = tau * inv_beta_max
+            zn = z + uz * d
 
-        exit_top = alive & (zn >= z_max)
-        exit_bot = alive & ~exit_top & (zn <= z0)
-        collide = alive & ~exit_top & ~exit_bot
+            exit_top = alive & (zn >= z_max)
+            exit_bot = alive & ~exit_top & (zn <= z0)
+            collide = alive & ~exit_top & ~exit_bot
 
-        # Boundary-crossing point for exiting photons (backtrack along the
-        # ray to the z boundary; reference:
-        # Integrators/monteCarloRadiativeTransfer.f95:578-585,624-631)
-        z_b = jnp.where(exit_top, z_max, z0)
-        safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
-        t_b = (z_b - z) / safe_uz
-        xe = grid.wrap_x(x + ux * t_b)
-        ye = grid.wrap_y(y + uy * t_b)
-        ixe = grid.locate_x(xe)
-        iye = grid.locate_y(ye)
-        col_e = ixe * ny + iye
+            # Boundary-crossing point for exiting photons (backtrack along
+            # the ray to the z boundary; reference:
+            # Integrators/monteCarloRadiativeTransfer.f95:578-585,624-631)
+            z_b = jnp.where(exit_top, z_max, z0)
+            safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
+            t_b = (z_b - z) / safe_uz
+            xe = grid.wrap_x(x + ux * t_b)
+            ye = grid.wrap_y(y + uy * t_b)
+            ixe = grid.locate_x(xe)
+            iye = grid.locate_y(ye)
+            col_e = ixe * ny + iye
 
-        # Collision cell
-        xc = grid.wrap_x(x + ux * d)
-        yc = grid.wrap_y(y + uy * d)
-        zc = jnp.clip(zn, z0, z_max)
-        ix = grid.locate_x(xc)
-        iy = grid.locate_y(yc)
-        iz = grid.locate_z(zc)
-        col_c = ix * ny + iy
-        cell = col_c * nz + iz
+            # Collision cell
+            xc = grid.wrap_x(x + ux * d)
+            yc = grid.wrap_y(y + uy * d)
+            zc = jnp.clip(zn, z0, z_max)
+            ix = grid.locate_x(xc)
+            iy = grid.locate_y(yc)
+            iz = grid.locate_z(zc)
+            col_c = ix * ny + iy
+            cell = col_c * nz + iz
 
-        # ---- single packed record gather: everything the collision needs --
-        rec = records[cell]  # [N, 1 + 4*ncomp]
-        beta = rec[:, 0]
-        u_col = rng.uniform(k(rng.COLLISION), (N,))
-        real = collide & (u_col * beta_max < beta)
+            # -- single packed record gather: everything a collision needs --
+            rec = records[cell]  # [N, 1 + 4*ncomp]
+            beta = rec[:, 0]
+            u_col = rng.uniform(k(rng.COLLISION), (N,))
+            real = collide & (u_col * beta_max < beta)
 
         # -------- component selection + absorption at real collisions -------
         if ncomp == 1:
@@ -460,11 +489,12 @@ def run_batch(domain: OpticalDomain,
 
         new_state = dict(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w,
                          alive=alive, quota=quota)
-        return (new_state, flux, vol, intensity, step + 1, n_started)
+        return (new_state, flux, vol, intensity, step + 1, n_started,
+                n_bad_acc)
 
-    state_f, flux_f, vol_f, intensity_f, n_steps, n_started = (
+    state_f, flux_f, vol_f, intensity_f, n_steps, n_started, n_bad_dda = (
         jax.lax.while_loop(cond, body, carry0))
-    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32) + n_bad_dda
 
     return Tallies(
         flux_up=flux_f[:nxy].reshape(nx, ny),

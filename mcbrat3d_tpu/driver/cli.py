@@ -42,6 +42,11 @@ def _cmd_mie(args) -> int:
     return mie_table.main(args.namelist)
 
 
+def _cmd_mkssp(args) -> int:
+    from mcbrat3d_tpu.tools import ssp_create
+    return ssp_create.main(args.namelist)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="mcbrat",
@@ -61,6 +66,11 @@ def main(argv=None) -> int:
     p_mie = sub.add_parser("mie", help="build a Mie phase-function table")
     p_mie.add_argument("namelist")
     p_mie.set_defaults(fn=_cmd_mie)
+
+    p_ssp = sub.add_parser("mkssp",
+                           help="build a multi-wavelength SSP table")
+    p_ssp.add_argument("namelist")
+    p_ssp.set_defaults(fn=_cmd_mkssp)
 
     args = ap.parse_args(argv)
     return args.fn(args)

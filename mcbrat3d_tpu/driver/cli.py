@@ -47,6 +47,32 @@ def _cmd_mkssp(args) -> int:
     return ssp_create.main(args.namelist)
 
 
+def _cmd_physprops(args) -> int:
+    from mcbrat3d_tpu.driver.config import parse_namelist
+    from mcbrat3d_tpu.tools import physical_to_domain
+
+    with open(args.namelist) as f:
+        groups = parse_namelist(f.read())
+    nml = {}
+    for g in groups.values():
+        nml.update(g)
+    scat = nml.get("scattablefiles", [])
+    if isinstance(scat, dict):
+        scat = [scat[k] for k in sorted(scat)]
+    if isinstance(scat, str):
+        scat = [scat]
+    physical_to_domain.convert(
+        particle_file=nml["particlefilename"],
+        scat_table_files=scat,
+        output_file=nml.get("outputfilename", "domain.dom"),
+        molec_abs_file=nml.get("molecabsfilename", ""),
+        rayleigh_wavelen=nml.get("rayleighwavelength", 0.0),
+        drop_num_conc=nml.get("dropnumconc", 100.0),
+    )
+    print(f"wrote {nml.get('outputfilename', 'domain.dom')}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="mcbrat",
@@ -71,6 +97,12 @@ def main(argv=None) -> int:
                            help="build a multi-wavelength SSP table")
     p_ssp.add_argument("namelist")
     p_ssp.set_defaults(fn=_cmd_mkssp)
+
+    p_pp = sub.add_parser(
+        "physprops",
+        help="convert ASCII physical particle properties to a domain file")
+    p_pp.add_argument("namelist")
+    p_pp.set_defaults(fn=_cmd_physprops)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -46,6 +46,42 @@ def _plane_parallel(**kw):
     return plane_parallel_scene(**kw)
 
 
+@_register("step_cloud_2tau")
+def _step_cloud_2tau(**kw):
+    from mcbrat3d_tpu.scenes.collection import step_cloud_2tau_scene
+    return step_cloud_2tau_scene(**kw)
+
+
+@_register("cubic")
+def _cubic(**kw):
+    from mcbrat3d_tpu.scenes.collection import cubic_cloud_scene
+    return cubic_cloud_scene(**kw)
+
+
+@_register("homog_bb")
+def _homog_bb(**kw):
+    from mcbrat3d_tpu.scenes.collection import homog_bb_scene
+    return homog_bb_scene(**kw)
+
+
+@_register("inhomog_bb")
+def _inhomog_bb(**kw):
+    from mcbrat3d_tpu.scenes.collection import inhomog_bb_scene
+    return inhomog_bb_scene(**kw)
+
+
+@_register("landsat")
+def _landsat(**kw):
+    from mcbrat3d_tpu.scenes.collection import landsat_cloud_scene
+    return landsat_cloud_scene(**kw)
+
+
+@_register("radar")
+def _radar(**kw):
+    from mcbrat3d_tpu.scenes.collection import radar_cloud_scene
+    return radar_cloud_scene(**kw)
+
+
 def main(scene: str, output: str, params=None) -> int:
     if scene not in SCENES:
         print(f"unknown scene {scene!r}; available: {sorted(SCENES)}")

@@ -93,6 +93,8 @@ def run_simulation(domain: OpticalDomain,
             zeta_min=cfg.zeta_min,
             use_hybrid_phase=cfg.use_hybrid_phase_funs,
             n_orders_orig_phase=cfg.num_orders_orig_phase,
+            limit_contributions=cfg.limit_intensity_contributions,
+            max_contribution=cfg.max_intensity_contribution,
         )
 
     acc = accumulator if accumulator is not None else MomentAccumulator()

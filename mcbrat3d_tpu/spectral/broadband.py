@@ -122,7 +122,9 @@ def run_broadband(cfg: SimulationConfig,
             use_russian_roulette=cfg.use_russian_roulette_intensity,
             zeta_min=cfg.zeta_min,
             use_hybrid_phase=cfg.use_hybrid_phase_funs,
-            n_orders_orig_phase=cfg.num_orders_orig_phase)
+            n_orders_orig_phase=cfg.num_orders_orig_phase,
+            limit_contributions=cfg.limit_intensity_contributions,
+            max_contribution=cfg.max_intensity_contribution)
 
     acc = MomentAccumulator()
     global_batch = 0

@@ -56,6 +56,7 @@ from mcbrat3d_tpu.transport.tally import make_accumulator
 from mcbrat3d_tpu.transport.local_estimate import (
     IntensityConfig,
     accumulate_local_estimate,
+    redistribute_excess,
 )
 
 _W_TINY = np.float32(1e-30)  # photon-weight cutoff (reference uses tiny(real))
@@ -265,16 +266,25 @@ def run_batch(domain: OpticalDomain,
     flux0 = jnp.zeros((3 * nxy,), f32)
     vol0 = jnp.zeros((nxyz,), f32)
     intensity0 = jnp.zeros((max(n_dirs, 1) * nxy,), f32)
-    carry0 = (state0, flux0, vol0, intensity0, jnp.int32(0), jnp.int32(0),
-              jnp.int32(0))
+    limit_intensity = compute_intensity and intensity_config.limit_contributions
+    if limit_intensity:
+        ibc0 = jnp.zeros(((ncomp + 1) * n_dirs * nxy,), f32)
+        excess0 = jnp.zeros((n_dirs, ncomp + 1), f32)
+    else:
+        ibc0 = jnp.zeros((1,), f32)
+        excess0 = jnp.zeros((1, 1), f32)
+    carry0 = (state0, flux0, vol0, intensity0, ibc0, excess0,
+              jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     def cond(carry):
-        state, _, _, _, step, _, _ = carry
+        state = carry[0]
+        step = carry[6]
         work = jnp.any(state["alive"] | (state["quota"] > 0))
         return work & (step < cfg.max_steps)
 
     def body(carry):
-        state, flux, vol, intensity, step, n_started, n_bad_acc = carry
+        (state, flux, vol, intensity, ibc, excess, step, n_started,
+         n_bad_acc) = carry
         x, y, z = state["x"], state["y"], state["z"]
         ux, uy, uz = state["ux"], state["uy"], state["uz"]
         w = state["w"]
@@ -405,11 +415,12 @@ def run_batch(domain: OpticalDomain,
         if compute_intensity:
             # Scattering-event contribution with the post-absorption weight
             # (reference: Integrators/monteCarloRadiativeTransfer.f95:776-790)
-            intensity = accumulate_local_estimate(
+            intensity, ibc, excess = accumulate_local_estimate(
                 intensity, domain, intensity_dirs, intensity_config,
                 mask=real, weight=w, x=xc, y=yc, z=zc,
                 ux=ux, uy=uy, uz=uz, cell=cell, comp=comp,
-                kind="scatter", key=k(rng.INTENSITY_RR))
+                kind="scatter", key=k(rng.INTENSITY_RR),
+                by_component=ibc, excess=excess)
 
         # ---------------- Russian roulette ---------------------------------
         if cfg.use_russian_roulette:
@@ -465,11 +476,12 @@ def run_batch(domain: OpticalDomain,
             # Surface-reflection contribution (component 0, normalized
             # phase function 1/pi; reference:
             # Integrators/monteCarloRadiativeTransfer.f95:680-702,1688-1694)
-            intensity = accumulate_local_estimate(
+            intensity, ibc, excess = accumulate_local_estimate(
                 intensity, domain, intensity_dirs, intensity_config,
                 mask=reflected, weight=w, x=x, y=y, z=z,
                 ux=ux, uy=uy, uz=uz, cell=col_e * nz, comp=None,
-                kind="surface", key=k(rng.INTENSITY_RR))
+                kind="surface", key=k(rng.INTENSITY_RR),
+                by_component=ibc, excess=excess)
 
         alive = alive & ~exit_top & ~died_weight & ~died_surface
 
@@ -489,12 +501,18 @@ def run_batch(domain: OpticalDomain,
 
         new_state = dict(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w,
                          alive=alive, quota=quota)
-        return (new_state, flux, vol, intensity, step + 1, n_started,
-                n_bad_acc)
+        return (new_state, flux, vol, intensity, ibc, excess, step + 1,
+                n_started, n_bad_acc)
 
-    state_f, flux_f, vol_f, intensity_f, n_steps, n_started, n_bad_dda = (
-        jax.lax.while_loop(cond, body, carry0))
+    (state_f, flux_f, vol_f, intensity_f, ibc_f, excess_f, n_steps,
+     n_started, n_bad_dda) = jax.lax.while_loop(cond, body, carry0)
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32) + n_bad_dda
+
+    if limit_intensity:
+        # Redistribute capped excess across the image (reference:
+        # Integrators/monteCarloRadiativeTransfer.f95:294-322)
+        intensity_f = redistribute_excess(intensity_f, ibc_f, excess_f,
+                                          n_dirs, nxy)
 
     return Tallies(
         flux_up=flux_f[:nxy].reshape(nx, ny),

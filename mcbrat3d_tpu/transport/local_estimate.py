@@ -38,6 +38,14 @@ class IntensityConfig:
     zeta_min: float = 0.3  # Iwabuchi zetaMin
     use_hybrid_phase: bool = True
     n_orders_orig_phase: int = 0  # use original phase funcs for first k orders
+    # Contribution capping: large local-estimate spikes are clipped at
+    # max_contribution and the clipped excess is redistributed across the
+    # image after the batch, proportionally to each (direction, component)'s
+    # accumulated intensity (reference:
+    # Integrators/monteCarloRadiativeTransfer.f95:1815-1826 capping,
+    # :294-322 redistribution).
+    limit_contributions: bool = False
+    max_contribution: float = 77.0
 
 
 def make_intensity_directions(mus, phis_deg) -> jax.Array:
@@ -78,18 +86,33 @@ def _phase_value(domain, cell, comp, cos_scat, orig: bool):
 
 def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
                               mask, weight, x, y, z, ux, uy, uz,
-                              cell, comp, kind: str, key):
+                              cell, comp, kind: str, key,
+                              by_component=None, excess=None):
     """Add this event wave's contributions into the flat intensity buffer.
 
     ``intensity``: flat [n_dirs * nx * ny] f32 buffer.
     ``kind``: 'scatter' | 'surface' | 'emission'.
+    With ``icfg.limit_contributions``: ``by_component`` is a flat
+    [(ncomp+1) * n_dirs * nx * ny] buffer (slot 0 = surface/emission,
+    matching the reference's component-0 attribution) and ``excess`` is
+    [n_dirs, ncomp+1]; returns (intensity, by_component, excess).
     """
     grid = domain.grid
     nx, ny, _ = grid.shape
     nxy = nx * ny
     n_dirs = icfg.n_dirs
+    limit = icfg.limit_contributions
+    ncomp1 = domain.n_components + 1
+    if kind == "scatter":
+        comp_slot = comp + 1
+    else:
+        comp_slot = jnp.zeros_like(cell)
 
-    def per_direction(d, acc):
+    def per_direction(d, carry):
+        if limit:
+            acc, ibc, exc = carry
+        else:
+            acc = carry
         dir_d = jax.lax.dynamic_slice(dirs, (0, d), (3, 1))[:, 0]
         mu_d = dir_d[2]
 
@@ -147,8 +170,36 @@ def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
             col = jnp.where(cont, r2["ix"] * ny + r2["iy"],
                             r["ix"] * ny + r["iy"])
 
+        if limit:
+            cap = jnp.float32(icfg.max_contribution)
+            over = jnp.where(mask, jnp.maximum(contrib - cap, 0.0), 0.0)
+            contrib = jnp.minimum(contrib, cap)
+            exc = exc.at[d, jnp.where(mask, comp_slot, 0)].add(over)
+
         idx = jnp.where(mask & (contrib > 0), d * nxy + col, 0)
         val = jnp.where(mask, contrib, 0.0)
-        return acc.at[idx].add(val)
+        acc = acc.at[idx].add(val)
+        if limit:
+            ibc_idx = jnp.where(mask & (contrib > 0),
+                                (comp_slot * n_dirs + d) * nxy + col, 0)
+            ibc = ibc.at[ibc_idx].add(val)
+            return (acc, ibc, exc)
+        return acc
 
-    return jax.lax.fori_loop(0, n_dirs, per_direction, intensity)
+    if limit:
+        return jax.lax.fori_loop(0, n_dirs, per_direction,
+                                 (intensity, by_component, excess))
+    out = jax.lax.fori_loop(0, n_dirs, per_direction, intensity)
+    return (out, by_component, excess)
+
+
+def redistribute_excess(intensity, by_component, excess, n_dirs, nxy):
+    """Spread capped excess across the image, proportionally to each
+    (direction, component)'s accumulated intensity pattern (reference:
+    Integrators/monteCarloRadiativeTransfer.f95:294-322)."""
+    ncomp1 = by_component.shape[0] // (n_dirs * nxy)
+    ibc = by_component.reshape(ncomp1, n_dirs, nxy)
+    sums = jnp.sum(ibc, axis=2)  # [ncomp1, n_dirs]
+    weightings = ibc / jnp.maximum(sums[:, :, None], 1e-30)
+    add = jnp.einsum("cdp,dc->dp", weightings, excess)
+    return intensity + add.reshape(-1)

@@ -132,3 +132,31 @@ class TestIwabuchiRR:
                           seeds=range(4, 8))
         sigma = np.sqrt(fe**2 + re**2) + 1e-6
         assert abs(full - rr) < 4 * sigma + 0.05 * full, (full, rr, sigma)
+
+
+class TestContributionCapping:
+    def test_capping_preserves_total(self):
+        """Excess redistribution conserves the image-integrated radiance
+        while flattening spikes (reference behavior of
+        limitIntensityContributions)."""
+        from mcbrat3d_tpu.physics.phase_function import PhaseFunction
+        dom = make_slab(tau=1.0, ssa=1.0, nx=4, ny=4, nz=4, n_cdf_steps=501,
+                        phase=PhaseFunction.henyey_greenstein(0.85, 64),
+                        compute_intensity_tables=True)
+        dirs = make_intensity_directions([0.9], [0.0])
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=4, max_steps=2000)
+        base = IntensityConfig(n_dirs=1, use_russian_roulette=False)
+        capped = IntensityConfig(n_dirs=1, use_russian_roulette=False,
+                                 limit_contributions=True,
+                                 max_contribution=0.005)
+        src = illumination.directional(0.9, 0.0)
+        t0 = run_intensity(dom, src, Surface.lambertian(0.0), base, dirs, cfg)
+        t1 = run_intensity(dom, src, Surface.lambertian(0.0), capped, dirs,
+                           cfg)
+        i0 = np.asarray(t0.intensity)[:, :, 0]
+        i1 = np.asarray(t1.intensity)[:, :, 0]
+        # totals match (excess fully redistributed)
+        np.testing.assert_allclose(i1.sum(), i0.sum(), rtol=1e-3)
+        # identical streams, so without capping the fields are identical;
+        # with a tight cap the peak pixel must not increase
+        assert i1.max() <= i0.max() + 1e-6

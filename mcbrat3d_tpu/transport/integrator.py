@@ -79,6 +79,11 @@ class KernelConfig:
     russian_roulette_weight: float = 1.0
     lw_mode: bool = False  # emission pre-credits to absorption tallies
     max_dda_crossings: int = 0  # 0 -> auto (4 * (nx+ny+nz))
+    # Per-scattering-order boundary-flux tallies (recScatOrd): orders
+    # 0..K-1 plus an overflow bin (the reference designed but disabled
+    # this; reference: Drivers/monteCarloDriver.f95:98-99,
+    # Integrators/monteCarloRadiativeTransfer.f95:109-115).
+    record_scattering_orders: int = 0
 
     @property
     def photons_per_batch(self) -> int:
@@ -99,6 +104,8 @@ class Tallies:
     flux_absorbed: jax.Array  # [nx, ny]
     volume_absorption: jax.Array  # [nx, ny, nz]
     intensity: Optional[jax.Array] = None  # [nx, ny, ndir]
+    flux_up_by_order: Optional[jax.Array] = None  # [nx, ny, K+1]
+    flux_down_by_order: Optional[jax.Array] = None  # [nx, ny, K+1]
     n_photons: jax.Array = None  # scalar i32: photons started
     n_bad: jax.Array = None  # scalar i32: photons killed by the step cap
     n_steps: jax.Array = None  # scalar i32: wave steps executed (diagnostic)
@@ -121,6 +128,10 @@ class Tallies:
             / (per_col * dz[None, None, :] * 1000.0),
             intensity=None if self.intensity is None
             else self.intensity / per_col,
+            flux_up_by_order=None if self.flux_up_by_order is None
+            else self.flux_up_by_order / per_col,
+            flux_down_by_order=None if self.flux_down_by_order is None
+            else self.flux_down_by_order / per_col,
             n_photons=self.n_photons,
             n_bad=self.n_bad,
             n_steps=self.n_steps,
@@ -262,7 +273,11 @@ def run_batch(domain: OpticalDomain,
         w=zeros,
         alive=jnp.zeros((N,), bool),
         quota=quota0,
+        order=jnp.zeros((N,), jnp.int32),
     )
+    n_orders = cfg.record_scattering_orders
+    scat0 = jnp.zeros((2 * (n_orders + 1) * nxy if n_orders > 0 else 1,), f32)
+    scat_add = make_accumulator(scat0.shape[0]) if n_orders > 0 else None
     flux0 = jnp.zeros((3 * nxy,), f32)
     vol0 = jnp.zeros((nxyz,), f32)
     intensity0 = jnp.zeros((max(n_dirs, 1) * nxy,), f32)
@@ -273,18 +288,19 @@ def run_batch(domain: OpticalDomain,
     else:
         ibc0 = jnp.zeros((1,), f32)
         excess0 = jnp.zeros((1, 1), f32)
-    carry0 = (state0, flux0, vol0, intensity0, ibc0, excess0,
+    carry0 = (state0, flux0, vol0, intensity0, ibc0, excess0, scat0,
               jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     def cond(carry):
         state = carry[0]
-        step = carry[6]
+        step = carry[7]
         work = jnp.any(state["alive"] | (state["quota"] > 0))
         return work & (step < cfg.max_steps)
 
     def body(carry):
-        (state, flux, vol, intensity, ibc, excess, step, n_started,
+        (state, flux, vol, intensity, ibc, excess, scat, step, n_started,
          n_bad_acc) = carry
+        order = state["order"]
         x, y, z = state["x"], state["y"], state["z"]
         ux, uy, uz = state["ux"], state["uy"], state["uz"]
         w = state["w"]
@@ -309,6 +325,7 @@ def run_batch(domain: OpticalDomain,
         uy = jnp.where(need, dy_, uy)
         uz = jnp.where(need, dz_, uz)
         w = jnp.where(need, 1.0, w)
+        order = jnp.where(need, 0, order)
         alive = alive | need
         quota = quota - need.astype(jnp.int32)
         n_started = n_started + jnp.sum(need, dtype=jnp.int32)
@@ -410,6 +427,9 @@ def run_batch(domain: OpticalDomain,
 
         absorbed = jnp.where(real, w * (1.0 - ssa_c), 0.0)
         w = jnp.where(real, w * ssa_c, w)
+        # scattering order increments at each physical scattering event
+        # (reference: Integrators/monteCarloRadiativeTransfer.f95:713)
+        order = jnp.where(real, order + 1, order)
 
         # ---------------- local estimation (radiance) -----------------------
         if compute_intensity:
@@ -420,7 +440,7 @@ def run_batch(domain: OpticalDomain,
                 mask=real, weight=w, x=xc, y=yc, z=zc,
                 ux=ux, uy=uy, uz=uz, cell=cell, comp=comp,
                 kind="scatter", key=k(rng.INTENSITY_RR),
-                by_component=ibc, excess=excess)
+                by_component=ibc, excess=excess, order=order)
 
         # ---------------- Russian roulette ---------------------------------
         if cfg.use_russian_roulette:
@@ -499,12 +519,25 @@ def run_batch(domain: OpticalDomain,
         vol = vol_add(vol, jnp.where(real, cell, 0),
                       jnp.where(real, absorbed, 0.0))
 
+        if n_orders > 0:
+            # Boundary fluxes binned by scattering order (overflow in the
+            # last bin). Exit lanes have not scattered this step, so
+            # ``order`` is the order at the tally (the surface bounce below
+            # increments afterwards, matching the reference's ordering).
+            ob = jnp.minimum(order, n_orders)
+            s_idx = jnp.where(
+                exit_top, ob * nxy + col_e,
+                jnp.where(exit_bot, (n_orders + 1 + ob) * nxy + col_e, 0))
+            s_val = jnp.where(exit_top, w, jnp.where(exit_bot, w_down, 0.0))
+            scat = scat_add(scat, s_idx, s_val)
+        order = jnp.where(reflected, order + 1, order)
+
         new_state = dict(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w,
-                         alive=alive, quota=quota)
-        return (new_state, flux, vol, intensity, ibc, excess, step + 1,
+                         alive=alive, quota=quota, order=order)
+        return (new_state, flux, vol, intensity, ibc, excess, scat, step + 1,
                 n_started, n_bad_acc)
 
-    (state_f, flux_f, vol_f, intensity_f, ibc_f, excess_f, n_steps,
+    (state_f, flux_f, vol_f, intensity_f, ibc_f, excess_f, scat_f, n_steps,
      n_started, n_bad_dda) = jax.lax.while_loop(cond, body, carry0)
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32) + n_bad_dda
 
@@ -514,6 +547,13 @@ def run_batch(domain: OpticalDomain,
         intensity_f = redistribute_excess(intensity_f, ibc_f, excess_f,
                                           n_dirs, nxy)
 
+    if n_orders > 0:
+        by_order = scat_f.reshape(2, n_orders + 1, nx, ny)
+        up_by_order = by_order[0].transpose(1, 2, 0)
+        down_by_order = by_order[1].transpose(1, 2, 0)
+    else:
+        up_by_order = down_by_order = None
+
     return Tallies(
         flux_up=flux_f[:nxy].reshape(nx, ny),
         flux_down=flux_f[nxy:2 * nxy].reshape(nx, ny),
@@ -521,6 +561,8 @@ def run_batch(domain: OpticalDomain,
         volume_absorption=vol_f.reshape(nx, ny, nz),
         intensity=(intensity_f.reshape(n_dirs, nx, ny).transpose(1, 2, 0)
                    if compute_intensity else None),
+        flux_up_by_order=up_by_order,
+        flux_down_by_order=down_by_order,
         n_photons=n_started,
         n_bad=n_bad,
         n_steps=n_steps,

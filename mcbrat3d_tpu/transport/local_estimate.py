@@ -87,7 +87,7 @@ def _phase_value(domain, cell, comp, cos_scat, orig: bool):
 def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
                               mask, weight, x, y, z, ux, uy, uz,
                               cell, comp, kind: str, key,
-                              by_component=None, excess=None):
+                              by_component=None, excess=None, order=None):
     """Add this event wave's contributions into the flat intensity buffer.
 
     ``intensity``: flat [n_dirs * nx * ny] f32 buffer.
@@ -124,6 +124,15 @@ def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
             cos_scat = ux * dir_d[0] + uy * dir_d[1] + uz * dir_d[2]
             pv = _phase_value(domain, cell, comp, cos_scat,
                               orig=not icfg.use_hybrid_phase)
+            if (icfg.use_hybrid_phase and icfg.n_orders_orig_phase > 0
+                    and order is not None):
+                # First k scattering orders use the original (non-hybrid)
+                # phase function (reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:1713-1725)
+                pv_orig = _phase_value(domain, cell, comp, cos_scat,
+                                       orig=True)
+                pv = jnp.where(order <= icfg.n_orders_orig_phase,
+                               pv_orig, pv)
             npf = pv / (4.0 * np.pi * jnp.abs(mu_d))
 
         dx = jnp.broadcast_to(dir_d[0], x.shape)

@@ -172,3 +172,27 @@ class TestSources:
         xf, yf, zf, mu, phi = illumination.sample(src, jax.random.key(0), 16)
         np.testing.assert_allclose(np.asarray(xf), 0.25)
         np.testing.assert_allclose(np.asarray(mu), -0.5)
+
+
+class TestScatteringOrderTallies:
+    def test_orders_sum_to_total(self):
+        """Per-order boundary fluxes must sum to the total fluxes, and
+        order-0 upward flux must be zero for a black surface (a photon
+        cannot reach the top without at least one scattering)."""
+        from mcbrat3d_tpu.scenes.plane_parallel import make_slab
+        dom = make_slab(tau=2.0, ssa=1.0, n_cdf_steps=501)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=4,
+                           max_steps=4000, record_scattering_orders=6)
+        t = _run(dom, illumination.directional(0.5, 0.0), cfg=cfg)
+        up = np.asarray(t.flux_up)
+        up_by = np.asarray(t.flux_up_by_order)
+        dn_by = np.asarray(t.flux_down_by_order)
+        np.testing.assert_allclose(up_by.sum(axis=2), up, rtol=1e-4)
+        np.testing.assert_allclose(dn_by.sum(axis=2),
+                                   np.asarray(t.flux_down), rtol=1e-4)
+        assert up_by[:, :, 0].sum() == 0.0  # no zeroth-order reflection
+        # direct (order 0) transmission matches Beer-Lambert exp(-tau/mu0)
+        n = int(t.n_photons)
+        direct = dn_by[:, :, 0].sum() / n
+        expect = np.exp(-2.0 / 0.5)
+        assert abs(direct - expect) < 5 * np.sqrt(expect / n) + 1e-3

@@ -161,3 +161,41 @@ def test_step_cloud_matches_scalar_oracle():
                            ("A", a_o, a_k, sa)]:
         tol = 4 * np.sqrt(o * (1 - o) / n_oracle + sk**2) + 0.01
         assert abs(o - k) < tol, f"{name}: oracle={o:.4f} kernel={k:.4f} tol={tol:.4f}"
+
+
+@pytest.mark.slow
+def test_step_cloud_native_oracle_tight():
+    """High-statistics cross-validation against the native C++ tracer:
+    2M oracle photons vs 1M kernel photons, domain means within combined
+    3-sigma and pixel-level upward flux within 4-sigma."""
+    from mcbrat3d_tpu.tools.reference_tracer import trace
+
+    ssa, g, mu0 = 0.99, 0.85, 0.5
+    ext = np.empty((32, 1, 32))
+    ext[:16] = 2.0 / 250.0
+    ext[16:] = 18.0 / 250.0
+    n_oracle = 2_000_000
+    o = trace(ext, ssa, 500.0 / 32, 500.0, 250.0 / 32, g, mu0, 0.0,
+              n_oracle, seed=11, want_flux_up=True)
+
+    dom = make_step_cloud(ssa=ssa)
+    cfg = KernelConfig(n_lanes=1 << 14, photons_per_lane=16, max_steps=20000)
+    t = run_batch(dom, Surface.lambertian(0.0),
+                  illumination.directional(mu0, 0.0),
+                  rng.batch_key(0, 0), cfg)
+    n_k = int(t.n_photons)
+    assert int(t.n_bad) == 0
+
+    for name, ov, kv in [
+            ("R", o["R"], float(jnp.sum(t.flux_up)) / n_k),
+            ("T", o["T"], float(jnp.sum(t.flux_down)) / n_k),
+            ("A", o["A"], float(jnp.sum(t.flux_absorbed)) / n_k)]:
+        sigma = np.sqrt(ov * (1 - min(ov, 1.0)) * (1 / n_oracle + 1 / n_k))
+        assert abs(ov - kv) < 4 * sigma + 3e-4, (name, ov, kv, sigma)
+
+    # pixel-level upward flux (32 columns)
+    per_col_o = o["flux_up"][:, 0] / (n_oracle / 32.0)
+    per_col_k = np.asarray(t.flux_up)[:, 0] / (n_k / 32.0)
+    sig = np.sqrt(per_col_o * (1 / (n_oracle / 32) + 1 / (n_k / 32))) + 1e-4
+    bad = np.abs(per_col_o - per_col_k) > 5 * sig + 0.01
+    assert not np.any(bad), np.where(bad)

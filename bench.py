@@ -23,10 +23,10 @@ BASELINE_PHOTONS_PER_SEC = 1e8
 
 
 def main():
-    domain = make_step_cloud(ssa=0.99)
+    domain = make_step_cloud(ssa=0.99, macro_factor=8)
     surface = Surface.lambertian(0.0)
     source = illumination.directional(0.5, 0.0)
-    config = KernelConfig(n_lanes=1 << 18, photons_per_lane=32,
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=32,
                           max_steps=100_000)
 
     # Warm up / compile

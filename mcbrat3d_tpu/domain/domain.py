@@ -102,10 +102,13 @@ class OpticalDomain:
     hot loop performs a *single* gather per event instead of one per field
     (TPU gathers cost per-index, not per-byte). Layout, with C = ncomp:
       [0]              total extinction
-      [1        : 1+C] fractional cumulative extinction per component
-      [1 + C    : 1+2C] single-scattering albedo per component
-      [1 + 2C   : 1+3C] phase-function index per component (as float)
-      [1 + 3C   : 1+4C] HG asymmetry g per component's active entry
+      [1]              local majorant: max extinction over the cell's
+                       macro-cell neighborhood (the fine-grained Woodcock
+                       ceiling; equals the global max when macro_factor=0)
+      [2        : 2+C] fractional cumulative extinction per component
+      [2 + C    : 2+2C] single-scattering albedo per component
+      [2 + 2C   : 2+3C] phase-function index per component (as float)
+      [2 + 3C   : 2+4C] HG asymmetry g per component's active entry
                         (used by the analytic sampling path when ``all_hg``)
     """
 
@@ -114,9 +117,12 @@ class OpticalDomain:
     cum_ext: jax.Array  # [nx, ny, nz, ncomp] f32, fractional, last == 1
     ssa: jax.Array  # [nx, ny, nz, ncomp] f32
     phase_index: jax.Array  # [nx, ny, nz, ncomp] i32, 0-based per-component
-    cell_records: jax.Array  # [nx*ny*nz, 1 + 4*ncomp] f32
+    cell_records: jax.Array  # [nx*ny*nz, 2 + 4*ncomp] f32
     tables: DeviceTables
     all_hg: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Macro-cell majorant grid (two-level Woodcock): number of fine cells
+    # per macro cell along each axis; 0 disables the local-majorant field.
+    macro_factor: int = dataclasses.field(metadata=dict(static=True), default=0)
     temps: Optional[jax.Array] = None  # [nx, ny, nz] f32 (broadband/LW)
     lambda_um: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
@@ -135,7 +141,8 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                  compute_intensity_tables: bool = False,
                  hybrid_width_deg: float = 0.0,
                  temps: Optional[np.ndarray] = None,
-                 lambda_um: float = 0.0) -> OpticalDomain:
+                 lambda_um: float = 0.0,
+                 macro_factor: int = 0) -> OpticalDomain:
     """Flatten components into the solver arrays and stack phase tables.
 
     Cumulative extinction is *fractional*: cum_ext[..., -1] == 1 wherever
@@ -209,16 +216,35 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                  for comp in components
                  for p in comp.phase_function_table.phase_functions)
     n_cells = nx * ny * nz
-    rec = np.zeros((n_cells, 1 + 4 * ncomp), np.float32)
+
+    # Local majorant field for two-level Woodcock: max extinction over each
+    # cell's macro block. Requires a regular grid (the kernel computes
+    # macro-box faces arithmetically); falls back to the global majorant.
+    if macro_factor > 0 and not (grid.xy_regular and grid.z_regular):
+        macro_factor = 0
+    global_max = float(total.max()) if total.size else 0.0
+    if macro_factor > 0:
+        f = macro_factor
+        majorant = np.empty_like(total)
+        for bx in range(0, nx, f):
+            for by in range(0, ny, f):
+                for bz in range(0, nz, f):
+                    blk = total[bx:bx + f, by:by + f, bz:bz + f]
+                    majorant[bx:bx + f, by:by + f, bz:bz + f] = blk.max()
+    else:
+        majorant = np.full_like(total, global_max)
+
+    rec = np.zeros((n_cells, 2 + 4 * ncomp), np.float32)
     rec[:, 0] = total.reshape(-1)
-    rec[:, 1:1 + ncomp] = cum_frac.reshape(-1, ncomp)
-    rec[:, 1 + ncomp:1 + 2 * ncomp] = ssa.reshape(-1, ncomp)
-    rec[:, 1 + 2 * ncomp:1 + 3 * ncomp] = pfi.reshape(-1, ncomp)
+    rec[:, 1] = majorant.reshape(-1)
+    rec[:, 2:2 + ncomp] = cum_frac.reshape(-1, ncomp)
+    rec[:, 2 + ncomp:2 + 2 * ncomp] = ssa.reshape(-1, ncomp)
+    rec[:, 2 + 2 * ncomp:2 + 3 * ncomp] = pfi.reshape(-1, ncomp)
     for c, comp in enumerate(components):
         gs = np.array([p.hg_g if p.hg_g is not None else 0.0
                        for p in comp.phase_function_table.phase_functions],
                       np.float32)
-        rec[:, 1 + 3 * ncomp + c] = gs[pfi.reshape(-1, ncomp)[:, c]]
+        rec[:, 2 + 3 * ncomp + c] = gs[pfi.reshape(-1, ncomp)[:, c]]
 
     return OpticalDomain(
         grid=grid,
@@ -229,6 +255,7 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         cell_records=jnp.asarray(rec),
         tables=tables,
         all_hg=all_hg,
+        macro_factor=int(macro_factor),
         temps=None if temps is None else jnp.asarray(temps, jnp.float32),
         lambda_um=float(lambda_um),
     )

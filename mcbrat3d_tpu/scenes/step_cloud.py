@@ -50,6 +50,7 @@ def step_cloud_scene(ssa: float = 1.0,
 def make_step_cloud(ssa: float = 1.0, **kwargs) -> OpticalDomain:
     build_kwargs = {k: kwargs.pop(k) for k in list(kwargs)
                     if k in ("n_cdf_steps", "n_forward_angles",
-                             "compute_intensity_tables", "hybrid_width_deg")}
+                             "compute_intensity_tables", "hybrid_width_deg",
+                             "macro_factor")}
     grid, components, temps = step_cloud_scene(ssa=ssa, **kwargs)
     return build_domain(grid, components, temps=temps, **build_kwargs)

@@ -173,6 +173,13 @@ def rotate_direction(ux, uy, uz, cos_theta, phi):
     ox = jnp.where(safe, nx, vx)
     oy = jnp.where(safe, ny, vy)
     oz = jnp.where(safe, nz, vz)
+    # Guard against horizontally trapped photons: a scattered direction
+    # with |uz| ~ 0 needs ~1/|uz| steps to cross a clear layer (the
+    # reference applies the same minimum-vertical-component guard at its
+    # sources; reference: src/monteCarloIllumination.f95:301-304). The
+    # 1e-4 clamp perturbs ~0.01% of directions by <= 1e-4 in mu.
+    oz = jnp.where(jnp.abs(oz) < 1e-4,
+                   jnp.sign(jnp.where(oz == 0, 1.0, oz)) * 1e-4, oz)
     # Renormalize to keep |u| = 1 over long photon lifetimes (f32 drift)
     inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
     return ox * inv_norm, oy * inv_norm, oz * inv_norm
@@ -209,7 +216,7 @@ def sample_scattering_cos(inverse_flat, n_steps, row, u):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "intensity_config"),
+    static_argnames=("config", "intensity_config", "debug_state"),
 )
 def run_batch(domain: OpticalDomain,
               surface: Surface,
@@ -218,7 +225,8 @@ def run_batch(domain: OpticalDomain,
               config: KernelConfig,
               intensity_config: Optional[IntensityConfig] = None,
               intensity_dirs: Optional[jax.Array] = None,
-              n_photons: Optional[jax.Array] = None) -> Tallies:
+              n_photons: Optional[jax.Array] = None,
+              debug_state: bool = False) -> Tallies:
     """Trace one batch of photons; return unnormalized tallies.
 
     ``key`` identifies the batch (seed x batch index); results are
@@ -267,6 +275,16 @@ def run_batch(domain: OpticalDomain,
         lane = jnp.arange(N, dtype=jnp.int32)
         quota0 = (n_photons // N) + (lane < (n_photons % N)).astype(jnp.int32)
 
+    use_macro = domain.macro_factor > 0 and not cfg.use_ray_tracing
+    if use_macro:
+        # Macro-box geometry (regular grid guaranteed by build_domain)
+        mf = domain.macro_factor
+        bx_w = (grid.x_edges[1] - grid.x_edges[0]) * mf
+        by_w = (grid.y_edges[1] - grid.y_edges[0]) * mf
+        bz_w = (grid.z_edges[1] - grid.z_edges[0]) * mf
+        clip_nudge = jnp.float32(1e-5) * jnp.minimum(
+            bx_w, jnp.minimum(by_w, bz_w))
+
     state0 = dict(
         x=zeros, y=zeros, z=zeros,
         ux=zeros, uy=zeros, uz=jnp.ones((N,), f32),
@@ -274,6 +292,7 @@ def run_batch(domain: OpticalDomain,
         alive=jnp.zeros((N,), bool),
         quota=quota0,
         order=jnp.zeros((N,), jnp.int32),
+        beta_loc=jnp.full((N,), beta_max),  # carried local majorant
     )
     n_orders = cfg.record_scattering_orders
     scat0 = jnp.zeros((2 * (n_orders + 1) * nxy if n_orders > 0 else 1,), f32)
@@ -301,6 +320,7 @@ def run_batch(domain: OpticalDomain,
         (state, flux, vol, intensity, ibc, excess, scat, step, n_started,
          n_bad_acc) = carry
         order = state["order"]
+        beta_loc = state["beta_loc"]
         x, y, z = state["x"], state["y"], state["z"]
         ux, uy, uz = state["ux"], state["uy"], state["uz"]
         w = state["w"]
@@ -326,6 +346,9 @@ def run_batch(domain: OpticalDomain,
         uz = jnp.where(need, dz_, uz)
         w = jnp.where(need, 1.0, w)
         order = jnp.where(need, 0, order)
+        # Fresh photons start with the global majorant (valid anywhere,
+        # merely conservative); the first record gather localizes it.
+        beta_loc = jnp.where(need, beta_max, beta_loc)
         alive = alive | need
         quota = quota - need.astype(jnp.int32)
         n_started = n_started + jnp.sum(need, dtype=jnp.int32)
@@ -370,15 +393,46 @@ def run_batch(domain: OpticalDomain,
             cell = col_c * nz + iz
             rec = records[cell]
             real = collide  # ray tracing: every stop is a physical collision
+            moved = collide
             alive = alive & ~bad
         else:
-            # Maximum cross-section (Woodcock): one fused jump + null test
-            d = tau * inv_beta_max
+            # Maximum cross-section (Woodcock): one fused jump + null test.
+            # With a macro majorant the jump uses the carried local ceiling
+            # and is clipped at the macro-box face (a null step; the local
+            # majorant is only valid within its block).
+            if use_macro:
+                tx = (jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w + x0 - x
+                ty = (jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w + y0 - y
+                tz = (jnp.floor((z - z0) / bz_w) + (uz >= 0)) * bz_w + z0 - z
+                tx = jnp.where(jnp.abs(ux) > 1e-12,
+                               tx / jnp.where(ux == 0, 1.0, ux), 3e38)
+                ty = jnp.where(jnp.abs(uy) > 1e-12,
+                               ty / jnp.where(uy == 0, 1.0, uy), 3e38)
+                tz = jnp.where(jnp.abs(uz) > 1e-12,
+                               tz / jnp.where(uz == 0, 1.0, uz), 3e38)
+                t_raw = jnp.minimum(tx, jnp.minimum(ty, tz))
+                # A photon sitting exactly ON a block face heading outward
+                # gets t_clip = 0 and sub-ulp nudge movement (zero progress,
+                # and the carried majorant belongs to the wrong block).
+                # Such lanes take one global-majorant step instead: always
+                # a valid ceiling, guaranteed progress.
+                escape = t_raw <= 0.0
+                beta_loc = jnp.where(escape, beta_max, beta_loc)
+                d_samp = jnp.where(beta_loc > 0, tau / beta_loc,
+                                   jnp.float32(3e38))
+                t_clip = jnp.where(escape, jnp.float32(3e38),
+                                   t_raw + clip_nudge)
+                clipped = t_clip < d_samp
+                d = jnp.minimum(d_samp, t_clip)
+            else:
+                d = tau * inv_beta_max
+                clipped = jnp.zeros((N,), bool)
             zn = z + uz * d
 
             exit_top = alive & (zn >= z_max)
             exit_bot = alive & ~exit_top & (zn <= z0)
-            collide = alive & ~exit_top & ~exit_bot
+            collide = alive & ~exit_top & ~exit_bot & ~clipped
+            moved = alive & ~exit_top & ~exit_bot
 
             # Boundary-crossing point for exiting photons (backtrack along
             # the ray to the z boundary; reference:
@@ -403,27 +457,32 @@ def run_batch(domain: OpticalDomain,
             cell = col_c * nz + iz
 
             # -- single packed record gather: everything a collision needs --
-            rec = records[cell]  # [N, 1 + 4*ncomp]
+            rec = records[cell]  # [N, 2 + 4*ncomp]
             beta = rec[:, 0]
             u_col = rng.uniform(k(rng.COLLISION), (N,))
-            real = collide & (u_col * beta_max < beta)
+            # Null-collision test against the majorant this step sampled with
+            ceiling = beta_loc if use_macro else beta_max
+            real = collide & (u_col * ceiling < beta)
+            if use_macro:
+                # Carry the destination cell's local majorant to next step
+                beta_loc = jnp.where(moved, rec[:, 1], beta_loc)
 
         # -------- component selection + absorption at real collisions -------
         if ncomp == 1:
             comp = jnp.zeros((N,), jnp.int32)
-            ssa_c = rec[:, 2]
-            pfi_c = rec[:, 3].astype(jnp.int32)
-            g_c = rec[:, 4]
+            ssa_c = rec[:, 3]
+            pfi_c = rec[:, 4].astype(jnp.int32)
+            g_c = rec[:, 5]
         else:
-            cum = rec[:, 1:1 + ncomp]
+            cum = rec[:, 2:2 + ncomp]
             u_comp = rng.uniform(k(rng.COMPONENT), (N,))
             comp = jnp.sum(cum < u_comp[:, None], axis=1).astype(jnp.int32)
             comp = jnp.clip(comp, 0, ncomp - 1)
             comp_hot = jax.nn.one_hot(comp, ncomp, dtype=f32)
-            ssa_c = jnp.sum(rec[:, 1 + ncomp:1 + 2 * ncomp] * comp_hot, axis=1)
-            pfi_c = jnp.sum(rec[:, 1 + 2 * ncomp:1 + 3 * ncomp] * comp_hot,
+            ssa_c = jnp.sum(rec[:, 2 + ncomp:2 + 2 * ncomp] * comp_hot, axis=1)
+            pfi_c = jnp.sum(rec[:, 2 + 2 * ncomp:2 + 3 * ncomp] * comp_hot,
                             axis=1).astype(jnp.int32)
-            g_c = jnp.sum(rec[:, 1 + 3 * ncomp:1 + 4 * ncomp] * comp_hot, axis=1)
+            g_c = jnp.sum(rec[:, 2 + 3 * ncomp:2 + 4 * ncomp] * comp_hot, axis=1)
 
         absorbed = jnp.where(real, w * (1.0 - ssa_c), 0.0)
         w = jnp.where(real, w * ssa_c, w)
@@ -484,9 +543,13 @@ def run_batch(domain: OpticalDomain,
         reflected = exit_bot & ~died_surface
 
         sux, suy, suz = make_direction_cosines(mu_new, phi_new)
-        x = jnp.where(exit_bot, xe, jnp.where(collide, xc, x))
-        y = jnp.where(exit_bot, ye, jnp.where(collide, yc, y))
-        z = jnp.where(exit_bot, z0 + z_eps, jnp.where(collide, zc, z))
+        x = jnp.where(exit_bot, xe, jnp.where(moved, xc, x))
+        y = jnp.where(exit_bot, ye, jnp.where(moved, yc, y))
+        z = jnp.where(exit_bot, z0 + z_eps, jnp.where(moved, zc, z))
+        if use_macro:
+            # Reflected photons restart at the surface with the (always
+            # valid) global majorant; the next gather re-localizes it.
+            beta_loc = jnp.where(exit_bot, beta_max, beta_loc)
         ux = jnp.where(reflected, sux, ux)
         uy = jnp.where(reflected, suy, uy)
         uz = jnp.where(reflected, suz, uz)
@@ -533,7 +596,8 @@ def run_batch(domain: OpticalDomain,
         order = jnp.where(reflected, order + 1, order)
 
         new_state = dict(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w,
-                         alive=alive, quota=quota, order=order)
+                         alive=alive, quota=quota, order=order,
+                         beta_loc=beta_loc)
         return (new_state, flux, vol, intensity, ibc, excess, scat, step + 1,
                 n_started, n_bad_acc)
 
@@ -546,6 +610,9 @@ def run_batch(domain: OpticalDomain,
         # Integrators/monteCarloRadiativeTransfer.f95:294-322)
         intensity_f = redistribute_excess(intensity_f, ibc_f, excess_f,
                                           n_dirs, nxy)
+
+    if debug_state:
+        return state_f
 
     if n_orders > 0:
         by_order = scat_f.reshape(2, n_orders + 1, nx, ny)

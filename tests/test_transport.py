@@ -196,3 +196,65 @@ class TestScatteringOrderTallies:
         direct = dn_by[:, :, 0].sum() / n
         expect = np.exp(-2.0 / 0.5)
         assert abs(direct - expect) < 5 * np.sqrt(expect / n) + 1e-3
+
+
+class TestMacroMajorant:
+    def test_conservation_and_agreement(self):
+        """Two-level Woodcock (macro-cell majorants) must reproduce the
+        global-majorant results and conserve energy, while taking fewer
+        wave steps on a heterogeneous domain."""
+        dom_g = make_step_cloud(ssa=0.99, n_cdf_steps=501)
+        dom_m = make_step_cloud(ssa=0.99, n_cdf_steps=501, macro_factor=8)
+        assert dom_m.macro_factor == 8
+        cfg = KernelConfig(n_lanes=1 << 13, photons_per_lane=4,
+                           max_steps=100000, use_russian_roulette=False)
+
+        def rta(dom, seeds):
+            out = []
+            for s in seeds:
+                t = _run(dom, illumination.directional(0.5, 0.0), cfg=cfg,
+                         seed=s)
+                n = int(t.n_photons)
+                total = (float(jnp.sum(t.flux_up))
+                         + float(jnp.sum(t.flux_down))
+                         + float(jnp.sum(t.flux_absorbed)))
+                np.testing.assert_allclose(total, n, rtol=1e-4)
+                out.append([float(jnp.sum(t.flux_up)) / n,
+                            float(jnp.sum(t.flux_down)) / n,
+                            float(jnp.sum(t.flux_absorbed)) / n,
+                            int(t.n_steps)])
+            return np.asarray(out)
+
+        g = rta(dom_g, range(3))
+        m = rta(dom_m, range(3, 6))
+        sig = (g[:, :3].std(0, ddof=1) + m[:, :3].std(0, ddof=1)) / np.sqrt(3)
+        assert np.all(np.abs(g[:, :3].mean(0) - m[:, :3].mean(0))
+                      < 5 * sig + 0.01)
+        # fewer steps with local majorants (thin half: 9x smaller ceiling;
+        # wave-tail stragglers dilute the reduction at small quotas)
+        assert m[:, 3].mean() < 0.92 * g[:, 3].mean(), (
+            m[:, 3].mean(), g[:, 3].mean())
+
+    def test_empty_macro_blocks_traversed(self):
+        """A cloud occupying only the lower half: photons cross the clear
+        upper blocks in one clipped step each; results stay exact."""
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        grid = Grid.regular(8, 8, 16, 0.125, 0.125, 0.125)
+        ext = np.zeros((8, 8, 16))
+        ext[:, :, :8] = 4.0  # cloud below, vacuum above
+        tbl = PhaseFunctionTable([PhaseFunction.henyey_greenstein(0.85, 64)],
+                                 key=[1.0])
+        comp = OpticalComponent("c", ext, np.full_like(ext, 1.0),
+                                np.zeros(ext.shape, np.int32), tbl)
+        dom = build_domain(grid, [comp], n_cdf_steps=501, macro_factor=8)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=4,
+                           max_steps=20000)
+        t = _run(dom, illumination.directional(0.5, 0.0), cfg=cfg)
+        n = int(t.n_photons)
+        np.testing.assert_allclose(
+            float(jnp.sum(t.flux_up)) + float(jnp.sum(t.flux_down)), n,
+            rtol=1e-4)
+        assert int(t.n_bad) == 0

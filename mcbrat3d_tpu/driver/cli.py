@@ -47,6 +47,14 @@ def _cmd_mkssp(args) -> int:
     return ssp_create.main(args.namelist)
 
 
+def _cmd_optprops(args) -> int:
+    from mcbrat3d_tpu.tools import optical_to_domain
+    optical_to_domain.convert(args.input, args.output,
+                              surface_albedo=args.surface_albedo)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def _cmd_physprops(args) -> int:
     from mcbrat3d_tpu.driver.config import parse_namelist
     from mcbrat3d_tpu.tools import physical_to_domain
@@ -103,6 +111,14 @@ def main(argv=None) -> int:
         help="convert ASCII physical particle properties to a domain file")
     p_pp.add_argument("namelist")
     p_pp.set_defaults(fn=_cmd_physprops)
+
+    p_od = sub.add_parser(
+        "optprops",
+        help="convert SHDOM-style ASCII optical properties to a domain file")
+    p_od.add_argument("input")
+    p_od.add_argument("output")
+    p_od.add_argument("--surface-albedo", type=float, default=0.0)
+    p_od.set_defaults(fn=lambda a: _cmd_optprops(a))
 
     args = ap.parse_args(argv)
     return args.fn(args)

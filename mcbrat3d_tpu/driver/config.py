@@ -52,6 +52,10 @@ class SimulationConfig:
     # --- namelist /output/ ---
     report_volume_absorption: bool = False
     report_absorption_profile: bool = False
+    rec_scat_ord: bool = False
+    num_rec_scat_ord: int = 0
+    auxhist01_flux_file: str = ""
+    auxhist01_rad_file: str = ""
 
     # --- namelist /fileNames/ ---
     solar_source_file: str = ""
@@ -138,6 +142,10 @@ _KEY_MAP = {
     # output
     "reportvolumeabsorption": "report_volume_absorption",
     "reportabsorptionprofile": "report_absorption_profile",
+    "recscatord": "rec_scat_ord",
+    "numrecscatord": "num_rec_scat_ord",
+    "auxhist01_fluxfile": "auxhist01_flux_file",
+    "auxhist01_radfile": "auxhist01_rad_file",
     # fileNames
     "solarsourcefile": "solar_source_file",
     "instrresponsefile": "instr_response_file",

@@ -53,9 +53,13 @@ class Results:
 FIELDS_2D = ("flux_up", "flux_down", "flux_absorbed")
 
 
-def kernel_config_from(cfg: SimulationConfig) -> KernelConfig:
-    n_lanes = min(cfg.n_lanes, max(1, cfg.num_photons_per_batch))
-    ppl = max(1, cfg.num_photons_per_batch // n_lanes)
+def kernel_config_from(cfg: SimulationConfig,
+                       n_devices: int = 1) -> KernelConfig:
+    """Per-device kernel config; numPhotonsPerBatch is the *global* batch
+    size, split evenly across the mesh."""
+    per_dev = max(1, cfg.num_photons_per_batch // max(1, n_devices))
+    n_lanes = min(cfg.n_lanes, per_dev)
+    ppl = max(1, per_dev // n_lanes)
     return KernelConfig(
         n_lanes=n_lanes,
         photons_per_lane=ppl,
@@ -63,6 +67,8 @@ def kernel_config_from(cfg: SimulationConfig) -> KernelConfig:
         use_ray_tracing=cfg.use_ray_tracing,
         use_russian_roulette=cfg.use_russian_roulette,
         lw_mode=cfg.is_longwave,
+        record_scattering_orders=(cfg.num_rec_scat_ord
+                                  if cfg.rec_scat_ord else 0),
     )
 
 
@@ -80,8 +86,18 @@ def run_simulation(domain: OpticalDomain,
     ``solar_flux`` scales all outputs (reference:
     Drivers/monteCarloDriver.f95:1188-1228); pass 1.0 for normalized units.
     ``accumulator``/``start_batch`` support checkpoint resume.
+    ``mesh``: a jax Mesh for multi-chip photon-DP, or "auto" to span all
+    local devices when more than one is present.
     """
-    kcfg = kernel_config_from(cfg)
+    if mesh == "auto":
+        import jax as _jax
+        if len(_jax.devices()) > 1:
+            from mcbrat3d_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        else:
+            mesh = None
+    n_dev = 1 if mesh is None else mesh.devices.size
+    kcfg = kernel_config_from(cfg, n_devices=n_dev)
     icfg = None
     idirs = None
     if cfg.compute_intensity:
@@ -127,6 +143,9 @@ def run_simulation(domain: OpticalDomain,
             axis=(0, 1))
         if t.intensity is not None:
             arrays["intensity"] = np.asarray(t.intensity)
+        if t.flux_up_by_order is not None:
+            arrays["flux_up_by_order"] = np.asarray(t.flux_up_by_order)
+            arrays["flux_down_by_order"] = np.asarray(t.flux_down_by_order)
 
         acc.add(float(n), arrays)
         if checkpoint_cb is not None and cfg.checkpoint_every_batches > 0 \

@@ -189,3 +189,43 @@ class TestEndToEndCLI:
             assert up.shape == (1, 32)  # (y, x) file order
             assert np.all(up >= 0)
             assert int(nc.totalPhotons) == 3 * 4096
+
+
+class TestAutoMesh:
+    def test_auto_mesh_uses_all_devices(self):
+        import jax
+        from mcbrat3d_tpu.scenes.plane_parallel import make_slab
+        from mcbrat3d_tpu.physics.surface import Surface
+        from mcbrat3d_tpu.sources import illumination
+        dom = make_slab(tau=1.0, ssa=1.0, n_cdf_steps=201)
+        cfg = small_cfg(num_photons_per_batch=1 << 13, num_batches=2,
+                        n_lanes=1 << 9)
+        res = run_simulation(dom, Surface.lambertian(0.0),
+                             illumination.directional(1.0, 0.0), cfg,
+                             mesh="auto")
+        # global batch size preserved (split across the 8 CPU devices)
+        assert res.total_photons == 2 * (1 << 13)
+        total = (res.mean["mean_flux_up"] + res.mean["mean_flux_down"])
+        assert total == pytest.approx(1.0, rel=1e-3)
+
+
+class TestScatOrderOutputs:
+    def test_aux_flux_file(self, tmp_path):
+        from mcbrat3d_tpu.driver import output as out_mod
+        from mcbrat3d_tpu.scenes.plane_parallel import make_slab
+        from mcbrat3d_tpu.physics.surface import Surface
+        from mcbrat3d_tpu.sources import illumination
+        dom = make_slab(tau=1.0, ssa=1.0, n_cdf_steps=201)
+        aux = str(tmp_path / "aux_flux.out")
+        cfg = small_cfg(rec_scat_ord=True, num_rec_scat_ord=4,
+                        auxhist01_flux_file=aux)
+        res = run_simulation(dom, Surface.lambertian(0.0),
+                             illumination.directional(1.0, 0.0), cfg)
+        assert "flux_up_by_order" in res.mean
+        # per-order sums equal totals
+        np.testing.assert_allclose(
+            res.mean["flux_up_by_order"].sum(axis=2),
+            res.mean["flux_up"], rtol=1e-4)
+        res.grid = dom.grid
+        written = out_mod.write_all(res, dom.grid)
+        assert aux in written and os.path.getsize(aux) > 0

@@ -152,3 +152,36 @@ class TestPhysicalToDomain:
     def _write_molec(self, path):
         path.write_text("2\n0.0 0.25 0.5\n0.01 0.02\n")
         return str(path)
+
+
+class TestOpticalToDomain:
+    def test_shdom_roundtrip(self, tmp_path):
+        from mcbrat3d_tpu.tools import optical_to_domain as o2d
+        # 2x1x2 grid, 2 phase functions (HG g=0.5 via SHDOM chi=(2l+1)g^l)
+        chi = " ".join(f"{(2*l+1)*0.5**l:.6f}" for l in range(1, 5))
+        f = tmp_path / "shdom.txt"
+        f.write_text(
+            "T\n2 1 2\n0.5 0.5 0.0 0.25 0.5\n2\n"
+            f"4 {chi}\n1 0.0\n"
+            "1 1 1 290. 10.0 0.99 1\n"
+            "2 1 1 290. 5.0 0.95 2\n"
+            "1 1 2 285. 2.0 1.0 1\n"
+            "2 1 2 285. 0.0 0.0 1\n")
+        grid, comp, temps = o2d.read_shdom_optical_file(str(f))
+        assert grid.shape == (2, 1, 2)
+        np.testing.assert_allclose(comp.extinction[0, 0, 0], 10.0)
+        np.testing.assert_allclose(comp.single_scattering_albedo[1, 0, 0], 0.95)
+        assert comp.phase_function_index[1, 0, 0] == 1
+        np.testing.assert_allclose(temps[0, 0, 1], 285.0)
+        # SHDOM chi -> framework c_l conversion
+        np.testing.assert_allclose(
+            comp.phase_function_table.phase_functions[0].coefficients,
+            0.5 ** np.arange(1, 5), rtol=1e-5)
+        # full convert writes a loadable domain
+        out = tmp_path / "o.dom"
+        o2d.convert(str(f), str(out), surface_albedo=0.1)
+        from mcbrat3d_tpu.domain.io_netcdf import read_domain
+        g2, comps2, t2, attrs = read_domain(str(out))
+        assert attrs["surface_albedo"] == pytest.approx(0.1)
+        d = build_domain(g2, comps2, n_cdf_steps=101)
+        assert float(d.max_extinction) == pytest.approx(10.0)

@@ -23,9 +23,40 @@ def lambertian_reflectance(params, mu_in, mu_out, phi_in, phi_out):
     return params[..., 0]
 
 
+def rpv_reflectance(params, mu_in, mu_out, phi_in, phi_out):
+    """Rahman-Pinty-Verstraete BRDF (the standard land-surface model).
+
+    params = (rho0, k, theta_hg): amplitude, Minnaert exponent, HG asymmetry
+    of the scattering lobe (theta < 0: backscattering surfaces). Returns the
+    weight multiplier the kernel applies at a surface bounce for the sampled
+    outgoing direction. Fills the extension point the reference leaves open
+    (reference: src/surfaceProperties.f95:119-147).
+    """
+    rho0 = params[..., 0]
+    k = params[..., 1]
+    theta = params[..., 2]
+    mu_i = jnp.abs(mu_in)
+    mu_r = jnp.clip(jnp.abs(mu_out), 1e-6, 1.0)
+    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_i**2))
+    sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_r**2))
+    cos_dphi = jnp.cos(phi_out - phi_in)
+    # phase angle between incident and reflected rays
+    cos_g = mu_i * mu_r + si * sr * cos_dphi
+    minnaert = (mu_i * mu_r * (mu_i + mu_r)) ** (k - 1.0)
+    hg = (1.0 - theta**2) / (1.0 + theta**2 + 2.0 * theta * cos_g) ** 1.5
+    cap_g = jnp.sqrt(jnp.maximum(
+        0.0, jnp.tan(jnp.arccos(jnp.clip(mu_i, 1e-6, 1.0)))**2
+        + jnp.tan(jnp.arccos(mu_r))**2
+        - 2.0 * jnp.tan(jnp.arccos(jnp.clip(mu_i, 1e-6, 1.0)))
+        * jnp.tan(jnp.arccos(mu_r)) * cos_dphi))
+    hot = 1.0 + (1.0 - rho0) / (1.0 + cap_g)
+    return rho0 * minnaert * hg * hot
+
+
 # Registry of named BRDF kernels; each maps
 # (params[..., P], mu_in, mu_out, phi_in, phi_out) -> reflectance.
-BRDF_REGISTRY: dict = {"Lambertian": lambertian_reflectance}
+BRDF_REGISTRY: dict = {"Lambertian": lambertian_reflectance,
+                       "RPV": rpv_reflectance}
 
 
 def register_brdf(name: str, fn: Callable) -> None:
@@ -53,6 +84,14 @@ class Surface:
                    emissivity: float = 1.0) -> "Surface":
         return Surface(params=jnp.asarray(np.float32(albedo)).reshape(1, 1, 1),
                        brdf_name="Lambertian",
+                       temperature=temperature, emissivity=emissivity)
+
+    @staticmethod
+    def rpv(rho0: float, k: float = 1.0, theta: float = 0.0,
+            temperature: float = 0.0, emissivity: float = 1.0) -> "Surface":
+        """Uniform Rahman-Pinty-Verstraete surface."""
+        p = np.asarray([rho0, k, theta], np.float32).reshape(1, 1, 3)
+        return Surface(params=jnp.asarray(p), brdf_name="RPV",
                        temperature=temperature, emissivity=emissivity)
 
     @property

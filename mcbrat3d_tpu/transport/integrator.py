@@ -367,6 +367,26 @@ def run_batch(domain: OpticalDomain,
             flux = flux_add(flux, jnp.where(atm_emit, 2 * nxy + ecol, 0), e_val)
             vol = vol_add(vol, jnp.where(atm_emit, ecol * nz + eiz, 0), e_val)
 
+            if compute_intensity:
+                # Emission contributes to the radiances at photon birth:
+                # isotropic 1/(4 pi |mu|) for atmospheric emission,
+                # 1/pi for surface emission (reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:510-542,
+                # 1688-1696).
+                intensity, ibc, excess = accumulate_local_estimate(
+                    intensity, domain, intensity_dirs, intensity_config,
+                    mask=atm_emit, weight=w, x=x, y=y, z=z,
+                    ux=ux, uy=uy, uz=uz, cell=(ecol * nz + eiz), comp=None,
+                    kind="emission", key=k(rng.INTENSITY_RR),
+                    by_component=ibc, excess=excess)
+                sfc_emit = need & ~atm_emit
+                intensity, ibc, excess = accumulate_local_estimate(
+                    intensity, domain, intensity_dirs, intensity_config,
+                    mask=sfc_emit, weight=w, x=x, y=y, z=z,
+                    ux=ux, uy=uy, uz=uz, cell=ecol * nz, comp=None,
+                    kind="surface", key=k(rng.INTENSITY_RR),
+                    by_component=ibc, excess=excess)
+
         # ---------------- one transport step for all alive lanes ------------
         tau = rng.exponential_deviate(k(rng.TAU), (N,))
         if cfg.use_ray_tracing:

@@ -306,3 +306,35 @@ class TestBroadbandEndToEnd:
         assert res.total_photons == 2 * (1 << 12)
         assert res.solar_flux > 0  # total emitted flux
         assert res.mean["mean_flux_up"] > 0
+
+
+class TestLWRadiance:
+    def test_isothermal_blackbody_radiance(self):
+        """Optically thick isothermal scene: TOA radiance = B_lambda(T) in
+        every direction (validates emission + scattering + surface local
+        estimation together)."""
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        T, lam = 288.0, 10.0
+        grid = Grid.regular(4, 4, 6, 0.25, 0.25, 0.25)
+        temps = np.full((4, 4, 6), T)
+        comps = uniform_absorbing_components(grid, kabs=8.0)
+        domain = build_domain(grid, comps, n_cdf_steps=101, temps=temps,
+                              compute_intensity_tables=True)
+        kabs = absorption_coefficient(comps, grid)
+        w = emission_weighting(grid, temps, kabs, surface_temp=T,
+                               surface_emissivity=1.0, lambda_um=lam)
+        source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                       grid.shape)
+        dirs = make_intensity_directions([1.0, 0.6], [0.0, 120.0])
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=True,
+                               zeta_min=0.3)
+        cfg = KernelConfig(n_lanes=1 << 13, photons_per_lane=8,
+                           max_steps=4000, lw_mode=True)
+        t = run_batch(domain, Surface.lambertian(0.0), source,
+                      rng.batch_key(2, 0), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        t = t.normalized(grid)
+        rad = np.asarray(t.intensity).mean(axis=(0, 1)) * w.flux
+        expect = planck_radiance(lam, T)
+        np.testing.assert_allclose(rad, expect, rtol=0.05)

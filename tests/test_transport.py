@@ -258,3 +258,35 @@ class TestMacroMajorant:
             float(jnp.sum(t.flux_up)) + float(jnp.sum(t.flux_down)), n,
             rtol=1e-4)
         assert int(t.n_bad) == 0
+
+
+class TestBRDFSurface:
+    def test_rpv_hot_spot_and_positive(self):
+        import jax.numpy as jnp
+        from mcbrat3d_tpu.physics.surface import Surface
+        s = Surface.rpv(rho0=0.3, k=0.8, theta=-0.2)
+        mu_in = jnp.asarray([-0.6])
+        # backscatter (phi_out == phi_in + pi is forward; hot spot at
+        # phi_out == phi_in with matching angles)
+        r_hot = s.reflectance(jnp.asarray([0.5]), jnp.asarray([0.5]),
+                              mu_in, jnp.asarray([0.6]),
+                              jnp.asarray([0.0]), jnp.asarray([np.pi]))
+        r_fwd = s.reflectance(jnp.asarray([0.5]), jnp.asarray([0.5]),
+                              mu_in, jnp.asarray([0.6]),
+                              jnp.asarray([0.0]), jnp.asarray([0.0]))
+        assert float(r_hot[0]) > 0 and float(r_fwd[0]) > 0
+
+    def test_rpv_transport_conserves(self):
+        """RPV surface in the kernel: energy balance still closes (surface
+        absorbs 1 - <R>)."""
+        from mcbrat3d_tpu.scenes.plane_parallel import make_slab
+        dom = make_slab(tau=0.5, ssa=1.0, n_cdf_steps=201)
+        s = Surface.rpv(rho0=0.25, k=1.0, theta=-0.1)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=4,
+                           max_steps=3000, use_russian_roulette=False)
+        t = _run(dom, illumination.directional(0.7, 0.0), surface=s, cfg=cfg)
+        n = int(t.n_photons)
+        up = float(jnp.sum(t.flux_up)) / n
+        dn = float(jnp.sum(t.flux_down)) / n
+        assert 0 < up < 1 and dn > 0
+        assert int(t.n_bad) == 0

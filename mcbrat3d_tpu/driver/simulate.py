@@ -22,8 +22,7 @@ from mcbrat3d_tpu.sources import illumination
 def simulate_from_config(cfg: SimulationConfig) -> Tuple[Results, List[str]]:
     if cfg.num_lambda > 1 or cfg.is_longwave:
         from mcbrat3d_tpu.spectral.broadband import run_broadband
-        results = run_broadband(cfg)
-        grid = results.grid if hasattr(results, "grid") else None
+        results = run_broadband(cfg, mesh="auto")
         written = output_mod.write_all(results, results.grid)
         return results, written
 
@@ -45,7 +44,7 @@ def simulate_from_config(cfg: SimulationConfig) -> Tuple[Results, List[str]]:
     # (reference: Drivers/OLDmonteCarloDriver.f95:56,98); broadband runs
     # compute it from the spectral integration instead.
     results = run_simulation(domain, surface, source, cfg,
-                             solar_flux=cfg.solar_flux)
+                             solar_flux=cfg.solar_flux, mesh="auto")
     results.grid = grid
     written = output_mod.write_all(results, grid)
     return results, written

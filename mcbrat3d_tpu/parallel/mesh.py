@@ -52,21 +52,27 @@ def run_batch_sharded(domain: OpticalDomain,
                       config: KernelConfig,
                       mesh: Mesh,
                       intensity_config: Optional[IntensityConfig] = None,
-                      intensity_dirs: Optional[jax.Array] = None) -> Tallies:
+                      intensity_dirs: Optional[jax.Array] = None,
+                      n_photons=None) -> Tallies:
     """One *global* photon batch across the mesh.
 
-    Each device traces ``config.photons_per_batch`` photons as sub-batch
-    stream ``global_batch * n_devices + device_index``; tallies are psum-ed
-    over ICI and returned replicated. Total photons per call =
-    n_devices * config.photons_per_batch.
+    Each device traces ``config.photons_per_batch`` photons (or its share of
+    the traced global ``n_photons``) as sub-batch stream
+    ``global_batch * n_devices + device_index``; tallies are psum-ed over
+    ICI and returned replicated.
     """
     n_dev = mesh.devices.size
 
     def worker(domain, surface, source):
         d = jax.lax.axis_index(PHOTON_AXIS)
         key = rng.batch_key_traced(seed, global_batch * n_dev + d)
+        if n_photons is None:
+            n_local = None
+        else:
+            n_glob = jnp.asarray(n_photons, jnp.int32)
+            n_local = n_glob // n_dev + (d < n_glob % n_dev).astype(jnp.int32)
         t = run_batch(domain, surface, source, key, config,
-                      intensity_config, intensity_dirs)
+                      intensity_config, intensity_dirs, n_photons=n_local)
         return jax.tree.map(
             lambda x: jax.lax.psum(x, PHOTON_AXIS) if x is not None else None,
             t)

@@ -63,8 +63,20 @@ def _tallies_to_arrays(t):
 
 
 def run_broadband(cfg: SimulationConfig,
-                  common=None, ssp_tables=None) -> Results:
+                  common=None, ssp_tables=None, mesh=None,
+                  accumulator=None, start_batch: int = 0,
+                  checkpoint_cb=None) -> Results:
+    """Broadband run. ``mesh``: None | jax Mesh | "auto" (photon-DP across
+    devices per work unit); checkpointing mirrors run_simulation's."""
     t_start = time.time()
+    if mesh == "auto":
+        import jax as _jax
+        if len(_jax.devices()) > 1:
+            from mcbrat3d_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        else:
+            mesh = None
+    n_dev = 1 if mesh is None else mesh.devices.size
     if common is None:
         common = read_common(cfg.phys_domain_file)
     if ssp_tables is None:
@@ -112,7 +124,7 @@ def run_broadband(cfg: SimulationConfig,
     freq = frequency_distribution(cdf, total_photons, seed=cfg.iseed)
 
     # ---------------- per-bin transport ----------------
-    kcfg = kernel_config_from(cfg)
+    kcfg = kernel_config_from(cfg, n_devices=n_dev)
     icfg = idirs = None
     if cfg.compute_intensity:
         mus, phis = cfg.radiance_directions()
@@ -126,10 +138,15 @@ def run_broadband(cfg: SimulationConfig,
             limit_contributions=cfg.limit_intensity_contributions,
             max_contribution=cfg.max_intensity_contribution)
 
-    acc = MomentAccumulator()
+    acc = accumulator if accumulator is not None else MomentAccumulator()
     global_batch = 0
     for li in range(n_lambda):
         if freq[li] <= 0:
+            continue
+        # Fast resume: skip whole bins already covered by the checkpoint
+        n_chunks = -(-int(freq[li]) // (kcfg.photons_per_batch * n_dev))
+        if global_batch + n_chunks <= start_batch:
+            global_batch += n_chunks
             continue
         comps, albedo, lam_um = components_from_ssp(
             common, ssp_tables, li, setup=False,
@@ -153,15 +170,29 @@ def run_broadband(cfg: SimulationConfig,
 
         remaining = int(freq[li])
         while remaining > 0:
-            n = min(remaining, kcfg.photons_per_batch)
-            t = run_batch(domain, surface, source,
-                          rng.batch_key(cfg.iseed, global_batch), kcfg,
-                          icfg, idirs, n_photons=n)
+            n = min(remaining, kcfg.photons_per_batch * n_dev)
+            if global_batch < start_batch:
+                remaining -= n
+                global_batch += 1
+                continue
+            if mesh is not None:
+                from mcbrat3d_tpu.parallel.mesh import run_batch_sharded
+                t = run_batch_sharded(domain, surface, source, cfg.iseed,
+                                      global_batch, kcfg, mesh, icfg, idirs,
+                                      n_photons=n)
+            else:
+                t = run_batch(domain, surface, source,
+                              rng.batch_key(cfg.iseed, global_batch), kcfg,
+                              icfg, idirs, n_photons=n)
             t = t.normalized(grid)
             got = int(t.n_photons)
             acc.add(float(got), _tallies_to_arrays(t))
             remaining -= n
             global_batch += 1
+            if (checkpoint_cb is not None
+                    and cfg.checkpoint_every_batches > 0
+                    and global_batch % cfg.checkpoint_every_batches == 0):
+                checkpoint_cb(global_batch, acc)
 
     mean = {k: total_flux * acc.mean(k) for k in acc._sum_wx}
     stderr = {k: total_flux * acc.stderr(k) for k in acc._sum_wx}

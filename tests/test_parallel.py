@@ -60,3 +60,17 @@ def test_sharded_conservation():
     n = int(t.n_photons)
     total = float(jnp.sum(t.flux_up)) + float(jnp.sum(t.flux_down))
     np.testing.assert_allclose(total, n, rtol=1e-5)
+
+
+def test_sharded_n_photons_exact():
+    """Traced global photon count splits exactly across devices."""
+    from mcbrat3d_tpu.scenes.plane_parallel import make_slab
+    dom = make_slab(tau=1.0, ssa=1.0, n_cdf_steps=201)
+    mesh = make_mesh()
+    cfg = KernelConfig(n_lanes=1 << 8, photons_per_lane=4, max_steps=2000)
+    n_req = 1234
+    t = run_batch_sharded(dom, Surface.lambertian(0.0),
+                          illumination.directional(1.0, 0.0),
+                          seed=0, global_batch=0, config=cfg, mesh=mesh,
+                          n_photons=n_req)
+    assert int(t.n_photons) == n_req

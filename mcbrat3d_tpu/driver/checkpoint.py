@@ -18,10 +18,15 @@ import numpy as np
 from mcbrat3d_tpu.core.accumulate import MomentAccumulator
 
 
-def save_checkpoint(path: str, next_batch: int, acc: MomentAccumulator) -> None:
+def save_checkpoint(path: str, next_batch: int, acc: MomentAccumulator,
+                    chunk_size: int = 0) -> None:
+    """``chunk_size`` records the schedule geometry (photons per global
+    batch = per-device batch x device count); broadband resume validates it
+    so a checkpoint is never resumed under a different work layout."""
     state = acc.state_dict()
     payload = {
         "next_batch": np.int64(next_batch),
+        "chunk_size": np.int64(chunk_size),
         "sum_w": np.float64(state["sum_w"]),
         "n_batches": np.int64(state["n_batches"]),
     }
@@ -34,8 +39,8 @@ def save_checkpoint(path: str, next_batch: int, acc: MomentAccumulator) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str):
-    """Returns (next_batch, MomentAccumulator)."""
+def load_checkpoint(path: str, with_meta: bool = False):
+    """Returns (next_batch, MomentAccumulator[, chunk_size])."""
     with np.load(path) as z:
         state = {
             "sum_w": float(z["sum_w"]),
@@ -43,4 +48,8 @@ def load_checkpoint(path: str):
             "sum_wx": {k[3:]: z[k] for k in z.files if k.startswith("wx:")},
             "sum_wx2": {k[4:]: z[k] for k in z.files if k.startswith("wx2:")},
         }
-        return int(z["next_batch"]), MomentAccumulator.from_state_dict(state)
+        acc = MomentAccumulator.from_state_dict(state)
+        if with_meta:
+            chunk = int(z["chunk_size"]) if "chunk_size" in z.files else 0
+            return int(z["next_batch"]), acc, chunk
+        return int(z["next_batch"]), acc

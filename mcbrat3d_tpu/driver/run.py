@@ -89,13 +89,8 @@ def run_simulation(domain: OpticalDomain,
     ``mesh``: a jax Mesh for multi-chip photon-DP, or "auto" to span all
     local devices when more than one is present.
     """
-    if mesh == "auto":
-        import jax as _jax
-        if len(_jax.devices()) > 1:
-            from mcbrat3d_tpu.parallel.mesh import make_mesh
-            mesh = make_mesh()
-        else:
-            mesh = None
+    from mcbrat3d_tpu.parallel.mesh import resolve_mesh
+    mesh = resolve_mesh(mesh)
     n_dev = 1 if mesh is None else mesh.devices.size
     kcfg = kernel_config_from(cfg, n_devices=n_dev)
     icfg = None
@@ -150,7 +145,7 @@ def run_simulation(domain: OpticalDomain,
         acc.add(float(n), arrays)
         if checkpoint_cb is not None and cfg.checkpoint_every_batches > 0 \
                 and (b + 1) % cfg.checkpoint_every_batches == 0:
-            checkpoint_cb(b + 1, acc)
+            checkpoint_cb(b + 1, acc, kcfg.photons_per_batch * n_dev)
 
     elapsed = time.time() - t0
     mean = {k: solar_flux * acc.mean(k) for k in acc._sum_wx}

@@ -42,6 +42,16 @@ def make_mesh(devices=None, axis_name: str = PHOTON_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def resolve_mesh(mesh):
+    """Normalize a mesh argument: None | Mesh | 'auto' -> Mesh or None.
+
+    'auto' spans all local devices when more than one is present.
+    """
+    if mesh == "auto":
+        return make_mesh() if len(jax.devices()) > 1 else None
+    return mesh
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "intensity_config", "mesh"))
 def run_batch_sharded(domain: OpticalDomain,
@@ -59,9 +69,16 @@ def run_batch_sharded(domain: OpticalDomain,
     Each device traces ``config.photons_per_batch`` photons (or its share of
     the traced global ``n_photons``) as sub-batch stream
     ``global_batch * n_devices + device_index``; tallies are psum-ed over
-    ICI and returned replicated.
+    ICI and returned replicated. ``n_photons`` must not exceed
+    n_devices * config.photons_per_batch (each device clamps its share to
+    its lane capacity); concrete overshoots raise.
     """
     n_dev = mesh.devices.size
+    if isinstance(n_photons, int) and n_photons > n_dev * config.photons_per_batch:
+        raise ValueError(
+            f"n_photons={n_photons} exceeds mesh capacity "
+            f"{n_dev} * {config.photons_per_batch}; raise photons_per_lane "
+            f"or split into more batches")
 
     def worker(domain, surface, source):
         d = jax.lax.axis_index(PHOTON_AXIS)

@@ -12,8 +12,9 @@ Drivers/monteCarloDriver.f95:289-505 setup, :889-1129 worker loop):
 The reference's dynamic MPI master-worker assignment of (lambda-bin, count)
 work units becomes a *static deterministic schedule*: the multinomial
 distribution is drawn once (seeded), then bins are processed in order with
-a traced per-batch photon count, so any device/batch layout reproduces the
-same totals.
+a traced per-batch photon count. Results are bit-reproducible for a fixed
+(seed, device count); runs with different device counts use different RNG
+stream layouts and agree statistically, not bitwise.
 """
 
 from __future__ import annotations
@@ -65,17 +66,18 @@ def _tallies_to_arrays(t):
 def run_broadband(cfg: SimulationConfig,
                   common=None, ssp_tables=None, mesh=None,
                   accumulator=None, start_batch: int = 0,
-                  checkpoint_cb=None) -> Results:
+                  checkpoint_cb=None, resume_chunk_size=None) -> Results:
     """Broadband run. ``mesh``: None | jax Mesh | "auto" (photon-DP across
-    devices per work unit); checkpointing mirrors run_simulation's."""
+    devices per work unit); checkpointing mirrors run_simulation's.
+
+    On resume, pass ``resume_chunk_size`` from the checkpoint metadata: the
+    batch numbering depends on the chunk size (photons_per_batch x device
+    count), so resuming under a different mesh would silently re-simulate or
+    skip photons -- it is rejected instead.
+    """
     t_start = time.time()
-    if mesh == "auto":
-        import jax as _jax
-        if len(_jax.devices()) > 1:
-            from mcbrat3d_tpu.parallel.mesh import make_mesh
-            mesh = make_mesh()
-        else:
-            mesh = None
+    from mcbrat3d_tpu.parallel.mesh import resolve_mesh, run_batch_sharded
+    mesh = resolve_mesh(mesh)
     n_dev = 1 if mesh is None else mesh.devices.size
     if common is None:
         common = read_common(cfg.phys_domain_file)
@@ -125,6 +127,13 @@ def run_broadband(cfg: SimulationConfig,
 
     # ---------------- per-bin transport ----------------
     kcfg = kernel_config_from(cfg, n_devices=n_dev)
+    chunk_size = kcfg.photons_per_batch * n_dev
+    if start_batch > 0 and resume_chunk_size is not None \
+            and resume_chunk_size != chunk_size:
+        raise ValueError(
+            f"checkpoint was written with chunk size {resume_chunk_size} "
+            f"(photons_per_batch x devices) but this run uses {chunk_size}; "
+            "resume with the same device count and batch size")
     icfg = idirs = None
     if cfg.compute_intensity:
         mus, phis = cfg.radiance_directions()
@@ -144,7 +153,7 @@ def run_broadband(cfg: SimulationConfig,
         if freq[li] <= 0:
             continue
         # Fast resume: skip whole bins already covered by the checkpoint
-        n_chunks = -(-int(freq[li]) // (kcfg.photons_per_batch * n_dev))
+        n_chunks = -(-int(freq[li]) // chunk_size)
         if global_batch + n_chunks <= start_batch:
             global_batch += n_chunks
             continue
@@ -170,13 +179,12 @@ def run_broadband(cfg: SimulationConfig,
 
         remaining = int(freq[li])
         while remaining > 0:
-            n = min(remaining, kcfg.photons_per_batch * n_dev)
+            n = min(remaining, chunk_size)
             if global_batch < start_batch:
                 remaining -= n
                 global_batch += 1
                 continue
             if mesh is not None:
-                from mcbrat3d_tpu.parallel.mesh import run_batch_sharded
                 t = run_batch_sharded(domain, surface, source, cfg.iseed,
                                       global_batch, kcfg, mesh, icfg, idirs,
                                       n_photons=n)
@@ -192,7 +200,7 @@ def run_broadband(cfg: SimulationConfig,
             if (checkpoint_cb is not None
                     and cfg.checkpoint_every_batches > 0
                     and global_batch % cfg.checkpoint_every_batches == 0):
-                checkpoint_cb(global_batch, acc)
+                checkpoint_cb(global_batch, acc, chunk_size)
 
     mean = {k: total_flux * acc.mean(k) for k in acc._sum_wx}
     stderr = {k: total_flux * acc.stderr(k) for k in acc._sum_wx}

@@ -132,7 +132,7 @@ class TestRunSimulation:
         # rebuild accumulator through the checkpoint API
         cfg_ck = small_cfg(num_batches=3, checkpoint_every_batches=3)
         run_simulation(dom, sfc, src, cfg_ck, accumulator=acc,
-                       checkpoint_cb=lambda b, a: ckpt.save_checkpoint(path, b, a))
+                       checkpoint_cb=lambda b, a, c: ckpt.save_checkpoint(path, b, a, c))
         next_batch, acc2 = ckpt.load_checkpoint(path)
         assert next_batch == 3
         resumed = run_simulation(dom, sfc, src, cfg, accumulator=acc2,

@@ -338,3 +338,64 @@ class TestLWRadiance:
         rad = np.asarray(t.intensity).mean(axis=(0, 1)) * w.flux
         expect = planck_radiance(lam, T)
         np.testing.assert_allclose(rad, expect, rtol=0.05)
+
+
+class TestBroadbandCheckpointMesh:
+    def _setup(self, tmp_path):
+        from mcbrat3d_tpu.driver.config import SimulationConfig
+        from mcbrat3d_tpu.spectral import solar as solar_io
+        tbl = TestSSP._make_table(self)
+        tbl.surface_albedo = np.array([0.0, 0.0])
+        ssp_path = str(tmp_path / "ssp.nc")
+        write_ssp_table(ssp_path, tbl)
+        grid = Grid.regular(2, 2, 2, 1.0, 1.0, 0.5)
+        common = CommonDomain(
+            grid=grid, temps=np.full((2, 2, 2), 280.0),
+            mass_conc=np.full((1, 2, 2, 2), 0.4),
+            reff=np.full((1, 2, 2, 2), 10.0))
+        common_path = str(tmp_path / "common.nc")
+        write_common(common_path, common)
+        solar_path = str(tmp_path / "solar.nc")
+        solar_io.write_solar_source(solar_path, [0.5, 0.6], [100.0, 80.0])
+        return SimulationConfig(
+            solar_mu=0.6, num_lambda=2, lw_flag=-1.0, calc_rayleigh=False,
+            num_photons_per_batch=1 << 12, num_batches=4, iseed=3,
+            n_phase_intervals=501, n_lanes=1 << 9, max_steps=3000,
+            checkpoint_every_batches=1,
+            phys_domain_file=common_path, ssp_file_names=[ssp_path],
+            solar_source_file=solar_path)
+
+    def test_mesh_matches_serial_statistically(self, tmp_path):
+        from mcbrat3d_tpu.spectral.broadband import run_broadband
+        cfg = self._setup(tmp_path)
+        r_serial = run_broadband(cfg)
+        r_mesh = run_broadband(cfg, mesh="auto")
+        assert r_mesh.total_photons == r_serial.total_photons
+        assert abs(r_mesh.mean["mean_flux_up"] - r_serial.mean["mean_flux_up"]) \
+            < 0.05 * r_serial.mean["mean_flux_up"]
+
+    def test_checkpoint_resume_bitwise(self, tmp_path):
+        from mcbrat3d_tpu.driver import checkpoint as ckpt
+        from mcbrat3d_tpu.spectral.broadband import run_broadband
+        cfg = self._setup(tmp_path)
+        full = run_broadband(cfg, mesh="auto")
+        saves = {}
+        def cb(b, acc, chunk):
+            p = str(tmp_path / f"ck{b}.npz")
+            ckpt.save_checkpoint(p, b, acc, chunk)
+            saves[b] = p
+        run_broadband(cfg, mesh="auto", checkpoint_cb=cb)
+        # resume from an intermediate checkpoint and match the full run
+        b = sorted(saves)[len(saves) // 2]
+        nb, acc, chunk = ckpt.load_checkpoint(saves[b], with_meta=True)
+        resumed = run_broadband(cfg, mesh="auto", accumulator=acc,
+                                start_batch=nb, resume_chunk_size=chunk)
+        np.testing.assert_allclose(resumed.mean["flux_up"],
+                                   full.mean["flux_up"], rtol=1e-12)
+
+    def test_resume_wrong_chunk_rejected(self, tmp_path):
+        from mcbrat3d_tpu.spectral.broadband import run_broadband
+        cfg = self._setup(tmp_path)
+        with pytest.raises(ValueError, match="chunk size"):
+            run_broadband(cfg, mesh="auto", start_batch=2,
+                          resume_chunk_size=12345)

@@ -290,3 +290,46 @@ class TestBRDFSurface:
         dn = float(jnp.sum(t.flux_down)) / n
         assert 0 < up < 1 and dn > 0
         assert int(t.n_bad) == 0
+
+
+@pytest.mark.slow
+class TestLandsatScale:
+    def test_large_domain_correct_and_macro_wins(self):
+        """128x128x64 broken-cloud scene: scatter-tally path stays correct
+        and macro majorants sharply reduce steps (clear air + thin cloud)."""
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        rs = np.random.RandomState(3)
+        nx = ny = 64
+        nz = 32
+        tau = np.maximum(0, rs.gamma(2.0, 6.0, (nx, ny)) - 4.0)
+        thick_cells = np.where(tau > 0, rs.randint(5, 20, (nx, ny)), 0)
+        ext = np.zeros((nx, ny, nz))
+        dz = 20.0
+        for k in range(nz):
+            ext[:, :, k] = np.where(k < thick_cells,
+                                    tau / np.maximum(thick_cells * dz, 1), 0)
+        tbl = PhaseFunctionTable([PhaseFunction.henyey_greenstein(0.85, 64)],
+                                 key=[1.0])
+        comp = OpticalComponent("broken cloud", ext, np.full_like(ext, 0.99),
+                                np.zeros(ext.shape, np.int32), tbl)
+        grid = Grid.regular(nx, ny, nz, 30.0, 30.0, dz)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=2,
+                           max_steps=60000)
+        src = illumination.directional(0.5, 0.0)
+        out = {}
+        for mf in (0, 16):
+            dom = build_domain(grid, [comp], n_cdf_steps=501, macro_factor=mf)
+            t = _run(dom, src, surface=Surface.lambertian(0.2), cfg=cfg)
+            n = int(t.n_photons)
+            assert int(t.n_bad) == 0
+            R = float(jnp.sum(t.flux_up)) / n
+            T = float(jnp.sum(t.flux_down)) / n
+            A = float(jnp.sum(t.flux_absorbed)) / n
+            # closure: up + atm abs + surface-absorbed share of down
+            np.testing.assert_allclose(R + A + 0.8 * T, 1.0, atol=0.02)
+            out[mf] = (R, int(t.n_steps))
+        assert abs(out[0][0] - out[16][0]) < 0.03  # agree on reflectance
+        assert out[16][1] < 0.5 * out[0][1]  # macro cuts steps >2x here

@@ -333,3 +333,48 @@ class TestLandsatScale:
             out[mf] = (R, int(t.n_steps))
         assert abs(out[0][0] - out[16][0]) < 0.03  # agree on reflectance
         assert out[16][1] < 0.5 * out[0][1]  # macro cuts steps >2x here
+
+
+class TestTableVsAnalyticSampling:
+    def test_inverse_cdf_table_matches_analytic_hg(self):
+        """The same HG phase function sampled through the inverse-CDF table
+        (all_hg=False) and analytically (all_hg=True) must agree."""
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        g = 0.8
+        coeffs = g ** np.arange(1, 129)
+        pf_table = PhaseFunction(coefficients=coeffs)   # hg_g=None -> table
+        pf_hg = PhaseFunction.henyey_greenstein(g, 128)  # analytic path
+        grid = Grid.regular(4, 4, 8, 0.25, 0.25, 0.125)
+        ext = np.full((4, 4, 8), 3.0)
+
+        def make(pf):
+            comp = OpticalComponent(
+                "slab", ext, np.full_like(ext, 0.99),
+                np.zeros(ext.shape, np.int32),
+                PhaseFunctionTable([pf], key=[1.0]))
+            return build_domain(grid, [comp], n_cdf_steps=9001)
+
+        dom_t = make(pf_table)
+        dom_a = make(pf_hg)
+        assert not dom_t.all_hg and dom_a.all_hg
+        cfg = KernelConfig(n_lanes=1 << 13, photons_per_lane=8,
+                           max_steps=6000)
+
+        def rta(dom, seeds):
+            vals = []
+            for s in seeds:
+                t = _run(dom, illumination.directional(0.6, 0.0), cfg=cfg,
+                         seed=s)
+                n = int(t.n_photons)
+                vals.append([float(jnp.sum(t.flux_up)) / n,
+                             float(jnp.sum(t.flux_absorbed)) / n])
+            return np.asarray(vals)
+
+        a = rta(dom_a, range(3))
+        b = rta(dom_t, range(3, 6))
+        sig = (a.std(0, ddof=1) + b.std(0, ddof=1)) / np.sqrt(3) + 1e-4
+        assert np.all(np.abs(a.mean(0) - b.mean(0)) < 5 * sig + 0.005), (
+            a.mean(0), b.mean(0), sig)

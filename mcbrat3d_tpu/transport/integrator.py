@@ -84,6 +84,10 @@ class KernelConfig:
     # this; reference: Drivers/monteCarloDriver.f95:98-99,
     # Integrators/monteCarloRadiativeTransfer.f95:109-115).
     record_scattering_orders: int = 0
+    # Compact straggler photons into a 16x smaller wave once all quotas are
+    # spent (the wave otherwise runs at full width until the last photon
+    # dies). Pure performance knob; statistics are unchanged.
+    tail_compaction: bool = True
 
     @property
     def photons_per_batch(self) -> int:
@@ -326,13 +330,14 @@ def run_batch(domain: OpticalDomain,
         w = state["w"]
         alive = state["alive"]
         quota = state["quota"]
+        n = x.shape[0]  # body is lane-count polymorphic (tail compaction)
 
         def k(purpose):
             return rng.step_key(key, step, purpose)
 
         # ---------------- refill dead lanes from the source ----------------
         need = (~alive) & (quota > 0)
-        xf, yf, zf, mu_s, phi_s = illumination.sample(source, k(rng.SOURCE), N)
+        xf, yf, zf, mu_s, phi_s = illumination.sample(source, k(rng.SOURCE), n)
         sx = x0 + xf * (x_max - x0)
         sy = y0 + yf * (y_max - y0)
         sz = jnp.clip(grid.z_from_fraction(zf), z0 + z_eps, z_max - z_eps)
@@ -388,7 +393,7 @@ def run_batch(domain: OpticalDomain,
                     by_component=ibc, excess=excess)
 
         # ---------------- one transport step for all alive lanes ------------
-        tau = rng.exponential_deviate(k(rng.TAU), (N,))
+        tau = rng.exponential_deviate(k(rng.TAU), (n,))
         if cfg.use_ray_tracing:
             # DDA ray tracing: march voxel-by-voxel until tau is accumulated
             # or a z boundary is hit (reference's first free-path mode;
@@ -446,7 +451,7 @@ def run_batch(domain: OpticalDomain,
                 d = jnp.minimum(d_samp, t_clip)
             else:
                 d = tau * inv_beta_max
-                clipped = jnp.zeros((N,), bool)
+                clipped = jnp.zeros((n,), bool)
             zn = z + uz * d
 
             exit_top = alive & (zn >= z_max)
@@ -479,7 +484,7 @@ def run_batch(domain: OpticalDomain,
             # -- single packed record gather: everything a collision needs --
             rec = records[cell]  # [N, 2 + 4*ncomp]
             beta = rec[:, 0]
-            u_col = rng.uniform(k(rng.COLLISION), (N,))
+            u_col = rng.uniform(k(rng.COLLISION), (n,))
             # Null-collision test against the majorant this step sampled with
             ceiling = beta_loc if use_macro else beta_max
             real = collide & (u_col * ceiling < beta)
@@ -489,13 +494,13 @@ def run_batch(domain: OpticalDomain,
 
         # -------- component selection + absorption at real collisions -------
         if ncomp == 1:
-            comp = jnp.zeros((N,), jnp.int32)
+            comp = jnp.zeros((n,), jnp.int32)
             ssa_c = rec[:, 3]
             pfi_c = rec[:, 4].astype(jnp.int32)
             g_c = rec[:, 5]
         else:
             cum = rec[:, 2:2 + ncomp]
-            u_comp = rng.uniform(k(rng.COMPONENT), (N,))
+            u_comp = rng.uniform(k(rng.COMPONENT), (n,))
             comp = jnp.sum(cum < u_comp[:, None], axis=1).astype(jnp.int32)
             comp = jnp.clip(comp, 0, ncomp - 1)
             comp_hot = jax.nn.one_hot(comp, ncomp, dtype=f32)
@@ -523,7 +528,7 @@ def run_batch(domain: OpticalDomain,
 
         # ---------------- Russian roulette ---------------------------------
         if cfg.use_russian_roulette:
-            u_rr = rng.uniform(k(rng.ROULETTE), (N,))
+            u_rr = rng.uniform(k(rng.ROULETTE), (n,))
             play = real & (w < 0.5 * rr_w)
             survive = u_rr < w / rr_w
             w = jnp.where(play, jnp.where(survive, rr_w, 0.0), w)
@@ -531,13 +536,13 @@ def run_batch(domain: OpticalDomain,
 
         # ---------------- scattering: new direction -------------------------
         scatter = real & ~died_weight
-        u_ang = rng.uniform(k(rng.SCAT_ANGLE), (N,))
+        u_ang = rng.uniform(k(rng.SCAT_ANGLE), (n,))
         if domain.all_hg:
             cos_theta = sample_hg_cos(g_c, u_ang)
         else:
             row = offsets[comp] + pfi_c
             cos_theta = sample_scattering_cos(inv_flat, n_cdf_steps, row, u_ang)
-        phi_rot = rng.uniform(k(rng.SCAT_AZIMUTH), (N,), 0.0, 2.0 * np.pi)
+        phi_rot = rng.uniform(k(rng.SCAT_AZIMUTH), (n,), 0.0, 2.0 * np.pi)
         rux, ruy, ruz = rotate_direction(ux, uy, uz, cos_theta, phi_rot)
         ux = jnp.where(scatter, rux, ux)
         uy = jnp.where(scatter, ruy, uy)
@@ -548,9 +553,9 @@ def run_batch(domain: OpticalDomain,
         # with mu = sqrt(u) and the surface reflectance (reference:
         # Integrators/monteCarloRadiativeTransfer.f95:619-702).
         w_down = w  # weight at the surface (pre-reflection)
-        u_mu = rng.uniform(k(rng.SURFACE_MU), (N,))
+        u_mu = rng.uniform(k(rng.SURFACE_MU), (n,))
         mu_new = jnp.sqrt(jnp.maximum(u_mu, f32(1e-12)))
-        phi_new = rng.uniform(k(rng.SURFACE_PHI), (N,), 0.0, 2.0 * np.pi)
+        phi_new = rng.uniform(k(rng.SURFACE_PHI), (n,), 0.0, 2.0 * np.pi)
         if surface.is_uniform_lambertian:
             refl = surface.params[0, 0, 0]
         else:
@@ -621,8 +626,40 @@ def run_batch(domain: OpticalDomain,
         return (new_state, flux, vol, intensity, ibc, excess, scat, step + 1,
                 n_started, n_bad_acc)
 
+    # ---------------- two-phase execution with tail compaction ----------
+    # The wave runs until the LAST lane dies; on long-tailed domains most
+    # late steps process a nearly dead wave. Phase 1 stops once all quotas
+    # are spent and few lanes survive; the survivors are compacted into a
+    # 16x smaller wave and finished in phase 2 at proportionally lower
+    # per-step cost.
+    do_compact = cfg.tail_compaction and N >= 16384
+    n_tail = max(N // 16, 2048)
+
+    if do_compact:
+        def cond1(carry):
+            state = carry[0]
+            step = carry[7]
+            alive_n = jnp.sum(state["alive"], dtype=jnp.int32)
+            has_quota = jnp.any(state["quota"] > 0)
+            work = has_quota | (alive_n > 0)
+            small_tail = (~has_quota) & (alive_n <= n_tail)
+            return work & (step < cfg.max_steps) & ~small_tail
+
+        carry1 = jax.lax.while_loop(cond1, body, carry0)
+        state1 = carry1[0]
+        alive1 = state1["alive"]
+        sel = jnp.nonzero(alive1, size=n_tail, fill_value=0)[0]
+        valid = jnp.arange(n_tail) < jnp.sum(alive1, dtype=jnp.int32)
+        state2 = {k2: v[sel] for k2, v in state1.items()}
+        state2["alive"] = state2["alive"] & valid
+        state2["quota"] = jnp.zeros((n_tail,), jnp.int32)
+        carry2 = (state2,) + carry1[1:]
+        final = jax.lax.while_loop(cond, body, carry2)
+    else:
+        final = jax.lax.while_loop(cond, body, carry0)
+
     (state_f, flux_f, vol_f, intensity_f, ibc_f, excess_f, scat_f, n_steps,
-     n_started, n_bad_dda) = jax.lax.while_loop(cond, body, carry0)
+     n_started, n_bad_dda) = final
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32) + n_bad_dda
 
     if limit_intensity:

@@ -9,6 +9,8 @@ vectorized JAX version for on-device phase-function evaluation.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,14 +50,8 @@ def gauss_legendre(n: int):
     return np.polynomial.legendre.leggauss(n)
 
 
-def lobatto(n: int):
-    """Gauss-Lobatto nodes and weights on [-1, 1] (float64), n >= 2.
-
-    Interior nodes are the roots of P'_{n-1}; endpoints are included
-    (reference: src/numericUtilities.f95:27-115).
-    """
-    if n < 2:
-        raise ValueError("Lobatto quadrature needs n >= 2")
+@functools.lru_cache(maxsize=256)
+def _lobatto_cached(n: int):
     # Roots of P'_{n-1}: derivative coefficients via numpy's Legendre series.
     c = np.zeros(n)
     c[-1] = 1.0
@@ -64,7 +60,22 @@ def lobatto(n: int):
     mus = np.concatenate(([-1.0], np.sort(interior), [1.0]))
     pn = np.polynomial.legendre.legval(mus, c)
     w = 2.0 / (n * (n - 1) * pn**2)
+    mus.setflags(write=False)
+    w.setflags(write=False)
     return mus, w
+
+
+def lobatto(n: int):
+    """Gauss-Lobatto nodes and weights on [-1, 1] (float64), n >= 2.
+
+    Interior nodes are the roots of P'_{n-1}; endpoints are included
+    (reference: src/numericUtilities.f95:27-115). Cached (read-only views):
+    the root solve is an O(n^3) eigenvalue problem and broadband table
+    setup requests the same orders for every (entry, wavelength).
+    """
+    if n < 2:
+        raise ValueError("Lobatto quadrature needs n >= 2")
+    return _lobatto_cached(n)
 
 
 def legendre_moments_from_values(mus: np.ndarray, weights: np.ndarray,

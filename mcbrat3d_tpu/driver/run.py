@@ -17,7 +17,6 @@ import dataclasses
 import time
 from typing import Optional
 
-import jax
 import numpy as np
 
 from mcbrat3d_tpu.core import rng
@@ -48,9 +47,6 @@ class Results:
 
     def __getitem__(self, name):
         return self.mean[name]
-
-
-FIELDS_2D = ("flux_up", "flux_down", "flux_absorbed")
 
 
 def kernel_config_from(cfg: SimulationConfig,

@@ -10,7 +10,7 @@ register other BRDF kernels as pure JAX functions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -247,7 +247,7 @@ def run_batch(domain: OpticalDomain,
     ncomp = domain.n_components
     N = cfg.n_lanes
 
-    records = domain.cell_records  # [nxyz, 1 + 4*ncomp]
+    records = domain.cell_records  # [nxyz, 2 + 4*ncomp]
     inv_flat = domain.tables.inverse.reshape(-1)
     n_cdf_steps = domain.tables.inverse.shape[1]
     offsets = domain.tables.offsets

@@ -553,9 +553,13 @@ def run_batch(domain: OpticalDomain,
         # with mu = sqrt(u) and the surface reflectance (reference:
         # Integrators/monteCarloRadiativeTransfer.f95:619-702).
         w_down = w  # weight at the surface (pre-reflection)
-        u_mu = rng.uniform(k(rng.SURFACE_MU), (n,))
-        mu_new = jnp.sqrt(jnp.maximum(u_mu, f32(1e-12)))
-        phi_new = rng.uniform(k(rng.SURFACE_PHI), (n,), 0.0, 2.0 * np.pi)
+        # A lane either scatters (real) or reflects at the surface
+        # (exit_bot) in a given step, never both, so the surface draws can
+        # reuse the scattering-angle/azimuth streams: per lane they serve
+        # exactly one of the two mutually exclusive purposes. Saves two
+        # uniform streams per step.
+        mu_new = jnp.sqrt(jnp.maximum(u_ang, f32(1e-12)))
+        phi_new = phi_rot
         if surface.is_uniform_lambertian:
             refl = surface.params[0, 0, 0]
         else:

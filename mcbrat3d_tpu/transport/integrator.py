@@ -265,8 +265,12 @@ def run_batch(domain: OpticalDomain,
 
     rr_w = jnp.float32(cfg.russian_roulette_weight)
 
-    flux_add = make_accumulator(3 * nxy)
-    vol_add = make_accumulator(nxyz)
+    # One combined tally buffer: [fluxUp | fluxDown | volumeAbsorption].
+    # Per step a lane contributes at most ONE update (top exit, bottom exit,
+    # or absorption at a real collision); the pixel-level absorbed flux is
+    # derived afterwards as the vertical sum of volume absorption, so no
+    # separate accumulation is needed.
+    tally_add = make_accumulator(2 * nxy + nxyz)
 
     f32 = jnp.float32
     zeros = jnp.zeros((N,), f32)
@@ -301,8 +305,8 @@ def run_batch(domain: OpticalDomain,
     n_orders = cfg.record_scattering_orders
     scat0 = jnp.zeros((2 * (n_orders + 1) * nxy if n_orders > 0 else 1,), f32)
     scat_add = make_accumulator(scat0.shape[0]) if n_orders > 0 else None
-    flux0 = jnp.zeros((3 * nxy,), f32)
-    vol0 = jnp.zeros((nxyz,), f32)
+    flux0 = jnp.zeros((2 * nxy + nxyz,), f32)
+    vol0 = jnp.zeros((1,), f32)  # folded into flux0; kept for carry shape
     intensity0 = jnp.zeros((max(n_dirs, 1) * nxy,), f32)
     limit_intensity = compute_intensity and intensity_config.limit_contributions
     if limit_intensity:
@@ -369,8 +373,8 @@ def run_batch(domain: OpticalDomain,
             eiz = grid.locate_z(z)
             ecol = eix * ny + eiy
             e_val = jnp.where(atm_emit, f32(-1.0), 0.0)
-            flux = flux_add(flux, jnp.where(atm_emit, 2 * nxy + ecol, 0), e_val)
-            vol = vol_add(vol, jnp.where(atm_emit, ecol * nz + eiz, 0), e_val)
+            flux = tally_add(
+                flux, jnp.where(atm_emit, 2 * nxy + ecol * nz + eiz, 0), e_val)
 
             if compute_intensity:
                 # Emission contributes to the radiances at photon birth:
@@ -598,18 +602,17 @@ def run_batch(domain: OpticalDomain,
         alive = alive & ~exit_top & ~died_weight & ~died_surface
 
         # ---------------- fused tally accumulation ---------------------------
-        # Each lane contributes at most one flux-type update (up | down |
-        # absorbed are exclusive per step) and one volume-absorption update.
+        # Each lane contributes at most one update per step (up | down |
+        # absorption-at-cell are exclusive); absorbed pixel flux is derived
+        # as the z-sum of volume absorption after the loop.
         f_idx = jnp.where(
             exit_top, col_e,
             jnp.where(exit_bot, nxy + col_e,
-                      jnp.where(real, 2 * nxy + col_c, 0)))
+                      jnp.where(real, 2 * nxy + cell, 0)))
         f_val = jnp.where(exit_top, w,
                           jnp.where(exit_bot, w_down,
                                     jnp.where(real, absorbed, 0.0)))
-        flux = flux_add(flux, f_idx, f_val)
-        vol = vol_add(vol, jnp.where(real, cell, 0),
-                      jnp.where(real, absorbed, 0.0))
+        flux = tally_add(flux, f_idx, f_val)
 
         if n_orders > 0:
             # Boundary fluxes binned by scattering order (overflow in the
@@ -682,11 +685,12 @@ def run_batch(domain: OpticalDomain,
     else:
         up_by_order = down_by_order = None
 
+    volume_absorption = flux_f[2 * nxy:].reshape(nx, ny, nz)
     return Tallies(
         flux_up=flux_f[:nxy].reshape(nx, ny),
         flux_down=flux_f[nxy:2 * nxy].reshape(nx, ny),
-        flux_absorbed=flux_f[2 * nxy:3 * nxy].reshape(nx, ny),
-        volume_absorption=vol_f.reshape(nx, ny, nz),
+        flux_absorbed=jnp.sum(volume_absorption, axis=2),
+        volume_absorption=volume_absorption,
         intensity=(intensity_f.reshape(n_dirs, nx, ny).transpose(1, 2, 0)
                    if compute_intensity else None),
         flux_up_by_order=up_by_order,

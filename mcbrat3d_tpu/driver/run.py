@@ -76,7 +76,8 @@ def run_simulation(domain: OpticalDomain,
                    mesh=None,
                    accumulator: Optional[MomentAccumulator] = None,
                    start_batch: int = 0,
-                   checkpoint_cb=None) -> Results:
+                   checkpoint_cb=None,
+                   resume_chunk_size=None) -> Results:
     """Run cfg.num_batches batches and return finalized statistics.
 
     ``solar_flux`` scales all outputs (reference:
@@ -89,6 +90,12 @@ def run_simulation(domain: OpticalDomain,
     mesh = resolve_mesh(mesh)
     n_dev = 1 if mesh is None else mesh.devices.size
     kcfg = kernel_config_from(cfg, n_devices=n_dev)
+    if start_batch > 0 and resume_chunk_size is not None \
+            and resume_chunk_size != kcfg.photons_per_batch * n_dev:
+        raise ValueError(
+            f"checkpoint was written with chunk size {resume_chunk_size} "
+            f"but this run uses {kcfg.photons_per_batch * n_dev}; resume "
+            "with the same device count and batch size")
     icfg = None
     idirs = None
     if cfg.compute_intensity:

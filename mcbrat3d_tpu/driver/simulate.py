@@ -19,10 +19,35 @@ from mcbrat3d_tpu.physics.surface import Surface
 from mcbrat3d_tpu.sources import illumination
 
 
+def _checkpoint_hooks(cfg: SimulationConfig) -> dict:
+    """Resume-from + periodic-save kwargs for the run functions, driven by
+    the checkpointFile / checkpointEveryBatches namelist knobs (the
+    periodic-checkpoint machinery the reference designed but disabled;
+    reference: Drivers/monteCarloDriver.f95:127-134,753-801)."""
+    import os
+
+    from mcbrat3d_tpu.driver import checkpoint as ckpt
+
+    if not cfg.checkpoint_file:
+        return {}
+    out: dict = {}
+    if os.path.exists(cfg.checkpoint_file):
+        next_batch, acc, chunk = ckpt.load_checkpoint(cfg.checkpoint_file,
+                                                      with_meta=True)
+        out["accumulator"] = acc
+        out["start_batch"] = next_batch
+        out["resume_chunk_size"] = chunk or None
+    if cfg.checkpoint_every_batches > 0:
+        out["checkpoint_cb"] = (
+            lambda b, acc, chunk: ckpt.save_checkpoint(
+                cfg.checkpoint_file, b, acc, chunk))
+    return out
+
+
 def simulate_from_config(cfg: SimulationConfig) -> Tuple[Results, List[str]]:
     if cfg.num_lambda > 1 or cfg.is_longwave:
         from mcbrat3d_tpu.spectral.broadband import run_broadband
-        results = run_broadband(cfg, mesh="auto")
+        results = run_broadband(cfg, mesh="auto", **_checkpoint_hooks(cfg))
         written = output_mod.write_all(results, results.grid)
         return results, written
 
@@ -43,8 +68,10 @@ def simulate_from_config(cfg: SimulationConfig) -> Tuple[Results, List[str]]:
     # Monochromatic runs take solarFlux from the namelist, default 1.0
     # (reference: Drivers/OLDmonteCarloDriver.f95:56,98); broadband runs
     # compute it from the spectral integration instead.
+    resume = _checkpoint_hooks(cfg)
     results = run_simulation(domain, surface, source, cfg,
-                             solar_flux=cfg.solar_flux, mesh="auto")
+                             solar_flux=cfg.solar_flux, mesh="auto",
+                             **resume)
     results.grid = grid
     written = output_mod.write_all(results, grid)
     return results, written

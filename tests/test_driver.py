@@ -229,3 +229,56 @@ class TestScatOrderOutputs:
         res.grid = dom.grid
         written = out_mod.write_all(res, dom.grid)
         assert aux in written and os.path.getsize(aux) > 0
+
+
+class TestCLICheckpoint:
+    def test_run_resume_via_namelist(self, tmp_path):
+        """checkpointFile/checkpointEveryBatches namelist knobs: a second
+        invocation resumes from the saved state and matches an uninterrupted
+        run bitwise."""
+        from mcbrat3d_tpu.driver.cli import main as cli_main
+        import io
+        from contextlib import redirect_stdout
+
+        dom_path = str(tmp_path / "step.dom")
+        cli_main(["mkdomain", "step_cloud", dom_path, "ssa=0.99"])
+        ck = str(tmp_path / "run.ck.npz")
+        nc_full = str(tmp_path / "full.nc")
+        nc_res = str(tmp_path / "resumed.nc")
+
+        def nml(n_batches, out, with_ck):
+            p = tmp_path / f"r{n_batches}{with_ck}.nml"
+            ck_lines = (f"  checkpointFile = '{ck}'\n"
+                        "  checkpointEveryBatches = 1\n") if with_ck else ""
+            p.write_text(f"""
+&radiativeTransfer
+  solarMu = 0.5
+/
+&monteCarlo
+  numPhotonsPerBatch = 4096
+  numBatches = {n_batches}
+  iseed = 7
+  nPhaseIntervals = 501
+{ck_lines}/
+&fileNames
+  domainFileName = '{dom_path}'
+  outputNetcdfFile = '{out}'
+/
+""")
+            return str(p)
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            # uninterrupted 4-batch run
+            cli_main(["run", nml(4, nc_full, False)])
+            # 2-batch run with checkpointing, then resumed 4-batch run
+            cli_main(["run", nml(2, str(tmp_path / "x.nc"), True)])
+            cli_main(["run", nml(4, nc_res, True)])
+
+        from scipy.io import netcdf_file
+        with netcdf_file(nc_full, "r", mmap=False) as a, \
+                netcdf_file(nc_res, "r", mmap=False) as b:
+            np.testing.assert_allclose(np.array(b.variables["fluxUp"][:]),
+                                       np.array(a.variables["fluxUp"][:]),
+                                       rtol=1e-12)
+            assert float(b.totalPhotons) == float(a.totalPhotons)

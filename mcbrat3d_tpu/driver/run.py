@@ -53,9 +53,12 @@ def kernel_config_from(cfg: SimulationConfig,
                        n_devices: int = 1) -> KernelConfig:
     """Per-device kernel config; numPhotonsPerBatch is the *global* batch
     size, split evenly across the mesh."""
-    per_dev = max(1, cfg.num_photons_per_batch // max(1, n_devices))
+    # Round capacity UP (ceil at both splits) and let the exact (traced)
+    # n_photons clamp the count, so numPhotonsPerBatch is honored even when
+    # it isn't a multiple of n_devices * n_lanes
+    per_dev = max(1, -(-cfg.num_photons_per_batch // max(1, n_devices)))
     n_lanes = min(cfg.n_lanes, per_dev)
-    ppl = max(1, per_dev // n_lanes)
+    ppl = max(1, -(-per_dev // n_lanes))
     return KernelConfig(
         n_lanes=n_lanes,
         photons_per_lane=ppl,
@@ -118,10 +121,12 @@ def run_simulation(domain: OpticalDomain,
         if mesh is not None:
             from mcbrat3d_tpu.parallel.mesh import run_batch_sharded
             t = run_batch_sharded(domain, surface, source, cfg.iseed, b,
-                                  kcfg, mesh, icfg, idirs)
+                                  kcfg, mesh, icfg, idirs,
+                                  n_photons=cfg.num_photons_per_batch)
         else:
             key = rng.batch_key(cfg.iseed, b)
-            t = run_batch(domain, surface, source, key, kcfg, icfg, idirs)
+            t = run_batch(domain, surface, source, key, kcfg, icfg, idirs,
+                          n_photons=cfg.num_photons_per_batch)
         t = t.normalized(domain.grid)
         n = int(t.n_photons)
 

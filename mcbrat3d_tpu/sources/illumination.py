@@ -134,7 +134,7 @@ def sample(source: Source, key: jax.Array, n: int):
                 jnp.full((n,), -source.solar_mu),
                 jnp.full((n,), source.solar_azimuth))
     if source.kind == EMISSION:
-        return _sample_emission(source, [u(i) for i in range(6)], n)
+        return _sample_emission(source, [u(i) for i in range(7)], n)
     raise ValueError(f"unknown source kind {source.kind!r}")
 
 
@@ -173,6 +173,9 @@ def _sample_emission(source: Source, u, n: int):
     yf = jnp.where(from_atm, yf_a, yf_s)
     zf = jnp.where(from_atm, zf_a, zf_s)
     mu = jnp.where(from_atm, mu_a, mu_s)
-    # One shared azimuth stream; derive a fresh uniform from u[0]'s key space
-    phi = 2.0 * jnp.pi * jnp.where(from_atm, u[3], u[4])
+    # Azimuth gets its own dedicated stream: the reference draws independent
+    # deviates per field (reference: src/monteCarloIllumination.f95:495-509);
+    # reusing the y-offset deviate would correlate sub-voxel position with
+    # launch direction (uniform marginals, degenerate joint).
+    phi = 2.0 * jnp.pi * u[6]
     return xf, yf, zf, mu, phi

@@ -122,20 +122,29 @@ class Tallies:
         """
         nx, ny, nz = grid.shape
         n = jnp.maximum(self.n_photons.astype(jnp.float32), 1.0)
-        per_col = n / (nx * ny)
+        # Photons land per column in proportion to its area (sources sample
+        # x/y uniformly over the domain), so irregular x/y spacings weight
+        # numPhotonsPerColumn by relative column area (reference:
+        # Integrators/monteCarloRadiativeTransfer.f95:330-343). For regular
+        # grids this reduces to n / (nx * ny) exactly.
+        dxs = jnp.asarray(grid.x_edges[1:] - grid.x_edges[:-1], jnp.float32)
+        dys = jnp.asarray(grid.y_edges[1:] - grid.y_edges[:-1], jnp.float32)
+        area = dxs[:, None] * dys[None, :]
+        per_col = n * (area / jnp.sum(area))  # [nx, ny]
+        per_col3 = per_col[:, :, None]
         dz = grid.z_edges[1:] - grid.z_edges[:-1]
         return Tallies(
             flux_up=self.flux_up / per_col,
             flux_down=self.flux_down / per_col,
             flux_absorbed=self.flux_absorbed / per_col,
             volume_absorption=self.volume_absorption
-            / (per_col * dz[None, None, :] * 1000.0),
+            / (per_col3 * dz[None, None, :] * 1000.0),
             intensity=None if self.intensity is None
-            else self.intensity / per_col,
+            else self.intensity / per_col3,
             flux_up_by_order=None if self.flux_up_by_order is None
-            else self.flux_up_by_order / per_col,
+            else self.flux_up_by_order / per_col3,
             flux_down_by_order=None if self.flux_down_by_order is None
-            else self.flux_down_by_order / per_col,
+            else self.flux_down_by_order / per_col3,
             n_photons=self.n_photons,
             n_bad=self.n_bad,
             n_steps=self.n_steps,
@@ -655,12 +664,17 @@ def run_batch(domain: OpticalDomain,
         carry1 = jax.lax.while_loop(cond1, body, carry0)
         state1 = carry1[0]
         alive1 = state1["alive"]
+        alive_n1 = jnp.sum(alive1, dtype=jnp.int32)
         sel = jnp.nonzero(alive1, size=n_tail, fill_value=0)[0]
-        valid = jnp.arange(n_tail) < jnp.sum(alive1, dtype=jnp.int32)
+        valid = jnp.arange(n_tail) < alive_n1
         state2 = {k2: v[sel] for k2, v in state1.items()}
         state2["alive"] = state2["alive"] & valid
         state2["quota"] = jnp.zeros((n_tail,), jnp.int32)
-        carry2 = (state2,) + carry1[1:]
+        # Phase 1 normally exits with <= n_tail survivors, but a max_steps
+        # exit can leave more; those beyond n_tail are dropped here and must
+        # be counted in the bad-photon diagnostic (tallies are unaffected).
+        n_dropped = jnp.maximum(alive_n1 - n_tail, 0)
+        carry2 = (state2,) + carry1[1:9] + (carry1[9] + n_dropped,)
         final = jax.lax.while_loop(cond, body, carry2)
     else:
         final = jax.lax.while_loop(cond, body, carry0)

@@ -91,6 +91,16 @@ def small_cfg(**kw):
 
 
 class TestRunSimulation:
+    def test_exact_photon_count_non_lane_multiple(self):
+        """numPhotonsPerBatch must be honored exactly even when it is not a
+        multiple of n_lanes (the lane quotas clamp to the traced count)."""
+        dom = make_slab(tau=1.0, ssa=0.9, n_cdf_steps=201)
+        cfg = small_cfg(num_photons_per_batch=3000, num_batches=2,
+                        n_lanes=1 << 10)  # 3000 = 2.93 * 1024
+        res = run_simulation(dom, Surface.lambertian(0.0),
+                             illumination.directional(1.0, 0.0), cfg)
+        assert res.total_photons == 2 * 3000
+
     def test_stats_and_conservation(self):
         dom = make_slab(tau=1.0, ssa=0.9, n_cdf_steps=201)
         cfg = small_cfg()

@@ -431,3 +431,82 @@ class TestSSPWriterVariantTolerance:
         back = read_ssp_table(path)
         np.testing.assert_allclose(back.components[0].ssa,
                                    tbl.components[0].ssa)
+
+
+class TestEmissionSourceStreams:
+    def test_azimuth_independent_of_voxel_position(self):
+        """The azimuth must use its own deviate: sub-voxel (x, y, z) offsets
+        and phi must be uncorrelated (reference draws independent deviates
+        per field; reference: src/monteCarloIllumination.f95:495-509)."""
+        nx = ny = nz = 4
+        n_vox = nx * ny * nz
+        cdf = np.arange(1, n_vox + 1) / n_vox
+        src = illumination.emission(cdf, atms_fraction=1.0,
+                                    grid_shape=(nx, ny, nz))
+        n = 100_000
+        xf, yf, zf, mu, phi = illumination.sample(
+            src, rng.batch_key(7, 0), n)
+        xf, yf, zf = np.asarray(xf), np.asarray(yf), np.asarray(zf)
+        phi = np.asarray(phi)
+        mu = np.asarray(mu)
+        for off in ((xf * nx) % 1.0, (yf * ny) % 1.0, (zf * nz) % 1.0, mu):
+            r = np.corrcoef(off, phi)[0, 1]
+            assert abs(r) < 4.0 / np.sqrt(n), r
+        # and phi itself stays uniform on [0, 2 pi)
+        h, _ = np.histogram(phi, bins=16, range=(0.0, 2 * np.pi))
+        assert h.min() > 0.9 * n / 16 and h.max() < 1.1 * n / 16
+
+
+class TestGasComponent3D:
+    def _gas_table(self, nz, xsec_val=1e-25):
+        freq = np.array([C / 10.0e-6])
+        comp = SSPComponent(name="gray gas", ext_type="absXsec",
+                            xsec=np.full((nz, 1), xsec_val))
+        return SSPTable(freq_hz=freq, surface_albedo=np.array([0.0]),
+                        components=[comp])
+
+    def test_3d_pressure_gives_3d_gas_extinction(self):
+        """A 3D-pressure common domain must produce column-dependent gas
+        absorption, not column-0 everywhere (reference applies numConc cell
+        by cell; reference: src/opticalProperties.f95:217-234)."""
+        nx, ny, nz = 2, 1, 3
+        grid = Grid.regular(nx, ny, nz, 1.0, 1.0, 0.5)
+        temps = np.full((nx, ny, nz), 280.0)
+        # column 1 has double the pressure (and numConc) of column 0
+        num_conc = np.empty((nx, ny, nz))
+        num_conc[0] = 1e25
+        num_conc[1] = 2e25
+        common = CommonDomain(grid=grid, temps=temps, num_conc=num_conc)
+        comps, _, _ = components_from_ssp(common, [self._gas_table(nz)], 0,
+                                          calc_rayleigh=False)
+        ext = comps[0].extinction
+        assert ext.shape == (nx, ny, nz)
+        np.testing.assert_allclose(ext[1] / ext[0], 2.0, rtol=1e-12)
+        np.testing.assert_allclose(ext[0], 1e-25 * 1e25 * 1000.0, rtol=1e-12)
+
+    def test_uniform_pressure_stays_compact(self):
+        """Horizontally uniform numConc keeps the cheap (1, 1, nz) layout."""
+        grid = Grid.regular(2, 2, 3, 1.0, 1.0, 0.5)
+        temps = np.full((2, 2, 3), 280.0)
+        num_conc = np.broadcast_to(
+            np.array([3e25, 2e25, 1e25]), (2, 2, 3)).copy()
+        common = CommonDomain(grid=grid, temps=temps, num_conc=num_conc)
+        comps, _, _ = components_from_ssp(common, [self._gas_table(3)], 0,
+                                          calc_rayleigh=False)
+        assert comps[0].extinction.shape[:2] == (1, 1)
+
+    def test_surface_albedo_from_first_table(self):
+        """With multiple SSP tables, surfaceAlbedo comes from the FIRST
+        (the reference creates the domain from table 1 in read_SSPTable;
+        reference: src/opticalProperties.f95:181-215)."""
+        grid = Grid.regular(1, 1, 2, 1.0, 1.0, 0.5)
+        temps = np.full((1, 1, 2), 280.0)
+        common = CommonDomain(grid=grid, temps=temps,
+                              num_conc=np.full((1, 1, 2), 1e25))
+        t1 = self._gas_table(2)
+        t1.surface_albedo = np.array([0.3])
+        t2 = self._gas_table(2)
+        t2.surface_albedo = np.array([0.9])
+        _, albedo, _ = components_from_ssp(common, [t1, t2], 0,
+                                           calc_rayleigh=False)
+        assert albedo == pytest.approx(0.3)

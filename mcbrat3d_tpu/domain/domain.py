@@ -120,6 +120,13 @@ class OpticalDomain:
     cell_records: jax.Array  # [nx*ny*nz, 2 + 4*ncomp] f32
     tables: DeviceTables
     all_hg: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Spatial-uniformity flags (static, detected at build time): when the
+    # single-scattering albedo / HG asymmetry is the same in every occupied
+    # cell, kernels read it from one scalar instead of the per-cell gather.
+    uniform_ssa: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=False)
+    uniform_hg: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=False)
     # Macro-cell majorant grid (two-level Woodcock): number of fine cells
     # per macro cell along each axis; 0 disables the local-majorant field.
     macro_factor: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -246,6 +253,19 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                       np.float32)
         rec[:, 2 + 3 * ncomp + c] = gs[pfi.reshape(-1, ncomp)[:, c]]
 
+    # Uniformity detection over OCCUPIED cells only (empty cells never
+    # scatter, so their ssa/g values are irrelevant to the kernels)
+    occ = rec[:, 0] > 0.0
+    ssa0 = rec[occ, 2 + ncomp] if occ.any() else rec[:1, 2 + ncomp]
+    g0 = rec[occ, 2 + 3 * ncomp] if occ.any() else rec[:1, 2 + 3 * ncomp]
+    uniform_ssa = ncomp == 1 and bool(np.all(ssa0 == ssa0[0]))
+    uniform_hg = ncomp == 1 and bool(np.all(g0 == g0[0]))
+    if uniform_ssa:
+        # make unoccupied cells consistent so the scalar is exact
+        rec[:, 2 + ncomp] = ssa0[0]
+    if uniform_hg:
+        rec[:, 2 + 3 * ncomp] = g0[0]
+
     return OpticalDomain(
         grid=grid,
         total_ext=jnp.asarray(total, jnp.float32),
@@ -255,6 +275,8 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         cell_records=jnp.asarray(rec),
         tables=tables,
         all_hg=all_hg,
+        uniform_ssa=uniform_ssa,
+        uniform_hg=uniform_hg,
         macro_factor=int(macro_factor),
         temps=None if temps is None else jnp.asarray(temps, jnp.float32),
         lambda_um=float(lambda_um),

@@ -22,10 +22,15 @@ from mcbrat3d_tpu.physics.phase_function import PhaseFunction, PhaseFunctionTabl
 def inverse_cdf_single(pf: PhaseFunction, n_steps: int) -> np.ndarray:
     """Scattering angle [radians] at n_steps uniform CDF values in [0, 1]."""
     if pf.is_legendre:
-        # Sample at Lobatto nodes of order max(nMoments, 2)
-        # (reference: src/inversePhaseFunctions.f95:107-112).
-        n_ang = max(pf.n_moments, 2)
-        n_ang = max(n_ang, 64)  # floor for smooth CDFs of low-order functions
+        # Sample at Lobatto nodes of order >= nMoments
+        # (reference: src/inversePhaseFunctions.f95:107-112), rounded UP to
+        # the next power-of-two bucket (floor 64): the node count only sets
+        # the CDF evaluation grid (more nodes = strictly finer), and the
+        # O(n^3) root solve is cached per order -- bucketing collapses a
+        # broadband table build from one eigensolve per (entry, lambda)
+        # to at most ~8 total.
+        n_ang = max(pf.n_moments, 64)
+        n_ang = 1 << (n_ang - 1).bit_length()
         mus, _ = lobatto(n_ang)
         values = pf.evaluate(np.arccos(mus[::-1]))[::-1]  # increasing in mu
     else:

@@ -36,6 +36,7 @@ from mcbrat3d_tpu.spectral.weights import (
     emission_weighting,
     frequency_distribution,
     lambda_widths,
+    lw_setup_fluxes,
     solar_weighting,
 )
 from mcbrat3d_tpu.transport.integrator import run_batch
@@ -99,17 +100,12 @@ def run_broadband(cfg: SimulationConfig,
 
     # ---------------- spectral CDF ----------------
     if cfg.is_longwave:
-        # Setup pass: per-lambda total emitted flux (atmosphere + surface)
+        # Setup pass: per-lambda total emitted flux (atmosphere + surface),
+        # vectorized over wavelength chunks instead of the reference's
+        # rank-parallel per-bin loop
         # (reference: Drivers/monteCarloDriver.f95:304-450)
-        fluxes = np.zeros(n_lambda)
-        for li in range(n_lambda):
-            comps, albedo, lam_um = components_from_ssp(
-                common, ssp_tables, li, setup=True, calc_rayleigh=False)
-            kabs = absorption_coefficient(comps, grid)
-            w = emission_weighting(grid, common.temps, kabs,
-                                   cfg.surface_temp, 1.0 - albedo, lam_um,
-                                   d_lambda=d_lambda[li])
-            fluxes[li] = w.total_flux
+        fluxes = lw_setup_fluxes(common, ssp_tables, d_lambda,
+                                 cfg.surface_temp)
         if srf is not None:
             fluxes = fluxes * srf
         cdf = kahan_cumsum(fluxes)

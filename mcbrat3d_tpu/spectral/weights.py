@@ -136,6 +136,129 @@ def absorption_coefficient(components, grid):
     return kabs
 
 
+def lw_setup_fluxes(common, ssp_tables, d_lambda, surface_temp,
+                    lambda_chunk: int = 16) -> np.ndarray:
+    """Vectorized LW setup pass: per-wavelength total emitted flux [W m^-2].
+
+    Equivalent to looping components_from_ssp(setup=True) +
+    absorption_coefficient + emission_weighting over every bin (the
+    reference parallelizes exactly this across MPI ranks; reference:
+    Drivers/monteCarloDriver.f95:304-450), but computes the
+    lambda-independent Reff interpolation factors once and sweeps
+    wavelengths in vectorized chunks -- O(n_lambda) python work becomes
+    O(n_lambda / chunk).
+
+    Only the per-bin scalar flux is needed for the spectral CDF; voxel CDFs
+    are still built per *active* bin by the transport loop.
+    """
+    from mcbrat3d_tpu.domain.ssp import lambda_um_from_freq
+
+    grid = common.grid
+    nx, ny, nz = grid.shape
+    nxy = nx * ny
+    temps = np.asarray(common.temps, np.float64)
+    ze = np.asarray(grid.z_edges, np.float64)
+    dz = np.diff(ze)
+
+    lambdas = lambda_um_from_freq(ssp_tables[0].freq_hz)
+    n_lambda = lambdas.size
+    sfc_albedo = np.asarray(ssp_tables[0].surface_albedo, np.float64)
+    d_lambda = np.asarray(d_lambda, np.float64)
+
+    if not np.all(temps > 0.0):
+        atm_on = False
+    else:
+        atm_on = True
+        b_cache_t = temps.transpose(2, 0, 1).reshape(nz, nxy)  # [nz, nxy]
+
+    # --- lambda-independent per-cell factors per particle component ---
+    particle_terms = []  # (zb, nzc, mass*[1-f], mass*f, il) + ea table
+    gas_terms = []       # (zb, xsec [nzc, nL], num [nx,ny,nzc])
+    particle_idx = 0
+    for tbl in ssp_tables:
+        for c in tbl.components:
+            if c.ext_type == "absXsec":
+                if common.num_conc is None:
+                    raise ValueError(
+                        "gas component needs pressures in the common domain")
+                nzc = c.xsec.shape[0]
+                zb = c.z_level_base
+                num = np.asarray(
+                    common.num_conc[:, :, zb:zb + nzc], np.float64)
+                gas_terms.append((zb, np.asarray(c.xsec, np.float64), num))
+                continue
+            if common.mass_conc is None:
+                raise ValueError(
+                    "particle component needs massConc/Reff in common domain")
+            mass = np.asarray(common.mass_conc[particle_idx], np.float64)
+            reff = np.asarray(common.reff[particle_idx], np.float64)
+            particle_idx += 1
+            key = c.key
+            active = mass > 0.0
+            bad = active & ((reff < key.min()) | (reff >= key.max()))
+            if np.any(bad):
+                raise ValueError(
+                    f"component '{c.name}': effective radius outside table "
+                    f"range at {int(bad.sum())} cells")
+            il = np.clip(np.searchsorted(key, reff) - 1, 0, key.size - 2)
+            f = (reff - key[il]) / (key[il + 1] - key[il])
+            mass = np.where(active, mass, 0.0)
+            f = np.where(active, f, 0.0)
+            particle_terms.append(
+                (c.z_level_base, mass, f, il,
+                 np.asarray(c.extinction, np.float64),
+                 np.asarray(c.ssa, np.float64)))
+
+    fluxes = np.zeros(n_lambda)
+    for l0 in range(0, n_lambda, lambda_chunk):
+        l1 = min(l0 + lambda_chunk, n_lambda)
+        ll = slice(l0, l1)
+        nl = l1 - l0
+        if atm_on:
+            # atm flux per lambda: sum_cells 4 pi B kabs dz / (nx ny),
+            # accumulated z-level by z-level to bound memory
+            atm = np.zeros(nl)
+            for k in range(nz):
+                kabs = np.zeros((nx, ny, nl))
+                for zb, mass, f, il, ext_t, ssa_t in particle_terms:
+                    kz = k - zb
+                    if not 0 <= kz < mass.shape[2]:
+                        continue
+                    ilk = il[:, :, kz]
+                    fk = f[:, :, kz, None]
+                    # interpolate ext and ssa separately, THEN combine --
+                    # matching read_SSPTable's per-field interpolation
+                    # (reference: src/opticalProperties.f95:236-265)
+                    e = mass[:, :, kz, None] * (
+                        (1.0 - fk) * ext_t[ilk][:, :, ll]
+                        + fk * ext_t[ilk + 1][:, :, ll])
+                    s = ((1.0 - fk) * ssa_t[ilk][:, :, ll]
+                         + fk * ssa_t[ilk + 1][:, :, ll])
+                    kabs += e * (1.0 - s)
+                for zb, xsec, num in gas_terms:
+                    kz = k - zb
+                    if not 0 <= kz < xsec.shape[0]:
+                        continue
+                    # absorbing gas: ssa = 0, so kabs == extinction
+                    kabs += xsec[kz, ll][None, None, :] * \
+                        num[:, :, kz, None] * 1000.0
+                b_k = planck_radiance(lambdas[ll][None, :],
+                                      b_cache_t[k][:, None])  # [nxy, nl]
+                atm += 4.0 * np.pi * dz[k] * np.einsum(
+                    "cl,cl->l", b_k, kabs.reshape(nxy, nl))
+            atm /= nxy
+        else:
+            atm = np.zeros(nl)
+        emissivity = 1.0 - sfc_albedo[ll]
+        if surface_temp > 0.0:
+            sfc = np.pi * emissivity * planck_radiance(lambdas[ll],
+                                                       surface_temp)
+        else:
+            sfc = np.zeros(nl)
+        fluxes[ll] = (atm + sfc) * d_lambda[ll]
+    return fluxes
+
+
 def frequency_distribution(cdf, total_photons, seed):
     """Photon counts per wavelength bin: multinomial draw against the
     spectral CDF (reference: getFrequencyDistr,

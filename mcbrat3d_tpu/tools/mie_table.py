@@ -53,17 +53,35 @@ class MieTableConfig:
     sretab: float = 5.0  # smallest Reff [um]
     eretab: float = 25.0  # largest Reff [um]
     maxradius: float = 75.0  # largest particle radius [um]
-    bbtemp: float = 5800.0  # Planck weighting temperature (0: flat)
+    # Planck weighting temperature; None -> the reference's effective
+    # blackbody rule (5800 K below 3 um, 270 K above 5 um, flat between;
+    # reference: effectiveBlackBodyTemp, Tools/MakeMieTable.f95:298-323)
+    bbtemp: Optional[float] = None
     max_legendre: int = 2048
     n_quad: int = 0  # 0 -> auto from max size parameter
     trunc_threshold: float = 0.5e-5
 
 
-def center_wavelength(w1: float, w2: float, bbtemp: float) -> float:
+def effective_bb_temp(w1: float, w2: float) -> float:
+    """Planck-weighting temperature for a band: 5800 K when the band center
+    is below 3 um (solar), 270 K above 5 um (terrestrial), -1 (flat
+    weighting) between (reference: effectiveBlackBodyTemp,
+    Tools/MakeMieTable.f95:298-323)."""
+    center = 0.5 * (w1 + w2)
+    if center < 3.0:
+        return 5800.0
+    if center > 5.0:
+        return 270.0
+    return -1.0
+
+
+def center_wavelength(w1: float, w2: float, bbtemp=None) -> float:
     """Planck-weighted center wavelength of [w1, w2]
     (reference: GET_CENTER_WAVELEN :376-414)."""
     if w2 <= w1:
         return w1
+    if bbtemp is None:
+        bbtemp = effective_bb_temp(w1, w2)
     lam = np.linspace(w1, w2, 201)
     wts = planck_radiance(lam, bbtemp) if bbtemp > 0 else np.ones_like(lam)
     return float(np.sum(lam * wts) / np.sum(wts))
@@ -146,28 +164,65 @@ def adjusted_distribution(radii, reff, alpha, distflag, pardens,
 
 def make_mie_table(cfg: MieTableConfig) -> PhaseFunctionTable:
     """Generate the phase-function table (the MakeMieTable main flow)."""
-    wavelencen = center_wavelength(cfg.wavelen1, cfg.wavelen2, cfg.bbtemp)
+    bbtemp = (cfg.bbtemp if cfg.bbtemp is not None
+              else effective_bb_temp(cfg.wavelen1,
+                                     max(cfg.wavelen2, cfg.wavelen1)))
+    wavelencen = center_wavelength(cfg.wavelen1, cfg.wavelen2, bbtemp)
+    band_avg = cfg.avgflag.upper() == "A" and cfg.wavelen2 > cfg.wavelen1
 
     if cfg.rindex is not None:
         m = cfg.rindex
-    elif cfg.avgflag.upper() == "A" or cfg.wavelen2 > cfg.wavelen1:
+    elif cfg.wavelen2 > cfg.wavelen1 and not band_avg:
         m = band_average_index(cfg.partype, cfg.wavelen1,
-                               max(cfg.wavelen2, cfg.wavelen1), cfg.bbtemp)
+                               cfg.wavelen2, bbtemp)
     else:
         m = complex(refractive_index(cfg.partype, wavelencen))
 
     radii = size_grid(cfg.sretab, cfg.maxradius, wavelencen)
-    x = 2.0 * np.pi * radii / wavelencen
+    area = np.pi * radii**2  # geometric cross sections [um^2]
 
-    x_max = float(x[-1])
-    n_quad = cfg.n_quad or min(4096, max(256, int(2.5 * x_max)))
-    mu, wq = np.polynomial.legendre.leggauss(n_quad)
-
-    qext, qsca, inten = mie_batch(x, m, mu)
-    # geometric cross-sections -> per-particle cross sections [um^2]
-    area = np.pi * radii**2
-    cext = qext * area  # [um^2]
-    csca = qsca * area
+    if band_avg:
+        # avgflag='A': Planck-weighted average of the *Mie computation*
+        # over wavelengths spaced deltawave apart, with the water/ice
+        # refractive index refreshed per wavelength (reference:
+        # COMPUTE_MIE_ALL_SIZES, Tools/MakeMieTable.f95:523-595). The
+        # phase-function average is weighted by the scattering cross
+        # section: we accumulate the absolute differential cross section
+        # inten * lambda^2 (dsigma/dOmega = i(theta)/k^2), which matches
+        # the reference's Planck-weighted sum of SCAT * P_l.
+        w_min = cfg.wavelen1
+        n_quad = cfg.n_quad or min(
+            4096, max(256, int(2.5 * 2.0 * np.pi * radii[-1] / w_min)))
+        mu, wq = np.polynomial.legendre.leggauss(n_quad)
+        cext = np.zeros(radii.size)
+        csca = np.zeros(radii.size)
+        inten = np.zeros((radii.size, n_quad))
+        sum_p = 0.0
+        wave = cfg.wavelen1
+        while wave <= cfg.wavelen2 + 1e-9:
+            planck = (planck_radiance(wave, bbtemp) if bbtemp > 0 else 1.0)
+            if cfg.rindex is not None:
+                m_w = cfg.rindex
+            else:
+                m_w = complex(refractive_index(cfg.partype, wave))
+            qext_w, qsca_w, inten_w = mie_batch(
+                2.0 * np.pi * radii / wave, m_w, mu)
+            cext += planck * qext_w * area
+            csca += planck * qsca_w * area
+            inten += planck * (wave ** 2) * inten_w
+            sum_p += planck
+            wave += cfg.deltawave
+        cext /= sum_p
+        csca /= sum_p
+        inten /= sum_p
+    else:
+        x = 2.0 * np.pi * radii / wavelencen
+        x_max = float(x[-1])
+        n_quad = cfg.n_quad or min(4096, max(256, int(2.5 * x_max)))
+        mu, wq = np.polynomial.legendre.leggauss(n_quad)
+        qext, qsca, inten = mie_batch(x, m, mu)
+        cext = qext * area  # [um^2]
+        csca = qsca * area
 
     n_reff = cfg.nretanb or max(2, int(round(cfg.eretab - cfg.sretab)) + 1)
     reffs = np.linspace(cfg.sretab, cfg.eretab, n_reff)

@@ -88,6 +88,10 @@ class KernelConfig:
     # spent (the wave otherwise runs at full width until the last photon
     # dies). Pure performance knob; statistics are unchanged.
     tail_compaction: bool = True
+    # VMEM-resident Pallas megakernel (transport.pallas_kernel): "auto"
+    # uses it on TPU whenever the configuration is eligible; "on" forces it
+    # (errors if ineligible); "off" always runs the XLA wave kernel.
+    use_pallas: str = "auto"
 
     @property
     def photons_per_batch(self) -> int:
@@ -249,6 +253,28 @@ def run_batch(domain: OpticalDomain,
     <= config.photons_per_batch.
     """
     cfg = config
+
+    # ---- TPU fast path: VMEM-resident Pallas megakernel ----
+    if cfg.use_pallas != "off" and intensity_config is None \
+            and not debug_state:
+        from mcbrat3d_tpu.transport import pallas_kernel as _pk
+        eligible = _pk.pallas_eligible(
+            domain, surface, source,
+            lw_mode=cfg.lw_mode, compute_intensity=False,
+            record_scattering_orders=cfg.record_scattering_orders,
+            use_ray_tracing=cfg.use_ray_tracing)
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if cfg.use_pallas == "on":
+            if not eligible:
+                raise ValueError("use_pallas='on' but the configuration is "
+                                 "outside the megakernel's v1 envelope")
+            return _pk.run_batch_pallas_tallies(
+                domain, surface, source, key, cfg, n_photons,
+                interpret=not on_tpu)
+        if eligible and on_tpu:
+            return _pk.run_batch_pallas_tallies(
+                domain, surface, source, key, cfg, n_photons)
+
     grid = domain.grid
     nx, ny, nz = grid.shape
     nxy = nx * ny

@@ -1,0 +1,733 @@
+"""VMEM-resident Pallas transport megakernel (the TPU fast path).
+
+TPU-first re-implementation of the integrator hot loop (reference:
+Integrators/monteCarloRadiativeTransfer.f95:393-841, computeRT) as a single
+Mosaic kernel that keeps photon state, the cell-record table, and the tally
+buffer entirely in VMEM across K transport steps per launch:
+
+  * photon state is [R, 128] lane-major float32 (R rows of 128 lanes);
+  * cell-record gathers run on the MXU: a (hi, lo) factorized one-hot
+    (cell = hi * 128 + lo) built as [BLK, 128, 128] compares against a
+    hoisted iota, contracted by *batched* matmuls so results stay in the
+    block layout (no cross-lane transposes);
+  * tallies accumulate by the transposed contraction of the same one-hots;
+    the volume-absorption section of the tally buffer is placed at a
+    128-aligned base so the collision gather's lo-one-hot is reused;
+  * bf16 one-hot matmuls carry a hi/lo *value split* (v = bf16(v) +
+    bf16(v - bf16(v))) so gathered/accumulated f32 values keep ~1e-7
+    relative accuracy at bf16 MXU speed;
+  * uniforms come from an in-kernel counter-based mixer (two murmur3
+    finalizer rounds keyed by (lane, step, draw-site, seed)) -- stateless,
+    platform-independent (runs in interpreter mode on CPU for testing),
+    and reproducible in (key, call sequence);
+  * one launch advances K steps inside a fori_loop; an XLA-level
+    while_loop re-launches until every lane quota is spent and dead,
+    with the ~2.6 MB state as the loop carry (HBM round-trip per launch
+    is amortized over K steps).
+
+Eligibility (v1; everything else falls back to transport.integrator):
+monochromatic flux-only runs with one all-HG component on a regular grid,
+uniform Lambertian surface, directional/random-azimuth/flux sources,
+n_cells <= 16384 and 2*nx*ny + padding + n_cells <= 16384.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcbrat3d_tpu.domain.domain import OpticalDomain
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+
+_TINY = np.float32(1e-30)
+_TOP_EPS = np.float32(1e-6)
+
+# Record columns gathered per collision: total extinction, single-scattering
+# albedo, HG asymmetry, (pad). Padded to 4 so W = H * REC_COLS stays
+# lane-tileable for every H.
+REC_COLS = 4
+
+MAX_CELLS = 128 * 128  # hi fits one one-hot factor
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasConfig:
+    """Static launch geometry for the megakernel."""
+
+    rows: int = 512          # state rows: n_lanes = rows * 128
+    block_rows: int = 32     # rows per one-hot/matmul block
+    steps_per_call: int = 128
+    max_steps: int = 20_000
+    interpret: bool = False  # CPU interpreter mode (tests)
+    # perf-bisection knob: comma-set of enabled sections out of
+    # {gather, tally, exits}; anything disabled is replaced by constants.
+    # NOT for production use -- statistics are wrong unless "all".
+    debug_parts: str = "all"
+
+    @property
+    def n_lanes(self) -> int:
+        return self.rows * 128
+
+
+def pallas_eligible(domain: OpticalDomain, surface: Surface,
+                    source: illumination.Source,
+                    lw_mode: bool, compute_intensity: bool,
+                    record_scattering_orders: int,
+                    use_ray_tracing: bool) -> bool:
+    """True when the v1 megakernel covers this configuration exactly."""
+    nx, ny, nz = domain.grid.shape
+    n_cells = nx * ny * nz
+    vol_base = -(-2 * nx * ny // 128) * 128
+    return (
+        domain.all_hg
+        and domain.n_components == 1
+        and domain.grid.xy_regular and domain.grid.z_regular
+        and surface.is_uniform_lambertian
+        and source.kind in (illumination.DIRECTIONAL,
+                            illumination.RANDOM_AZIMUTH,
+                            illumination.FLUX)
+        and not lw_mode
+        and not compute_intensity
+        and record_scattering_orders == 0
+        and not use_ray_tracing
+        and n_cells <= MAX_CELLS
+        and vol_base + n_cells <= MAX_CELLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel counter-based RNG: murmur3 finalizer rounds over
+# (lane, step * n_sites + site, seed). Bijective mixing with full avalanche;
+# replaces the XLA kernel's threefry streams (statistically equivalent
+# sampling; reference RNG contract: src/RandomNumbersForMC.f95).
+# ---------------------------------------------------------------------------
+
+def _fmix32(x):
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EB_CA6B)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(0xC2B2_AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+_N_SITES = 12  # draw sites per step (static; spare room for new sites)
+
+
+def _make_uniform(lane_u32, seed_u32):
+    """Returns u(step_counter, site) -> f32 uniforms in [0, 1)."""
+
+    def u(counter, site):
+        c = (counter * np.uint32(_N_SITES)
+             + np.uint32(site)) * np.uint32(0x9E37_79B9)
+        x = _fmix32(lane_u32 ^ c)
+        x = _fmix32(x ^ seed_u32 ^ (c * np.uint32(0x8564_9F3D)))
+        # Mosaic lacks a uint32 -> f32 cast; after >> 8 the value fits in
+        # 24 bits, so a bitcast to int32 is value-preserving.
+        x24 = jax.lax.bitcast_convert_type(x >> np.uint32(8), jnp.int32)
+        return x24.astype(jnp.float32) * np.float32(2.0 ** -24)
+
+    return u
+
+
+# ---------------------------------------------------------------------------
+# Factorized one-hot helpers (all stay in [BLK, 128, *] block layout)
+# ---------------------------------------------------------------------------
+
+def _bf16_split(v):
+    """f32 -> (bf16 high, bf16 low) with v ~= high + low exactly in f32."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _onehot_lo(idx_blk, iota_lane):
+    """[BLK, 128] int32 -> [BLK, 128, 128] bf16 one-hot of idx & 127."""
+    lo = jnp.bitwise_and(idx_blk, 127)
+    return (lo[:, :, None] == iota_lane).astype(jnp.bfloat16)
+
+
+def _gather_records(cell_blk, oh_lo, b_hi, b_lo, iota_w_div, iota_w_mod,
+                    fields=(0, 1, 2)):
+    """One factorized record gather for a [BLK, 128] block of lanes.
+
+    The lo contraction is one 2D MXU matmul over merged lane rows (3D
+    contractions and batched dots lower ~10x slower in Mosaic); hi
+    selection and per-record extraction are masked cross-lane reductions
+    in block layout (lane-dim slice extraction costs ~10 us/block in
+    Mosaic relayouts, 5x the whole gather). Each extracted record costs a
+    reduction pass, so ``fields`` lists only the record columns the caller
+    actually needs (uniform ssa/g domains extract just extinction).
+
+    Returns a dict {record column -> [BLK, 128] f32}.
+    """
+    blk = cell_blk.shape[0]
+    w_cols = b_hi.shape[1]
+    # T[n, w] = B[lo(n), w]
+    oh2 = oh_lo.reshape(blk * 128, 128)
+    t2 = (jnp.dot(oh2, b_hi, preferred_element_type=jnp.float32)
+          + jnp.dot(oh2, b_lo, preferred_element_type=jnp.float32))
+    t = t2.reshape(blk, 128, w_cols)
+    # hi selection: keep only the w-block of this lane's hi index
+    hi = jnp.right_shift(cell_blk, 7)
+    s = t * (iota_w_div == hi[:, :, None]).astype(jnp.float32)
+    # record extraction: masked sums over the (small) w lane dim
+    return {r: jnp.sum(s * (iota_w_mod == r), axis=2) for r in fields}
+
+
+def _tally_contract(oh_lo, t_hi_blk, val_blk, ht):
+    """Transposed factorized scatter-add for one block.
+
+    acc[h, lo] += sum_{b,l} (t_hi(b,l) == h) * val(b,l) * oh_lo[b,l,lo]
+    Returns the [ht, 128] f32 partial sum.
+    """
+    blk = val_blk.shape[0]
+    nb = blk * 128
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, ht), 2)
+    ohh = (t_hi_blk[:, :, None] == iota_h).astype(jnp.float32)
+    ohh_v = ohh * val_blk[:, :, None]
+    a2 = ohh_v.reshape(nb, ht)
+    o2 = oh_lo.reshape(nb, 128)
+    a_h, a_l = _bf16_split(a2)
+    dn = (((0,), (0,)), ((), ()))  # contract the lane rows
+    return (jax.lax.dot_general(a_h, o2, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a_l, o2, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# The megakernel
+# ---------------------------------------------------------------------------
+
+def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
+                  h_cells: int, ht: int, use_rr: bool,
+                  uniform_ssa: bool = False, uniform_hg: bool = False):
+    """Close over static shapes; returns the pallas kernel function.
+
+    Grid EDGES are traced (read from the SMEM params vector per program) so
+    one compiled kernel serves every same-shaped domain; only the cell
+    COUNTS (nx, ny, nz) are static.
+    """
+    nx, ny, nz = shape
+    nxy = nx * ny
+    vol_base = -(-2 * nxy // 128) * 128
+    vol_hi0 = vol_base // 128
+
+    rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
+    n_blocks = rows // blk
+
+    def kernel(scal_ref, par_ref,
+               x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
+               quota_in, alive_in,
+               b_hi_ref, b_lo_ref, k_fold_ref, acc_in,
+               x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
+               quota_ref, alive_ref, acc_ref, nstat_ref):
+        # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
+        # block -- a small compile unit; Mosaic iterates it sequentially.
+        # All buffers use constant index maps so they stay VMEM-resident
+        # across the whole grid (fetched once, written back at the end).
+        k_idx = pl.program_id(0)
+        b_idx = pl.program_id(1)
+
+        # state inputs are aliased onto the outputs; copy through once (at
+        # the first program) so the kernel also works un-aliased
+        # (interpreter mode), then operate exclusively on the output refs
+        @pl.when((k_idx == 0) & (b_idx == 0))
+        def _init():
+            for src, dst in ((x_in, x_ref), (y_in, y_ref), (z_in, z_ref),
+                             (ux_in, ux_ref), (uy_in, uy_ref),
+                             (uz_in, uz_ref), (w_in, w_ref),
+                             (quota_in, quota_ref), (alive_in, alive_ref),
+                             (acc_in, acc_ref)):
+                dst[:] = src[:]
+            nstat_ref[0, 0] = 0.0
+            nstat_ref[0, 1] = 0.0
+
+        seed = scal_ref[0]
+        step0 = scal_ref[1]
+        beta_max = par_ref[0, 0]
+        inv_beta_max = par_ref[0, 1]
+        albedo = par_ref[0, 2]
+        smu = par_ref[0, 3]    # source |mu0|
+        sphi = par_ref[0, 4]   # source azimuth
+        rr_w = par_ref[0, 5]
+        x0 = par_ref[0, 6]
+        lx = par_ref[0, 7]
+        y0 = par_ref[0, 8]
+        ly = par_ref[0, 9]
+        z0 = par_ref[0, 10]
+        lz = par_ref[0, 11]
+        inv_dx = nx / lx
+        inv_dy = ny / ly
+        inv_dz = nz / lz
+        z_max = z0 + lz
+        z_eps = lz * _TOP_EPS
+
+        iota_lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, 128), 2)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, w_cols), 2)
+        iota_w_div = iota_w // REC_COLS
+        iota_w_mod = iota_w % REC_COLS
+        lane0 = (jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 0)
+                 * np.uint32(128)
+                 + jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 1))
+        seed_u = seed.astype(jnp.uint32)
+
+        # One transport step for one [blk, 128] block of lanes. Everything
+        # is ref-mediated per block (load slice -> compute -> store slice)
+        # so no intermediate outlives a block iteration: the Mosaic register
+        # allocator reuses one block's worth of VMEM instead of keeping all
+        # blocks' one-hot tensors live (which spills ~40x the state size).
+        def block_step(b, ctr, started):
+            sl = pl.ds(b * blk, blk)
+            uniform = _make_uniform(
+                lane0 + np.uint32(blk * 128) * b.astype(jnp.uint32), seed_u)
+            x, y, z = x_ref[sl], y_ref[sl], z_ref[sl]
+            ux, uy, uz = ux_ref[sl], uy_ref[sl], uz_ref[sl]
+            w = w_ref[sl]
+            alive = alive_ref[sl] > 0
+            quota = quota_ref[sl]
+
+            # ---- refill dead lanes from the source ----
+            need = (~alive) & (quota > 0)
+            u0 = uniform(ctr, 0)
+            u1 = uniform(ctr, 1)
+            x = jnp.where(need, x0 + u0 * lx, x)
+            y = jnp.where(need, y0 + u1 * ly, y)
+            z = jnp.where(need, z_max - z_eps, z)
+            if source_kind == illumination.DIRECTIONAL:
+                s_mu = -smu
+                s_phi = jnp.full((blk, 128), sphi)
+            elif source_kind == illumination.RANDOM_AZIMUTH:
+                s_mu = -smu
+                s_phi = 2.0 * np.pi * uniform(ctr, 2)
+            else:  # FLUX
+                s_mu = -jnp.sqrt(jnp.maximum(uniform(ctr, 2),
+                                             np.float32(1e-12)))
+                s_phi = 2.0 * np.pi * uniform(ctr, 9)
+            s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
+            ux = jnp.where(need, s_sin * jnp.cos(s_phi), ux)
+            uy = jnp.where(need, s_sin * jnp.sin(s_phi), uy)
+            uz = jnp.where(need, jnp.broadcast_to(s_mu, (blk, 128)), uz)
+            w = jnp.where(need, 1.0, w)
+            alive = alive | need
+            quota = quota - need.astype(jnp.int32)
+            started = started + jnp.sum(need.astype(jnp.float32))
+
+            # ---- Woodcock jump (global majorant) ----
+            u_tau = uniform(ctr, 3)
+            tau = -jnp.log1p(-u_tau)
+            d = tau * inv_beta_max
+            zn = z + uz * d
+            exit_top = alive & (zn >= z_max)
+            exit_bot = alive & ~exit_top & (zn <= z0)
+            collide = alive & ~exit_top & ~exit_bot
+
+            # boundary crossing point (for exit tallies + reflection)
+            z_b = jnp.where(exit_top, z_max, z0)
+            safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
+            t_b = (z_b - z) / safe_uz
+            xe = x0 + jnp.mod(x + ux * t_b - x0, lx)
+            ye = y0 + jnp.mod(y + uy * t_b - y0, ly)
+            ixe = jnp.clip(((xe - x0) * inv_dx).astype(jnp.int32), 0, nx - 1)
+            iye = jnp.clip(((ye - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
+            col_e = ixe * ny + iye
+
+            # collision cell
+            xc = x0 + jnp.mod(x + ux * d - x0, lx)
+            yc = y0 + jnp.mod(y + uy * d - y0, ly)
+            zc = jnp.clip(zn, z0, z_max)
+            ix = jnp.clip(((xc - x0) * inv_dx).astype(jnp.int32), 0, nx - 1)
+            iy = jnp.clip(((yc - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
+            iz = jnp.clip(((zc - z0) * inv_dz).astype(jnp.int32), 0, nz - 1)
+            cell = (ix * ny + iy) * nz + iz
+            cell = jnp.where(collide, cell, 0)
+
+            u_col = uniform(ctr, 4)
+            u_ang = uniform(ctr, 5)
+            u_phi = uniform(ctr, 6)
+            phi_rot = 2.0 * np.pi * u_phi
+
+            # ---- factorized record gather (MXU) ----
+            parts = pcfg.debug_parts
+            if "g1" in parts:  # perf bisection: one-hot + single dot only
+                oh_lo = _onehot_lo(cell, iota_lane)
+                oh2 = oh_lo.reshape(blk * 128, 128)
+                t = jnp.dot(oh2, b_hi_ref[:],
+                            preferred_element_type=jnp.float32)
+                g3 = t[:, :8].reshape(blk, 128, 8)
+                beta = g3[:, :, 0] + beta_max * 0.5
+                ssa = jnp.full((blk, 128), 0.99)
+                g_hg = jnp.full((blk, 128), 0.85)
+            elif "g0" in parts:  # one-hot construction only, no matmul
+                oh_lo = _onehot_lo(cell, iota_lane)
+                beta = (oh_lo[:, :, 0].astype(jnp.float32)
+                        + beta_max * 0.5)
+                ssa = jnp.full((blk, 128), 0.99)
+                g_hg = jnp.full((blk, 128), 0.85)
+                oh_lo = None
+            elif "g2" in parts:  # + b_lo dot + hi mask + product (no fold)
+                oh_lo = _onehot_lo(cell, iota_lane)
+                oh2 = oh_lo.reshape(blk * 128, 128)
+                t = (jnp.dot(oh2, b_hi_ref[:],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(oh2, b_lo_ref[:],
+                               preferred_element_type=jnp.float32))
+                hi = jnp.right_shift(cell, 7)
+                m = (iota_w_div == hi[:, :, None]).astype(
+                    jnp.float32).reshape(blk * 128, w_cols)
+                s = t * m
+                g3 = s[:, :8].reshape(blk, 128, 8)
+                beta = g3[:, :, 0] + beta_max * 0.5
+                ssa = jnp.full((blk, 128), 0.99)
+                g_hg = jnp.full((blk, 128), 0.85)
+                oh_lo = None
+            elif "g4" in parts:  # full gather, single extracted column
+                oh_lo = _onehot_lo(cell, iota_lane)
+                g = _gather_records(cell, oh_lo, b_hi_ref[:], b_lo_ref[:],
+                                    iota_w_div, iota_w_mod, fields=(0,))
+                beta = g[0]
+                ssa = jnp.full((blk, 128), 0.99)
+                g_hg = jnp.full((blk, 128), 0.85)
+                oh_lo = None
+            elif parts == "all" or "gather" in parts:
+                fields = ((0,) + (() if uniform_ssa else (1,))
+                          + (() if uniform_hg else (2,)))
+                oh_lo = _onehot_lo(cell, iota_lane)
+                g = _gather_records(cell, oh_lo, b_hi_ref[:], b_lo_ref[:],
+                                    iota_w_div, iota_w_mod, fields=fields)
+                beta = g[0]
+                ssa = (jnp.full((blk, 128), par_ref[0, 12])
+                       if uniform_ssa else g[1])
+                g_hg = (jnp.full((blk, 128), par_ref[0, 13])
+                        if uniform_hg else g[2])
+            else:  # perf bisection only
+                oh_lo = None
+                beta = jnp.full((blk, 128), beta_max)
+                ssa = jnp.full((blk, 128), 0.99)
+                g_hg = jnp.full((blk, 128), 0.85)
+
+            real = collide & (u_col * beta_max < beta)
+            absorbed = jnp.where(real, w * (1.0 - ssa), 0.0)
+            w = jnp.where(real, w * ssa, w)
+
+            # ---- Russian roulette ----
+            if use_rr:
+                u_rr = uniform(ctr, 7)
+                play = real & (w < 0.5 * rr_w)
+                survive = u_rr < w / rr_w
+                w = jnp.where(play, jnp.where(survive, rr_w, 0.0), w)
+            died_weight = real & (w <= _TINY)
+
+            # ---- HG scattering ----
+            scatter = real & ~died_weight
+            g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
+            s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
+            ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
+            cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5, 2.0 * u_ang - 1.0,
+                                  jnp.clip(ct, -1.0, 1.0))
+            sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
+            cos_phi = jnp.cos(phi_rot)
+            sin_phi = jnp.sin(phi_rot)
+            denom_sq = jnp.maximum(1.0 - uz * uz, 0.0)
+            denom = jnp.sqrt(denom_sq)
+            safe = denom > 1e-6
+            inv_denom = jnp.where(safe, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
+            rx = ux * cos_theta + sin_theta * (
+                ux * uz * cos_phi - uy * sin_phi) * inv_denom
+            ry = uy * cos_theta + sin_theta * (
+                uy * uz * cos_phi + ux * sin_phi) * inv_denom
+            rz = uz * cos_theta - sin_theta * cos_phi * denom
+            sgn = jnp.sign(jnp.where(uz == 0, 1.0, uz))
+            vx = sin_theta * cos_phi
+            vy = sgn * sin_theta * sin_phi
+            vz = sgn * cos_theta
+            ox = jnp.where(safe, rx, vx)
+            oy = jnp.where(safe, ry, vy)
+            oz = jnp.where(safe, rz, vz)
+            oz = jnp.where(jnp.abs(oz) < 1e-4,
+                           jnp.sign(jnp.where(oz == 0, 1.0, oz)) * 1e-4, oz)
+            inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+            ux = jnp.where(scatter, ox * inv_norm, ux)
+            uy = jnp.where(scatter, oy * inv_norm, uy)
+            uz = jnp.where(scatter, oz * inv_norm, uz)
+
+            # ---- Lambertian surface reflection ----
+            w_down = w
+            w_refl = w_down * albedo
+            died_surface = exit_bot & (w_refl <= _TINY)
+            reflected = exit_bot & ~died_surface
+            mu_new = jnp.sqrt(jnp.maximum(u_ang, np.float32(1e-12)))
+            sin_new = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_new * mu_new))
+            moved = collide
+            x = jnp.where(exit_bot, xe, jnp.where(moved, xc, x))
+            y = jnp.where(exit_bot, ye, jnp.where(moved, yc, y))
+            z = jnp.where(exit_bot, z0 + z_eps, jnp.where(moved, zc, z))
+            ux = jnp.where(reflected, sin_new * jnp.cos(phi_rot), ux)
+            uy = jnp.where(reflected, sin_new * jnp.sin(phi_rot), uy)
+            uz = jnp.where(reflected, mu_new, uz)
+            w = jnp.where(reflected, w_refl, w)
+
+            alive = alive & ~exit_top & ~died_weight & ~died_surface
+
+            x_ref[sl], y_ref[sl], z_ref[sl] = x, y, z
+            ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz
+            w_ref[sl] = w
+            quota_ref[sl] = quota
+            alive_ref[sl] = alive.astype(jnp.int32)
+
+            # ---- fused tally ----
+            # Per step a lane contributes at most ONE update: top exit,
+            # bottom exit, or absorption at the collision cell (mutually
+            # exclusive), so one factorized contract covers all three.
+            if parts == "all" or "tally" in parts:
+                exits = exit_top | exit_bot
+                t_idx = jnp.where(
+                    exit_top, col_e,
+                    jnp.where(exit_bot, nxy + col_e, vol_base + cell))
+                t_val = jnp.where(exit_top, w,
+                                  jnp.where(exit_bot, w_down, absorbed))
+                t_idx = jnp.where(exits | real, t_idx, 0)
+                t_val = jnp.where(exits | real, t_val, 0.0)
+                oh_lo_t = _onehot_lo(t_idx, iota_lane)
+                hi_t = jnp.right_shift(t_idx, 7)
+                acc_ref[:] = acc_ref[:] + _tally_contract(
+                    oh_lo_t, hi_t, t_val, ht)
+            return started
+
+        ctr = (step0 + k_idx).astype(jnp.uint32)
+        started = block_step(b_idx, ctr, jnp.float32(0.0))
+        nstat_ref[0, 0] = nstat_ref[0, 0] + started
+
+        # remaining-work count, accumulated block by block at the last step
+        @pl.when(k_idx == k_steps - 1)
+        def _count_work():
+            sl = pl.ds(b_idx * blk, blk)
+            work = jnp.sum(((alive_ref[sl] > 0)
+                            | (quota_ref[sl] > 0)).astype(jnp.float32))
+            nstat_ref[0, 1] = nstat_ref[0, 1] + work
+
+    return kernel
+
+
+def _pack_tables(domain: OpticalDomain, h_cells: int):
+    """Pack cell records into the factorized-gather B matrix [128, W].
+
+    B[lo, h*REC_COLS + r] = record r of cell (h*128 + lo); records are
+    (total extinction, ssa of component 0, HG g of component 0, 0).
+    """
+    rec = domain.cell_records
+    ncomp = domain.n_components
+    n_cells = rec.shape[0]
+    w_cols = h_cells * REC_COLS
+    vals = jnp.stack([
+        rec[:, 0],                 # beta
+        rec[:, 2 + ncomp],         # ssa (component 0)
+        rec[:, 2 + 3 * ncomp],     # hg g (component 0)
+        jnp.zeros((n_cells,), jnp.float32),
+    ], axis=1)  # [n_cells, REC_COLS]
+    pad = h_cells * 128 - n_cells
+    vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    # [h*128 + lo, r] -> B[lo, h*REC_COLS + r]
+    b = vals.reshape(h_cells, 128, REC_COLS).transpose(1, 0, 2).reshape(
+        128, w_cols)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # fold matrix output is REC_COLS*2 lanes wide (not 128): the gather
+    # result g3 is [blk, 128, 8] instead of [blk, 128, 128] -- 16x less
+    # VMEM for the same selected values
+    k_fold = np.zeros((w_cols, 2 * REC_COLS), np.float32)
+    for h in range(h_cells):
+        for r in range(REC_COLS):
+            k_fold[h * REC_COLS + r, r] = 1.0
+    return b_hi, b_lo, jnp.asarray(k_fold, jnp.bfloat16), w_cols
+
+
+def run_batch_pallas(domain: OpticalDomain,
+                     surface: Surface,
+                     source: illumination.Source,
+                     key: jax.Array,
+                     pcfg: PallasConfig,
+                     photons_per_lane: int,
+                     n_photons=None,
+                     use_russian_roulette: bool = True,
+                     russian_roulette_weight: float = 1.0):
+    """Run one photon batch through the megakernel; returns raw tally parts.
+
+    Returns (flux_up [nx,ny], flux_down [nx,ny], volume_absorption
+    [nx,ny,nz], n_started i32, n_bad i32, n_calls i32).
+    """
+    grid = domain.grid
+    nx, ny, nz = grid.shape
+    nxy, nxyz = nx * ny, nx * ny * nz
+    rows = pcfg.rows
+    n_lanes = pcfg.n_lanes
+
+    h_cells = -(-nxyz // 128)
+    vol_base = -(-2 * nxy // 128) * 128
+    ht = -(-(vol_base + nxyz) // 128)
+    b_hi, b_lo, k_fold, w_cols = _pack_tables(domain, h_cells)
+
+    kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
+                           ht, use_russian_roulette,
+                           uniform_ssa=domain.uniform_ssa,
+                           uniform_hg=domain.uniform_hg)
+
+    beta_max = jnp.maximum(domain.max_extinction, _TINY)
+    if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH):
+        smu = source.solar_mu
+        sphi = (source.solar_azimuth
+                if source.kind == illumination.DIRECTIONAL else 0.0)
+    else:
+        smu, sphi = 0.0, 0.0
+    ge = grid.x_edges, grid.y_edges, grid.z_edges
+    params = jnp.stack([
+        beta_max, 1.0 / beta_max,
+        surface.params.reshape(-1)[0],
+        jnp.asarray(smu, jnp.float32), jnp.asarray(sphi, jnp.float32),
+        jnp.float32(russian_roulette_weight),
+        ge[0][0], ge[0][-1] - ge[0][0],
+        ge[1][0], ge[1][-1] - ge[1][0],
+        ge[2][0], ge[2][-1] - ge[2][0],
+        # uniform-ssa / uniform-hg scalars (valid when the static flags say)
+        domain.cell_records[0, 2 + domain.n_components],
+        domain.cell_records[0, 2 + 3 * domain.n_components],
+        jnp.float32(0), jnp.float32(0),
+    ]).reshape(1, 16)
+
+    # per-lane quotas (clamped by the traced n_photons, like run_batch)
+    if n_photons is None:
+        quota0 = jnp.full((rows, 128), photons_per_lane, jnp.int32)
+    else:
+        cap = n_lanes * photons_per_lane
+        n_ph = jnp.minimum(jnp.asarray(n_photons, jnp.int32), cap)
+        lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
+                  + jnp.arange(128, dtype=jnp.int32)[None, :])
+        quota0 = (n_ph // n_lanes) + (lane_i < (n_ph % n_lanes)).astype(
+            jnp.int32)
+
+    # in-kernel seed: fold the batch key down to one uint32
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seed = (kd[0] * np.uint32(0x9E37_79B9) ^ kd[-1]).astype(jnp.int32)
+
+    f32z = jnp.zeros((rows, 128), jnp.float32)
+    state0 = dict(
+        x=f32z, y=f32z, z=f32z, ux=f32z, uy=f32z,
+        uz=jnp.ones((rows, 128), jnp.float32), w=f32z,
+        quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
+    )
+    acc0 = jnp.zeros((ht, 128), jnp.float32)
+
+    n_state = 9
+    # grid = (steps, blocks): the kernel body is one block-step; every
+    # buffer is a full array (constant index), so it is fetched into VMEM
+    # once, stays resident across all grid steps, and is written back once.
+    grid_spec = pl.GridSpec(
+        grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 1),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+    )
+    state_shapes = [
+        jax.ShapeDtypeStruct((rows, 128),
+                             jnp.int32 if k in ("quota", "alive")
+                             else jnp.float32)
+        for k in ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive")]
+    out_shape = state_shapes + [
+        jax.ShapeDtypeStruct((ht, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2), jnp.float32),
+    ]
+    # alias state + acc inputs onto outputs (in-place VMEM residency)
+    aliases = {2 + i: i for i in range(n_state)}
+    aliases[2 + n_state + 3] = n_state  # acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pcfg.interpret,
+    )
+
+    keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive")
+
+    def cond(carry):
+        state, acc, n_started, n_calls, work = carry
+        return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
+
+    def body(carry):
+        state, acc, n_started, n_calls, work = carry
+        scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
+            jnp.int32)
+        outs = call(scal, params, *[state[k] for k in keys],
+                    b_hi, b_lo, k_fold, acc)
+        new_state = dict(zip(keys, outs[:n_state]))
+        acc = outs[n_state]
+        stats = outs[n_state + 1]
+        n_started = n_started + stats[0, 0].astype(jnp.int32)
+        work = stats[0, 1] > 0
+        return (new_state, acc, n_started, n_calls + 1, work)
+
+    carry = (state0, acc0, jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+    state_f, acc_f, n_started, n_calls, _ = jax.lax.while_loop(
+        cond, body, carry)
+
+    flat = acc_f.reshape(-1)
+    flux_up = flat[:nxy].reshape(nx, ny)
+    flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
+    vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
+    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    return flux_up, flux_down, vol, n_started, n_bad, n_calls
+
+
+def config_for(n_lanes: int, photons_per_lane: int, max_steps: int,
+               interpret: bool = False) -> tuple:
+    """Map a KernelConfig-shaped request onto megakernel launch geometry.
+
+    Lane counts above 65536 fold into per-lane quota (the VMEM-resident
+    wave is capped at 512 rows); the returned photons_per_lane keeps
+    rows * 128 * ppl >= n_lanes * photons_per_lane so the traced n_photons
+    clamp preserves the requested batch size exactly.
+    """
+    total = n_lanes * photons_per_lane
+    rows = max(8, min(512, n_lanes // 128))
+    ppl = -(-total // (rows * 128))
+    blk = min(64, rows)
+    while rows % blk:
+        blk //= 2
+    return PallasConfig(rows=rows, block_rows=blk,
+                        max_steps=max_steps, interpret=interpret), ppl
+
+
+def run_batch_pallas_tallies(domain, surface, source, key, config,
+                             n_photons=None, interpret: bool = False):
+    """run_batch-compatible entry: returns a transport.integrator.Tallies."""
+    from mcbrat3d_tpu.transport.integrator import Tallies
+
+    pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
+                           config.max_steps, interpret)
+    if n_photons is None:
+        n_photons = config.photons_per_batch
+    fu, fd, vol, n_started, n_bad, n_calls = run_batch_pallas(
+        domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
+        use_russian_roulette=config.use_russian_roulette,
+        russian_roulette_weight=config.russian_roulette_weight)
+    return Tallies(
+        flux_up=fu, flux_down=fd,
+        flux_absorbed=jnp.sum(vol, axis=2),
+        volume_absorption=vol,
+        n_photons=n_started, n_bad=n_bad,
+        n_steps=n_calls * pcfg.steps_per_call,
+    )

@@ -1,0 +1,145 @@
+"""Pallas megakernel tests (CPU interpreter mode).
+
+The megakernel (transport/pallas_kernel.py) must be statistically
+indistinguishable from the XLA wave kernel -- same physics, different RNG
+streams -- and must honor quotas, determinism, and its eligibility envelope.
+Hardware performance is covered by bench.py; these tests run the kernel
+through the Pallas interpreter so CI needs no TPU.
+"""
+
+import numpy as np
+import pytest
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+from mcbrat3d_tpu.transport.pallas_kernel import (
+    PallasConfig,
+    config_for,
+    pallas_eligible,
+    run_batch_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def step_cloud():
+    return make_step_cloud(ssa=0.99, n_cdf_steps=201)
+
+
+SMALL = PallasConfig(rows=16, block_rows=8, steps_per_call=32,
+                     max_steps=6000, interpret=True)
+
+
+class TestPallasTransport:
+    def test_energy_conservation_no_rr(self, step_cloud):
+        """Without Russian roulette every started photon's weight must be
+        fully accounted: with surface albedo rho the balance is
+        R + (1 - rho) * T + A == 1 exactly (f32 noise); the surface
+        re-injects rho * T which is re-counted downstream, same as the
+        reference's accounting."""
+        rho = 0.3
+        fu, fd, vol, n, n_bad, _ = run_batch_pallas(
+            step_cloud, Surface.lambertian(rho),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(3, 0), SMALL, photons_per_lane=2,
+            use_russian_roulette=False)
+        n = float(n)
+        balance = float(fu.sum() + (1 - rho) * fd.sum() + vol.sum()) / n
+        assert n == 16 * 128 * 2
+        assert int(n_bad) == 0
+        assert abs(balance - 1.0) < 2e-4
+
+    def test_matches_xla_kernel_statistically(self, step_cloud):
+        """Pixel-level fluxes agree with the XLA wave kernel within MC
+        noise at equal photon counts (different RNG streams)."""
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.2)
+        n_p = 0
+        fu_p = fd_p = 0.0
+        for b in range(2):
+            fu, fd, vol, ns, nb, _ = run_batch_pallas(
+                step_cloud, sfc, src, rng.batch_key(0, b), SMALL,
+                photons_per_lane=8)
+            fu_p = fu_p + np.asarray(fu)
+            fd_p = fd_p + np.asarray(fd)
+            n_p += int(ns)
+        fu_p, fd_p = fu_p / n_p, fd_p / n_p
+
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=16,
+                           max_steps=6000, tail_compaction=False,
+                           use_pallas="off")
+        t = run_batch(step_cloud, sfc, src, rng.batch_key(1, 0), cfg)
+        n_x = int(t.n_photons)
+        fu_x = np.asarray(t.flux_up) / n_x
+        fd_x = np.asarray(t.flux_down) / n_x
+
+        for a, b_ in ((fu_p, fu_x), (fd_p, fd_x)):
+            sigma = np.sqrt(a / n_p + b_ / n_x + 1e-12)
+            z = np.abs(a - b_) / np.maximum(sigma, 1e-9)
+            assert z.max() < 5.0, z.max()
+
+    def test_deterministic_in_key(self, step_cloud):
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.0)
+        out1 = run_batch_pallas(step_cloud, sfc, src, rng.batch_key(7, 1),
+                                SMALL, photons_per_lane=2)
+        out2 = run_batch_pallas(step_cloud, sfc, src, rng.batch_key(7, 1),
+                                SMALL, photons_per_lane=2)
+        out3 = run_batch_pallas(step_cloud, sfc, src, rng.batch_key(7, 2),
+                                SMALL, photons_per_lane=2)
+        np.testing.assert_array_equal(np.asarray(out1[0]),
+                                      np.asarray(out2[0]))
+        assert not np.array_equal(np.asarray(out1[0]), np.asarray(out3[0]))
+
+    def test_n_photons_clamp(self, step_cloud):
+        """The traced n_photons must limit started photons exactly."""
+        fu, fd, vol, n, _, _ = run_batch_pallas(
+            step_cloud, Surface.lambertian(0.0),
+            illumination.directional(1.0, 0.0),
+            rng.batch_key(0, 0), SMALL, photons_per_lane=2, n_photons=777)
+        assert int(n) == 777
+
+    def test_flux_source(self, step_cloud):
+        """mu = -sqrt(u) source runs and conserves energy."""
+        fu, fd, vol, n, n_bad, _ = run_batch_pallas(
+            step_cloud, Surface.lambertian(0.0), illumination.flux(),
+            rng.batch_key(2, 0), SMALL, photons_per_lane=2,
+            use_russian_roulette=False)
+        total = float(fu.sum() + fd.sum() + vol.sum())
+        assert abs(total / float(n) - 1.0) < 2e-4
+        assert int(n_bad) == 0
+
+
+class TestEligibility:
+    def test_step_cloud_eligible(self, step_cloud):
+        assert pallas_eligible(
+            step_cloud, Surface.lambertian(0.0),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+
+    def test_ineligible_cases(self, step_cloud):
+        sfc = Surface.lambertian(0.0)
+        src = illumination.directional(0.5, 0.0)
+        base = dict(lw_mode=False, compute_intensity=False,
+                    record_scattering_orders=0, use_ray_tracing=False)
+        assert not pallas_eligible(step_cloud, sfc, src,
+                                   **{**base, "lw_mode": True})
+        assert not pallas_eligible(step_cloud, sfc, src,
+                                   **{**base, "use_ray_tracing": True})
+        assert not pallas_eligible(step_cloud, sfc, src,
+                                   **{**base, "compute_intensity": True})
+        spot = illumination.spotlight(0.5, 0.0, 0.5, 0.5)
+        assert not pallas_eligible(step_cloud, sfc, spot, **base)
+
+    def test_config_for_folds_lanes(self):
+        pcfg, ppl = config_for(n_lanes=1 << 17, photons_per_lane=8,
+                               max_steps=1000)
+        assert pcfg.rows == 512
+        assert pcfg.rows * 128 * ppl >= (1 << 17) * 8
+        pcfg2, ppl2 = config_for(n_lanes=1 << 10, photons_per_lane=4,
+                                 max_steps=1000)
+        assert pcfg2.rows == 8
+        assert pcfg2.rows % pcfg2.block_rows == 0

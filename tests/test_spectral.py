@@ -510,3 +510,70 @@ class TestGasComponent3D:
         _, albedo, _ = components_from_ssp(common, [t1, t2], 0,
                                            calc_rayleigh=False)
         assert albedo == pytest.approx(0.3)
+
+
+class TestVectorizedLWSetup:
+    def _make_setup(self, nx=4, ny=3, nz=5, n_lambda=7, seed=0):
+        from mcbrat3d_tpu.domain.common import CommonDomain
+        r = np.random.RandomState(seed)
+        grid = Grid.regular(nx, ny, nz, 0.5, 0.5, 0.25)
+        temps = 250.0 + 40.0 * r.rand(nx, ny, nz)
+        num_conc = 1e24 * (1.0 + r.rand(nx, ny, nz))
+        mass = r.rand(1, nx, ny, nz)
+        mass[0, 0] = 0.0  # some empty cells
+        reff = 5.0 + 10.0 * r.rand(1, nx, ny, nz)
+        common = CommonDomain(grid=grid, temps=temps, num_conc=num_conc,
+                              mass_conc=mass, reff=reff)
+        freq = C / (np.linspace(8.0, 12.0, n_lambda) * 1e-6)
+        key = np.array([4.0, 10.0, 16.0])
+        ext = 1.0 + r.rand(3, n_lambda)
+        ssa = 0.3 + 0.5 * r.rand(3, n_lambda)
+        starts = np.ones((3, n_lambda), np.int64)
+        lengths = np.ones((3, n_lambda), np.int64)
+        coeffs = np.zeros((1, n_lambda))
+        pc = SSPComponent(name="cloud", ext_type="volExt", key=key,
+                          extinction=ext, ssa=ssa, legendre_start=starts,
+                          legendre_length=lengths, legendre_coeffs=coeffs)
+        gc = SSPComponent(name="gas", ext_type="absXsec",
+                          xsec=1e-26 * (1.0 + r.rand(nz, n_lambda)))
+        tbl = SSPTable(freq_hz=freq,
+                       surface_albedo=0.1 + 0.2 * r.rand(n_lambda),
+                       components=[pc, gc])
+        return common, [tbl]
+
+    def test_matches_per_bin_loop(self):
+        """lw_setup_fluxes must equal the per-bin reference-style loop
+        (components_from_ssp + absorption_coefficient + emission_weighting)
+        for every wavelength."""
+        from mcbrat3d_tpu.spectral.weights import lw_setup_fluxes
+        common, tables = self._make_setup()
+        grid = common.grid
+        lambdas = tables[0].lambdas_um
+        d_lambda = lambda_widths(lambdas)
+        surface_temp = 290.0
+
+        expect = np.zeros(lambdas.size)
+        for li in range(lambdas.size):
+            comps, albedo, lam_um = components_from_ssp(
+                common, tables, li, setup=True, calc_rayleigh=False)
+            kabs = absorption_coefficient(comps, grid)
+            w = emission_weighting(grid, common.temps, kabs, surface_temp,
+                                   1.0 - albedo, lam_um,
+                                   d_lambda=d_lambda[li])
+            expect[li] = w.total_flux
+
+        got = lw_setup_fluxes(common, tables, d_lambda, surface_temp,
+                              lambda_chunk=3)
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+    def test_cold_surface(self):
+        from mcbrat3d_tpu.spectral.weights import lw_setup_fluxes
+        common, tables = self._make_setup()
+        d_lambda = lambda_widths(tables[0].lambdas_um)
+        got = lw_setup_fluxes(common, tables, d_lambda, 0.0)
+        comps, albedo, lam_um = components_from_ssp(
+            common, tables, 0, setup=True, calc_rayleigh=False)
+        kabs = absorption_coefficient(comps, common.grid)
+        w = emission_weighting(common.grid, common.temps, kabs, 0.0,
+                               1.0, lam_um, d_lambda=d_lambda[0])
+        np.testing.assert_allclose(got[0], w.total_flux, rtol=1e-12)

@@ -209,7 +209,8 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, ht):
 
 def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   h_cells: int, ht: int, use_rr: bool,
-                  uniform_ssa: bool = False, uniform_hg: bool = False):
+                  uniform_ssa: bool = False, uniform_hg: bool = False,
+                  macro_factor: int = 0):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -226,10 +227,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
-               quota_in, alive_in,
-               b_hi_ref, b_lo_ref, k_fold_ref, acc_in,
+               quota_in, alive_in, bl_in,
+               b_hi_ref, b_lo_ref, acc_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
-               quota_ref, alive_ref, acc_ref, nstat_ref):
+               quota_ref, alive_ref, bl_ref, acc_ref, nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
         # block -- a small compile unit; Mosaic iterates it sequentially.
         # All buffers use constant index maps so they stay VMEM-resident
@@ -246,7 +247,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                              (ux_in, ux_ref), (uy_in, uy_ref),
                              (uz_in, uz_ref), (w_in, w_ref),
                              (quota_in, quota_ref), (alive_in, alive_ref),
-                             (acc_in, acc_ref)):
+                             (bl_in, bl_ref), (acc_in, acc_ref)):
                 dst[:] = src[:]
             nstat_ref[0, 0] = 0.0
             nstat_ref[0, 1] = 0.0
@@ -294,6 +295,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             w = w_ref[sl]
             alive = alive_ref[sl] > 0
             quota = quota_ref[sl]
+            bl = bl_ref[sl]  # carried local (macro-block) majorant
 
             # ---- refill dead lanes from the source ----
             need = (~alive) & (quota > 0)
@@ -321,14 +323,54 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             quota = quota - need.astype(jnp.int32)
             started = started + jnp.sum(need.astype(jnp.float32))
 
-            # ---- Woodcock jump (global majorant) ----
+            # ---- Woodcock jump ----
             u_tau = uniform(ctr, 3)
             tau = -jnp.log1p(-u_tau)
-            d = tau * inv_beta_max
+            if macro_factor > 0:
+                # Two-level majorant: jump against the carried macro-block
+                # ceiling, clipped at the block face (a null step; the
+                # local majorant is only valid within its block). Fresh
+                # photons start with the (always valid) global majorant.
+                # (reference analog: the XLA kernel's use_macro path,
+                # transport/integrator.py, itself re-designing the
+                # reference's max cross-section mode.)
+                bl = jnp.where(need, beta_max, bl)
+                bx_w = lx / nx * macro_factor
+                by_w = ly / ny * macro_factor
+                bz_w = lz / nz * macro_factor
+                clip_nudge = 1e-5 * jnp.minimum(bx_w,
+                                                jnp.minimum(by_w, bz_w))
+                tx = ((jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w
+                      + x0 - x)
+                ty = ((jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w
+                      + y0 - y)
+                tz = ((jnp.floor((z - z0) / bz_w) + (uz >= 0)) * bz_w
+                      + z0 - z)
+                tx = jnp.where(jnp.abs(ux) > 1e-12,
+                               tx / jnp.where(ux == 0, 1.0, ux), 3e38)
+                ty = jnp.where(jnp.abs(uy) > 1e-12,
+                               ty / jnp.where(uy == 0, 1.0, uy), 3e38)
+                tz = jnp.where(jnp.abs(uz) > 1e-12,
+                               tz / jnp.where(uz == 0, 1.0, uz), 3e38)
+                t_raw = jnp.minimum(tx, jnp.minimum(ty, tz))
+                # a photon exactly ON an outward face takes one
+                # global-majorant step instead (guaranteed progress)
+                escape = t_raw <= 0.0
+                bl = jnp.where(escape, beta_max, bl)
+                d_samp = jnp.where(bl > 0, tau / jnp.where(bl == 0, 1.0, bl),
+                                   jnp.float32(3e38))
+                t_clip = jnp.where(escape, jnp.float32(3e38),
+                                   t_raw + clip_nudge)
+                clipped = t_clip < d_samp
+                d = jnp.minimum(d_samp, t_clip)
+            else:
+                d = tau * inv_beta_max
+                clipped = jnp.zeros((blk, 128), bool)
             zn = z + uz * d
             exit_top = alive & (zn >= z_max)
             exit_bot = alive & ~exit_top & (zn <= z0)
-            collide = alive & ~exit_top & ~exit_bot
+            moved = alive & ~exit_top & ~exit_bot
+            collide = moved & ~clipped
 
             # boundary crossing point (for exit tallies + reflection)
             z_b = jnp.where(exit_top, z_max, z0)
@@ -348,7 +390,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             iy = jnp.clip(((yc - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
             iz = jnp.clip(((zc - z0) * inv_dz).astype(jnp.int32), 0, nz - 1)
             cell = (ix * ny + iy) * nz + iz
-            cell = jnp.where(collide, cell, 0)
+            # with a macro majorant, clipped (null-step) lanes also need
+            # the gather: it carries the destination block's majorant
+            cell = jnp.where(moved if macro_factor > 0 else collide,
+                             cell, 0)
 
             u_col = uniform(ctr, 4)
             u_ang = uniform(ctr, 5)
@@ -357,6 +402,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
             # ---- factorized record gather (MXU) ----
             parts = pcfg.debug_parts
+            maj_dest = None
             if "g1" in parts:  # perf bisection: one-hot + single dot only
                 oh_lo = _onehot_lo(cell, iota_lane)
                 oh2 = oh_lo.reshape(blk * 128, 128)
@@ -399,7 +445,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 oh_lo = None
             elif parts == "all" or "gather" in parts:
                 fields = ((0,) + (() if uniform_ssa else (1,))
-                          + (() if uniform_hg else (2,)))
+                          + (() if uniform_hg else (2,))
+                          + ((3,) if macro_factor > 0 else ()))
                 oh_lo = _onehot_lo(cell, iota_lane)
                 g = _gather_records(cell, oh_lo, b_hi_ref[:], b_lo_ref[:],
                                     iota_w_div, iota_w_mod, fields=fields)
@@ -408,13 +455,20 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                        if uniform_ssa else g[1])
                 g_hg = (jnp.full((blk, 128), par_ref[0, 13])
                         if uniform_hg else g[2])
+                maj_dest = g[3] if macro_factor > 0 else None
             else:  # perf bisection only
                 oh_lo = None
                 beta = jnp.full((blk, 128), beta_max)
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
 
-            real = collide & (u_col * beta_max < beta)
+            # null-collision test against the majorant this step SAMPLED
+            # with (the carried value), then carry the destination block's
+            # majorant for the next step
+            ceiling = bl if macro_factor > 0 else beta_max
+            real = collide & (u_col * ceiling < beta)
+            if macro_factor > 0 and maj_dest is not None:
+                bl = jnp.where(moved, maj_dest, bl)
             absorbed = jnp.where(real, w * (1.0 - ssa), 0.0)
             w = jnp.where(real, w * ssa, w)
 
@@ -466,7 +520,6 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             reflected = exit_bot & ~died_surface
             mu_new = jnp.sqrt(jnp.maximum(u_ang, np.float32(1e-12)))
             sin_new = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_new * mu_new))
-            moved = collide
             x = jnp.where(exit_bot, xe, jnp.where(moved, xc, x))
             y = jnp.where(exit_bot, ye, jnp.where(moved, yc, y))
             z = jnp.where(exit_bot, z0 + z_eps, jnp.where(moved, zc, z))
@@ -474,6 +527,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             uy = jnp.where(reflected, sin_new * jnp.sin(phi_rot), uy)
             uz = jnp.where(reflected, mu_new, uz)
             w = jnp.where(reflected, w_refl, w)
+            if macro_factor > 0:
+                # reflected photons restart at the surface with the (always
+                # valid) global majorant; the next gather re-localizes it
+                bl = jnp.where(exit_bot, beta_max, bl)
 
             alive = alive & ~exit_top & ~died_weight & ~died_surface
 
@@ -482,6 +539,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             w_ref[sl] = w
             quota_ref[sl] = quota
             alive_ref[sl] = alive.astype(jnp.int32)
+            bl_ref[sl] = bl
 
             # ---- fused tally ----
             # Per step a lane contributes at most ONE update: top exit,
@@ -531,7 +589,7 @@ def _pack_tables(domain: OpticalDomain, h_cells: int):
         rec[:, 0],                 # beta
         rec[:, 2 + ncomp],         # ssa (component 0)
         rec[:, 2 + 3 * ncomp],     # hg g (component 0)
-        jnp.zeros((n_cells,), jnp.float32),
+        rec[:, 1],                 # local (macro-block) majorant
     ], axis=1)  # [n_cells, REC_COLS]
     pad = h_cells * 128 - n_cells
     vals = jnp.pad(vals, ((0, pad), (0, 0)))
@@ -540,14 +598,7 @@ def _pack_tables(domain: OpticalDomain, h_cells: int):
         128, w_cols)
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # fold matrix output is REC_COLS*2 lanes wide (not 128): the gather
-    # result g3 is [blk, 128, 8] instead of [blk, 128, 128] -- 16x less
-    # VMEM for the same selected values
-    k_fold = np.zeros((w_cols, 2 * REC_COLS), np.float32)
-    for h in range(h_cells):
-        for r in range(REC_COLS):
-            k_fold[h * REC_COLS + r, r] = 1.0
-    return b_hi, b_lo, jnp.asarray(k_fold, jnp.bfloat16), w_cols
+    return b_hi, b_lo, w_cols
 
 
 def run_batch_pallas(domain: OpticalDomain,
@@ -573,12 +624,13 @@ def run_batch_pallas(domain: OpticalDomain,
     h_cells = -(-nxyz // 128)
     vol_base = -(-2 * nxy // 128) * 128
     ht = -(-(vol_base + nxyz) // 128)
-    b_hi, b_lo, k_fold, w_cols = _pack_tables(domain, h_cells)
+    b_hi, b_lo, w_cols = _pack_tables(domain, h_cells)
 
     kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
                            ht, use_russian_roulette,
                            uniform_ssa=domain.uniform_ssa,
-                           uniform_hg=domain.uniform_hg)
+                           uniform_hg=domain.uniform_hg,
+                           macro_factor=domain.macro_factor)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH):
@@ -622,10 +674,13 @@ def run_batch_pallas(domain: OpticalDomain,
         x=f32z, y=f32z, z=f32z, ux=f32z, uy=f32z,
         uz=jnp.ones((rows, 128), jnp.float32), w=f32z,
         quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
+        beta_loc=jnp.full((rows, 128), jnp.float32(beta_max)),
     )
     acc0 = jnp.zeros((ht, 128), jnp.float32)
 
-    n_state = 9
+    keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
+            "beta_loc")
+    n_state = len(keys)
     # grid = (steps, blocks): the kernel body is one block-step; every
     # buffer is a full array (constant index), so it is fetched into VMEM
     # once, stays resident across all grid steps, and is written back once.
@@ -633,7 +688,7 @@ def run_batch_pallas(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 1),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2 + 1),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -642,14 +697,14 @@ def run_batch_pallas(domain: OpticalDomain,
         jax.ShapeDtypeStruct((rows, 128),
                              jnp.int32 if k in ("quota", "alive")
                              else jnp.float32)
-        for k in ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive")]
+        for k in keys]
     out_shape = state_shapes + [
         jax.ShapeDtypeStruct((ht, 128), jnp.float32),
         jax.ShapeDtypeStruct((1, 2), jnp.float32),
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 3] = n_state  # acc
+    aliases[2 + n_state + 2] = n_state  # acc
 
     call = pl.pallas_call(
         kernel,
@@ -661,8 +716,6 @@ def run_batch_pallas(domain: OpticalDomain,
         interpret=pcfg.interpret,
     )
 
-    keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive")
-
     def cond(carry):
         state, acc, n_started, n_calls, work = carry
         return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
@@ -672,7 +725,7 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    b_hi, b_lo, k_fold, acc)
+                    b_hi, b_lo, acc)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         stats = outs[n_state + 1]

@@ -143,3 +143,30 @@ class TestEligibility:
                                  max_steps=1000)
         assert pcfg2.rows == 8
         assert pcfg2.rows % pcfg2.block_rows == 0
+
+
+class TestMacroMajorant:
+    def test_macro_matches_global_statistically(self):
+        """Two-level (macro-block) Woodcock must produce the same physics
+        as the global majorant -- null collisions are statistically
+        transparent (same re-design as the XLA kernel's use_macro path)."""
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.0)
+        doms = (make_step_cloud(ssa=0.99, n_cdf_steps=201),
+                make_step_cloud(ssa=0.99, n_cdf_steps=201, macro_factor=8))
+        results = []
+        for dom in doms:
+            fu = 0.0
+            n = 0
+            for b in range(2):
+                out = run_batch_pallas(dom, sfc, src, rng.batch_key(5, b),
+                                       SMALL, photons_per_lane=8)
+                fu = fu + np.asarray(out[0])
+                n += int(out[3])
+                assert int(out[4]) == 0
+            results.append(fu / n)
+        a, b_ = results
+        sigma = np.sqrt(a / n + b_ / n + 1e-12)
+        z = np.abs(a - b_) / np.maximum(sigma, 1e-9)
+        assert z.max() < 5.0, z.max()
+        # macro run should use FEWER wave steps (the point of the majorant)

@@ -191,11 +191,18 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, ht):
     blk = val_blk.shape[0]
     nb = blk * 128
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, ht), 2)
-    ohh = (t_hi_blk[:, :, None] == iota_h).astype(jnp.float32)
-    ohh_v = ohh * val_blk[:, :, None]
-    a2 = ohh_v.reshape(nb, ht)
+    ohh = t_hi_blk[:, :, None] == iota_h
+    # split the VALUE first (v = v_h + v_l exactly), then mask: products of
+    # a bf16 value with a 0/1 one-hot are exact in bf16, so the two bf16
+    # contractions reconstruct the f32 accumulation to ~1e-7
+    v_h, v_l = _bf16_split(val_blk)
+    # (broadcast in f32 -- Mosaic can't insert a minor dim on 16-bit types;
+    # the bf16 cast after the select is exact for bf16-valued sources)
+    a_h = jnp.where(ohh, v_h.astype(jnp.float32)[:, :, None],
+                    0.0).astype(jnp.bfloat16).reshape(nb, ht)
+    a_l = jnp.where(ohh, v_l.astype(jnp.float32)[:, :, None],
+                    0.0).astype(jnp.bfloat16).reshape(nb, ht)
     o2 = oh_lo.reshape(nb, 128)
-    a_h, a_l = _bf16_split(a2)
     dn = (((0,), (0,)), ((), ()))  # contract the lane rows
     return (jax.lax.dot_general(a_h, o2, dn,
                                 preferred_element_type=jnp.float32)
@@ -400,6 +407,15 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             u_phi = uniform(ctr, 6)
             phi_rot = 2.0 * np.pi * u_phi
 
+            # Combined one-hot index: ONE [blk, 128, 128] lo one-hot serves
+            # both the record gather and the fused tally. Colliders use
+            # lo(cell) for both (vol_base is 128-aligned so
+            # lo(vol_base + cell) == lo(cell)); exit lanes substitute their
+            # boundary-tally index (their gather outputs are never used).
+            exits = exit_top | exit_bot
+            t_exit = jnp.where(exit_top, col_e, nxy + col_e)
+            oh_idx = jnp.where(exits, t_exit, cell)
+
             # ---- factorized record gather (MXU) ----
             parts = pcfg.debug_parts
             maj_dest = None
@@ -447,7 +463,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 fields = ((0,) + (() if uniform_ssa else (1,))
                           + (() if uniform_hg else (2,))
                           + ((3,) if macro_factor > 0 else ()))
-                oh_lo = _onehot_lo(cell, iota_lane)
+                oh_lo = _onehot_lo(oh_idx, iota_lane)
                 g = _gather_records(cell, oh_lo, b_hi_ref[:], b_lo_ref[:],
                                     iota_w_div, iota_w_mod, fields=fields)
                 beta = g[0]
@@ -544,18 +560,17 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             # ---- fused tally ----
             # Per step a lane contributes at most ONE update: top exit,
             # bottom exit, or absorption at the collision cell (mutually
-            # exclusive), so one factorized contract covers all three.
+            # exclusive), so one factorized contract covers all three --
+            # and it reuses the gather's lo one-hot (identical lo by
+            # construction of oh_idx; only the hi rows differ).
             if parts == "all" or "tally" in parts:
-                exits = exit_top | exit_bot
-                t_idx = jnp.where(
-                    exit_top, col_e,
-                    jnp.where(exit_bot, nxy + col_e, vol_base + cell))
                 t_val = jnp.where(exit_top, w,
                                   jnp.where(exit_bot, w_down, absorbed))
-                t_idx = jnp.where(exits | real, t_idx, 0)
                 t_val = jnp.where(exits | real, t_val, 0.0)
-                oh_lo_t = _onehot_lo(t_idx, iota_lane)
-                hi_t = jnp.right_shift(t_idx, 7)
+                hi_t = jnp.where(exits, jnp.right_shift(t_exit, 7),
+                                 vol_hi0 + jnp.right_shift(cell, 7))
+                oh_lo_t = (oh_lo if oh_lo is not None
+                           else _onehot_lo(oh_idx, iota_lane))
                 acc_ref[:] = acc_ref[:] + _tally_contract(
                     oh_lo_t, hi_t, t_val, ht)
             return started
@@ -731,6 +746,18 @@ def run_batch_pallas(domain: OpticalDomain,
         stats = outs[n_state + 1]
         n_started = n_started + stats[0, 0].astype(jnp.int32)
         work = stats[0, 1] > 0
+        # Rebalance unspent quota evenly across lanes between launches:
+        # lanes that finish their photons early would otherwise idle while
+        # stragglers' lanes hold unstarted work. Any lane may run any
+        # photon (RNG streams are keyed by (lane, step), so moving a
+        # photon to another lane just selects a different, equally
+        # independent stream); the total photon count is preserved.
+        q = new_state["quota"]
+        total_q = jnp.sum(q)
+        lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
+                  + jnp.arange(128, dtype=jnp.int32)[None, :])
+        new_state["quota"] = (total_q // n_lanes) + (
+            lane_i < (total_q % n_lanes)).astype(jnp.int32)
         return (new_state, acc, n_started, n_calls + 1, work)
 
     carry = (state0, acc0, jnp.int32(0), jnp.int32(0), jnp.bool_(True))

@@ -149,12 +149,17 @@ def _bf16_split(v):
 
 
 def _onehot_lo(idx_blk, iota_lane):
-    """[BLK, 128] int32 -> [BLK, 128, 128] bf16 one-hot of idx & 127."""
+    """[BLK, 128] int32 -> [BLK, 128, 128] f32 one-hot of idx & 127.
+
+    f32 throughout: bf16 one-hots save MXU cycles but every cast/split is
+    a full VPU pass over a 1M-element array, which costs more than the
+    (exact) f32 matmuls they enable.
+    """
     lo = jnp.bitwise_and(idx_blk, 127)
-    return (lo[:, :, None] == iota_lane).astype(jnp.bfloat16)
+    return (lo[:, :, None] == iota_lane).astype(jnp.float32)
 
 
-def _gather_records(cell_blk, oh_lo, b_hi, b_lo, iota_w_div, iota_w_mod,
+def _gather_records(cell_blk, oh_lo, b_hi, iota_w_div, iota_w_mod,
                     fields=(0, 1, 2)):
     """One factorized record gather for a [BLK, 128] block of lanes.
 
@@ -170,10 +175,9 @@ def _gather_records(cell_blk, oh_lo, b_hi, b_lo, iota_w_div, iota_w_mod,
     """
     blk = cell_blk.shape[0]
     w_cols = b_hi.shape[1]
-    # T[n, w] = B[lo(n), w]
+    # T[n, w] = B[lo(n), w] -- one exact f32 MXU contraction
     oh2 = oh_lo.reshape(blk * 128, 128)
-    t2 = (jnp.dot(oh2, b_hi, preferred_element_type=jnp.float32)
-          + jnp.dot(oh2, b_lo, preferred_element_type=jnp.float32))
+    t2 = jnp.dot(oh2, b_hi, preferred_element_type=jnp.float32)
     t = t2.reshape(blk, 128, w_cols)
     # hi selection: keep only the w-block of this lane's hi index
     hi = jnp.right_shift(cell_blk, 7)
@@ -182,32 +186,25 @@ def _gather_records(cell_blk, oh_lo, b_hi, b_lo, iota_w_div, iota_w_mod,
     return {r: jnp.sum(s * (iota_w_mod == r), axis=2) for r in fields}
 
 
-def _tally_contract(oh_lo, t_hi_blk, val_blk, ht):
+def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod):
     """Transposed factorized scatter-add for one block.
 
-    acc[h, lo] += sum_{b,l} (t_hi(b,l) == h) * val(b,l) * oh_lo[b,l,lo]
-    Returns the [ht, 128] f32 partial sum.
+    acc[j, lo] += sum_{b,l} (t_hi(b,l) == j % ht) * val(b,l) * oh_lo[b,l,lo]
+
+    The hi one-hot is TILED to the full 128 lanes via j % ht (``jmod`` is
+    the host-precomputed [1, 128] table), so the MXU contraction is a full
+    [nb,128] x [nb,128] -> [128,128] dot -- a skinny ht-wide operand would
+    idle most of the systolic array AND pay lane-padding passes on every
+    elementwise op. Rows j >= ht are duplicates the caller ignores.
     """
     blk = val_blk.shape[0]
     nb = blk * 128
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, ht), 2)
-    ohh = t_hi_blk[:, :, None] == iota_h
-    # split the VALUE first (v = v_h + v_l exactly), then mask: products of
-    # a bf16 value with a 0/1 one-hot are exact in bf16, so the two bf16
-    # contractions reconstruct the f32 accumulation to ~1e-7
-    v_h, v_l = _bf16_split(val_blk)
-    # (broadcast in f32 -- Mosaic can't insert a minor dim on 16-bit types;
-    # the bf16 cast after the select is exact for bf16-valued sources)
-    a_h = jnp.where(ohh, v_h.astype(jnp.float32)[:, :, None],
-                    0.0).astype(jnp.bfloat16).reshape(nb, ht)
-    a_l = jnp.where(ohh, v_l.astype(jnp.float32)[:, :, None],
-                    0.0).astype(jnp.bfloat16).reshape(nb, ht)
+    ohh = t_hi_blk[:, :, None] == jmod.reshape(1, 1, 128)
+    a = jnp.where(ohh, val_blk[:, :, None], 0.0).reshape(nb, 128)
     o2 = oh_lo.reshape(nb, 128)
     dn = (((0,), (0,)), ((), ()))  # contract the lane rows
-    return (jax.lax.dot_general(a_h, o2, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(a_l, o2, dn,
-                                  preferred_element_type=jnp.float32))
+    return jax.lax.dot_general(a, o2, dn,
+                               preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +232,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
-               b_hi_ref, b_lo_ref, acc_in,
+               b_hi_ref, jmod_ref, acc_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
@@ -438,10 +435,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             elif "g2" in parts:  # + b_lo dot + hi mask + product (no fold)
                 oh_lo = _onehot_lo(cell, iota_lane)
                 oh2 = oh_lo.reshape(blk * 128, 128)
-                t = (jnp.dot(oh2, b_hi_ref[:],
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(oh2, b_lo_ref[:],
-                               preferred_element_type=jnp.float32))
+                t = jnp.dot(oh2, b_hi_ref[:],
+                            preferred_element_type=jnp.float32)
                 hi = jnp.right_shift(cell, 7)
                 m = (iota_w_div == hi[:, :, None]).astype(
                     jnp.float32).reshape(blk * 128, w_cols)
@@ -453,7 +448,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 oh_lo = None
             elif "g4" in parts:  # full gather, single extracted column
                 oh_lo = _onehot_lo(cell, iota_lane)
-                g = _gather_records(cell, oh_lo, b_hi_ref[:], b_lo_ref[:],
+                g = _gather_records(cell, oh_lo, b_hi_ref[:],
                                     iota_w_div, iota_w_mod, fields=(0,))
                 beta = g[0]
                 ssa = jnp.full((blk, 128), 0.99)
@@ -464,7 +459,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                           + (() if uniform_hg else (2,))
                           + ((3,) if macro_factor > 0 else ()))
                 oh_lo = _onehot_lo(oh_idx, iota_lane)
-                g = _gather_records(cell, oh_lo, b_hi_ref[:], b_lo_ref[:],
+                g = _gather_records(cell, oh_lo, b_hi_ref[:],
                                     iota_w_div, iota_w_mod, fields=fields)
                 beta = g[0]
                 ssa = (jnp.full((blk, 128), par_ref[0, 12])
@@ -572,7 +567,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 oh_lo_t = (oh_lo if oh_lo is not None
                            else _onehot_lo(oh_idx, iota_lane))
                 acc_ref[:] = acc_ref[:] + _tally_contract(
-                    oh_lo_t, hi_t, t_val, ht)
+                    oh_lo_t, hi_t, t_val, jmod_ref[:])
             return started
 
         ctr = (step0 + k_idx).astype(jnp.uint32)
@@ -611,9 +606,7 @@ def _pack_tables(domain: OpticalDomain, h_cells: int):
     # [h*128 + lo, r] -> B[lo, h*REC_COLS + r]
     b = vals.reshape(h_cells, 128, REC_COLS).transpose(1, 0, 2).reshape(
         128, w_cols)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return b_hi, b_lo, w_cols
+    return b.astype(jnp.float32), w_cols
 
 
 def run_batch_pallas(domain: OpticalDomain,
@@ -639,7 +632,9 @@ def run_batch_pallas(domain: OpticalDomain,
     h_cells = -(-nxyz // 128)
     vol_base = -(-2 * nxy // 128) * 128
     ht = -(-(vol_base + nxyz) // 128)
-    b_hi, b_lo, w_cols = _pack_tables(domain, h_cells)
+    b_tab, w_cols = _pack_tables(domain, h_cells)
+    # tiled-hi table for the tally contraction: jmod[j] = j % ht
+    jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
 
     kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
                            ht, use_russian_roulette,
@@ -691,7 +686,7 @@ def run_batch_pallas(domain: OpticalDomain,
         quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
         beta_loc=jnp.full((rows, 128), jnp.float32(beta_max)),
     )
-    acc0 = jnp.zeros((ht, 128), jnp.float32)
+    acc0 = jnp.zeros((128, 128), jnp.float32)  # [j, lo]; j tiles hi mod ht
 
     keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
             "beta_loc")
@@ -714,7 +709,7 @@ def run_batch_pallas(domain: OpticalDomain,
                              else jnp.float32)
         for k in keys]
     out_shape = state_shapes + [
-        jax.ShapeDtypeStruct((ht, 128), jnp.float32),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
         jax.ShapeDtypeStruct((1, 2), jnp.float32),
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
@@ -740,7 +735,7 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    b_hi, b_lo, acc)
+                    b_tab, jmod, acc)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         stats = outs[n_state + 1]
@@ -764,7 +759,7 @@ def run_batch_pallas(domain: OpticalDomain,
     state_f, acc_f, n_started, n_calls, _ = jax.lax.while_loop(
         cond, body, carry)
 
-    flat = acc_f.reshape(-1)
+    flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]; t = h*128 + lo
     flux_up = flat[:nxy].reshape(nx, ny)
     flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
     vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)

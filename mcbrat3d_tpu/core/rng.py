@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Purpose tags: each random draw site in the transport kernel gets its own
 # stream so that adding a new draw site never perturbs existing streams.
@@ -28,7 +29,7 @@ SURFACE_PHI = 7
 SOURCE = 8
 INTENSITY_RR = 9
 
-TINY = jnp.float32(1.1754944e-38)  # smallest normal f32; lower bound for log()
+TINY = np.float32(1.1754944e-38)  # smallest normal f32; lower bound for log()
 
 
 def batch_key(seed, batch_index) -> jax.Array:

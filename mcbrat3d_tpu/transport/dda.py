@@ -20,8 +20,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(3e38)
+BIG = np.float32(3e38)
 
 
 def trace(domain, x, y, z, ux, uy, uz, active, tau_stop=None,

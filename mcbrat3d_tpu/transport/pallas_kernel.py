@@ -121,8 +121,25 @@ def _fmix32(x):
 _N_SITES = 12  # draw sites per step (static; spare room for new sites)
 
 
-def _make_uniform(lane_u32, seed_u32):
-    """Returns u(step_counter, site) -> f32 uniforms in [0, 1)."""
+def _make_uniform(lane_u32, seed_u32, mode: str = "murmur", ctr_f32=None):
+    """Returns u(step_counter, site) -> f32 uniforms in [0, 1).
+
+    mode: "murmur" (production), "cheap" (perf bisection: a few f32 ops,
+    NOT statistically sound; ctr_f32 is the f32 step counter).
+    """
+
+    if mode == "cheap":
+        lane_f = jax.lax.bitcast_convert_type(
+            lane_u32 >> np.uint32(8), jnp.int32).astype(jnp.float32)
+
+        def u_cheap(counter, site):
+            del counter  # step variation comes from ctr_f32 (closure)
+            v = (lane_f * np.float32(0.61803)
+                 + ctr_f32 * np.float32(0.7548777)
+                 + np.float32(site) * np.float32(0.3247))
+            return v - jnp.floor(v)
+
+        return u_cheap
 
     def u(counter, site):
         c = (counter * np.uint32(_N_SITES)
@@ -228,6 +245,11 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
     n_blocks = rows // blk
+    # hardware PRNG has no interpret-mode lowering; CPU tests use the
+    # murmur mixer ("swrng" forces it on TPU for A/B validation)
+    hw_rng = (not pcfg.interpret) and "swrng" not in pcfg.debug_parts
+    if "cheapu" in pcfg.debug_parts:
+        hw_rng = False
 
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
@@ -290,10 +312,33 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
         # so no intermediate outlives a block iteration: the Mosaic register
         # allocator reuses one block's worth of VMEM instead of keeping all
         # blocks' one-hot tensors live (which spills ~40x the state size).
-        def block_step(b, ctr, started):
+        def block_step(b, ctr_i32, started):
+            ctr = ctr_i32.astype(jnp.uint32)
             sl = pl.ds(b * blk, blk)
-            uniform = _make_uniform(
-                lane0 + np.uint32(blk * 128) * b.astype(jnp.uint32), seed_u)
+            if hw_rng:
+                # Hardware PRNG: ~free vs the murmur mixer's int32
+                # multiplies (emulated on the VPU; measured ~40 us/step at
+                # 65k lanes). Seeded per (seed, step, block) so draws stay
+                # deterministic in (key, call sequence); sites are consumed
+                # in program order, one [blk, 128] word block per draw.
+                pltpu.prng_seed(seed, ctr_i32, b)
+
+                def uniform(counter, site):
+                    del counter, site  # order-keyed, not site-keyed
+                    bits = pltpu.prng_random_bits((blk, 128))
+                    # bits arrive as int32: bitcast to uint32 BEFORE the
+                    # shift or the sign bit leaks into the mantissa
+                    ub = pltpu.bitcast(bits, jnp.uint32) >> np.uint32(8)
+                    x24 = jax.lax.bitcast_convert_type(ub, jnp.int32)
+                    return x24.astype(jnp.float32) * np.float32(2.0 ** -24)
+            else:
+                uniform = _make_uniform(
+                    lane0 + np.uint32(blk * 128) * b.astype(jnp.uint32),
+                    seed_u,
+                    mode=("cheap" if "cheapu" in pcfg.debug_parts
+                          else "murmur"),
+                    ctr_f32=ctr_i32.astype(jnp.float32)
+                    if "cheapu" in pcfg.debug_parts else None)
             x, y, z = x_ref[sl], y_ref[sl], z_ref[sl]
             ux, uy, uz = ux_ref[sl], uy_ref[sl], uz_ref[sl]
             w = w_ref[sl]
@@ -377,23 +422,35 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             collide = moved & ~clipped
 
             # boundary crossing point (for exit tallies + reflection)
-            z_b = jnp.where(exit_top, z_max, z0)
-            safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
-            t_b = (z_b - z) / safe_uz
-            xe = x0 + jnp.mod(x + ux * t_b - x0, lx)
-            ye = y0 + jnp.mod(y + uy * t_b - y0, ly)
-            ixe = jnp.clip(((xe - x0) * inv_dx).astype(jnp.int32), 0, nx - 1)
-            iye = jnp.clip(((ye - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
-            col_e = ixe * ny + iye
+            if "nocoord" in pcfg.debug_parts:  # perf bisection only
+                xe, ye = x, y
+                col_e = jnp.zeros((blk, 128), jnp.int32)
+                xc, yc = x + ux * d, y + uy * d
+                zc = jnp.clip(zn, z0, z_max)
+                cell = jnp.zeros((blk, 128), jnp.int32)
+            else:
+                z_b = jnp.where(exit_top, z_max, z0)
+                safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
+                t_b = (z_b - z) / safe_uz
+                xe = x0 + jnp.mod(x + ux * t_b - x0, lx)
+                ye = y0 + jnp.mod(y + uy * t_b - y0, ly)
+                ixe = jnp.clip(((xe - x0) * inv_dx).astype(jnp.int32),
+                               0, nx - 1)
+                iye = jnp.clip(((ye - y0) * inv_dy).astype(jnp.int32),
+                               0, ny - 1)
+                col_e = ixe * ny + iye
 
-            # collision cell
-            xc = x0 + jnp.mod(x + ux * d - x0, lx)
-            yc = y0 + jnp.mod(y + uy * d - y0, ly)
-            zc = jnp.clip(zn, z0, z_max)
-            ix = jnp.clip(((xc - x0) * inv_dx).astype(jnp.int32), 0, nx - 1)
-            iy = jnp.clip(((yc - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
-            iz = jnp.clip(((zc - z0) * inv_dz).astype(jnp.int32), 0, nz - 1)
-            cell = (ix * ny + iy) * nz + iz
+                # collision cell
+                xc = x0 + jnp.mod(x + ux * d - x0, lx)
+                yc = y0 + jnp.mod(y + uy * d - y0, ly)
+                zc = jnp.clip(zn, z0, z_max)
+                ix = jnp.clip(((xc - x0) * inv_dx).astype(jnp.int32),
+                              0, nx - 1)
+                iy = jnp.clip(((yc - y0) * inv_dy).astype(jnp.int32),
+                              0, ny - 1)
+                iz = jnp.clip(((zc - z0) * inv_dz).astype(jnp.int32),
+                              0, nz - 1)
+                cell = (ix * ny + iy) * nz + iz
             # with a macro majorant, clipped (null-step) lanes also need
             # the gather: it carries the destination block's majorant
             cell = jnp.where(moved if macro_factor > 0 else collide,
@@ -493,36 +550,44 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
             # ---- HG scattering ----
             scatter = real & ~died_weight
-            g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
-            s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
-            ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
-            cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5, 2.0 * u_ang - 1.0,
-                                  jnp.clip(ct, -1.0, 1.0))
-            sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
-            cos_phi = jnp.cos(phi_rot)
-            sin_phi = jnp.sin(phi_rot)
-            denom_sq = jnp.maximum(1.0 - uz * uz, 0.0)
-            denom = jnp.sqrt(denom_sq)
-            safe = denom > 1e-6
-            inv_denom = jnp.where(safe, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
-            rx = ux * cos_theta + sin_theta * (
-                ux * uz * cos_phi - uy * sin_phi) * inv_denom
-            ry = uy * cos_theta + sin_theta * (
-                uy * uz * cos_phi + ux * sin_phi) * inv_denom
-            rz = uz * cos_theta - sin_theta * cos_phi * denom
-            sgn = jnp.sign(jnp.where(uz == 0, 1.0, uz))
-            vx = sin_theta * cos_phi
-            vy = sgn * sin_theta * sin_phi
-            vz = sgn * cos_theta
-            ox = jnp.where(safe, rx, vx)
-            oy = jnp.where(safe, ry, vy)
-            oz = jnp.where(safe, rz, vz)
-            oz = jnp.where(jnp.abs(oz) < 1e-4,
-                           jnp.sign(jnp.where(oz == 0, 1.0, oz)) * 1e-4, oz)
-            inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
-            ux = jnp.where(scatter, ox * inv_norm, ux)
-            uy = jnp.where(scatter, oy * inv_norm, uy)
-            uz = jnp.where(scatter, oz * inv_norm, uz)
+            if "noscat" in pcfg.debug_parts:  # perf bisection only
+                cos_phi = jnp.cos(phi_rot)
+                sin_phi = jnp.sin(phi_rot)
+                ux = jnp.where(scatter, ux + u_ang * np.float32(1e-9), ux)
+            else:
+                g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
+                s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
+                ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
+                cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5,
+                                      2.0 * u_ang - 1.0,
+                                      jnp.clip(ct, -1.0, 1.0))
+                sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
+                cos_phi = jnp.cos(phi_rot)
+                sin_phi = jnp.sin(phi_rot)
+                denom_sq = jnp.maximum(1.0 - uz * uz, 0.0)
+                denom = jnp.sqrt(denom_sq)
+                safe = denom > 1e-6
+                inv_denom = jnp.where(safe,
+                                      1.0 / jnp.maximum(denom, 1e-12), 0.0)
+                rx = ux * cos_theta + sin_theta * (
+                    ux * uz * cos_phi - uy * sin_phi) * inv_denom
+                ry = uy * cos_theta + sin_theta * (
+                    uy * uz * cos_phi + ux * sin_phi) * inv_denom
+                rz = uz * cos_theta - sin_theta * cos_phi * denom
+                sgn = jnp.sign(jnp.where(uz == 0, 1.0, uz))
+                vx = sin_theta * cos_phi
+                vy = sgn * sin_theta * sin_phi
+                vz = sgn * cos_theta
+                ox = jnp.where(safe, rx, vx)
+                oy = jnp.where(safe, ry, vy)
+                oz = jnp.where(safe, rz, vz)
+                oz = jnp.where(
+                    jnp.abs(oz) < 1e-4,
+                    jnp.sign(jnp.where(oz == 0, 1.0, oz)) * 1e-4, oz)
+                inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+                ux = jnp.where(scatter, ox * inv_norm, ux)
+                uy = jnp.where(scatter, oy * inv_norm, uy)
+                uz = jnp.where(scatter, oz * inv_norm, uz)
 
             # ---- Lambertian surface reflection ----
             w_down = w
@@ -570,8 +635,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     oh_lo_t, hi_t, t_val, jmod_ref[:])
             return started
 
-        ctr = (step0 + k_idx).astype(jnp.uint32)
-        started = block_step(b_idx, ctr, jnp.float32(0.0))
+        started = block_step(b_idx, step0 + k_idx, jnp.float32(0.0))
         nstat_ref[0, 0] = nstat_ref[0, 0] + started
 
         # remaining-work count, accumulated block by block at the last step

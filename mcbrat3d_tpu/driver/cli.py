@@ -47,6 +47,16 @@ def _cmd_mkssp(args) -> int:
     return ssp_create.main(args.namelist)
 
 
+def _cmd_rayleightrans(args) -> int:
+    from mcbrat3d_tpu.tools import molec_scatt_trans
+    molec_scatt_trans.main(args.common_domain, args.output,
+                           lambda_start_um=args.lambda_start,
+                           lambda_stop_um=args.lambda_stop,
+                           n_lambda=args.n_lambda)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def _cmd_optprops(args) -> int:
     from mcbrat3d_tpu.tools import optical_to_domain
     optical_to_domain.convert(args.input, args.output,
@@ -111,6 +121,17 @@ def main(argv=None) -> int:
         help="convert ASCII physical particle properties to a domain file")
     p_pp.add_argument("namelist")
     p_pp.set_defaults(fn=_cmd_physprops)
+
+    p_mst = sub.add_parser(
+        "rayleightrans",
+        help="Rayleigh transmission spectrum from a common domain "
+             "(molecScattTrans equivalent)")
+    p_mst.add_argument("common_domain")
+    p_mst.add_argument("-o", "--output", default="RayleighTrans.txt")
+    p_mst.add_argument("--lambda-start", type=float, default=0.201)
+    p_mst.add_argument("--lambda-stop", type=float, default=1.2)
+    p_mst.add_argument("--n-lambda", type=int, default=1000)
+    p_mst.set_defaults(fn=_cmd_rayleightrans)
 
     p_od = sub.add_parser(
         "optprops",

@@ -321,7 +321,9 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 # 65k lanes). Seeded per (seed, step, block) so draws stay
                 # deterministic in (key, call sequence); sites are consumed
                 # in program order, one [blk, 128] word block per draw.
-                pltpu.prng_seed(seed, ctr_i32, b)
+                # (prng_seed takes at most 2 values: fold (step, block) into
+                # one -- steps are bounded by max_steps so this can't wrap)
+                pltpu.prng_seed(seed, ctr_i32 * np.int32(n_blocks) + b)
 
                 def uniform(counter, site):
                     del counter, site  # order-keyed, not site-keyed

@@ -185,3 +185,56 @@ class TestOpticalToDomain:
         assert attrs["surface_albedo"] == pytest.approx(0.1)
         d = build_domain(g2, comps2, n_cdf_steps=101)
         assert float(d.max_extinction) == pytest.approx(10.0)
+
+
+class TestMolecScattTrans:
+    """Rayleigh transmission tool (reference: Tools/molecScattTrans.f95)."""
+
+    def _common(self, tmp_path):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.common import (CommonDomain,
+                                                num_conc_from_pressure,
+                                                write_common)
+        nz = 6
+        grid = Grid.regular(1, 1, nz, 500.0, 500.0, 1000.0)
+        temps = np.linspace(288.0, 250.0, nz).reshape(1, 1, nz)
+        pressure = np.linspace(1000.0, 500.0, nz)
+        common = CommonDomain(
+            grid=grid, temps=temps,
+            num_conc=num_conc_from_pressure(
+                pressure.reshape(1, 1, nz), temps))
+        path = str(tmp_path / "common.nc")
+        write_common(path, common, pressure_hpa=pressure)
+        return common, path
+
+    def test_transmission_spectrum(self, tmp_path):
+        from mcbrat3d_tpu.tools.molec_scatt_trans import (
+            rayleigh_transmission)
+
+        common, _ = self._common(tmp_path)
+        lam = np.array([0.3, 0.5, 0.8])
+        rows = rayleigh_transmission(common, lam)
+        assert rows.shape == (3, 5)
+        trans = rows[:, 4]
+        assert np.all((trans > 0.0) & (trans < 1.0))
+        # lambda^-4: shorter wavelengths scatter more -> lower transmission
+        assert trans[0] < trans[1] < trans[2]
+        # surface-layer extinction column matches the physics module
+        from mcbrat3d_tpu.physics.rayleigh import rayleigh_extinction
+        m_air = 28.9647e-3 / 6.02214129e23
+        n0 = common.num_conc[0, 0, 0]
+        ext0 = rayleigh_extinction(0.5, n0 * m_air, n0)
+        assert rows[1, 2] == pytest.approx(float(ext0), rel=1e-12)
+        assert np.all(rows[:, 3] == 1.0)  # Rayleigh SSA
+
+    def test_cli_writes_file(self, tmp_path):
+        from mcbrat3d_tpu.driver.cli import main as cli_main
+
+        _, path = self._common(tmp_path)
+        out = str(tmp_path / "RayleighTrans.txt")
+        rc = cli_main(["rayleightrans", path, "-o", out, "--n-lambda", "5"])
+        assert rc == 0
+        data = np.loadtxt(out)
+        assert data.shape == (5, 5)
+        assert data[0, 0] == pytest.approx(0.201)
+        assert data[-1, 0] == pytest.approx(1.2)

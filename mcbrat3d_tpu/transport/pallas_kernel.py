@@ -275,8 +275,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                              (quota_in, quota_ref), (alive_in, alive_ref),
                              (bl_in, bl_ref), (acc_in, acc_ref)):
                 dst[:] = src[:]
-            nstat_ref[0, 0] = 0.0
-            nstat_ref[0, 1] = 0.0
+            for _j in range(8):  # SMEM takes scalar stores only
+                nstat_ref[0, _j] = 0.0
 
         seed = scal_ref[0]
         step0 = scal_ref[1]
@@ -473,9 +473,17 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             oh_idx = jnp.where(exits, t_exit, cell)
 
             # ---- factorized record gather (MXU) ----
+            # comma-set semantics: "all" enables every production section;
+            # modifiers (stats/swrng/cheapu/...) never disable anything.
+            # Substring checks bit us three times -- parse properly.
+            part_set = set(pcfg.debug_parts.split(","))
             parts = pcfg.debug_parts
+
+            def en(name):
+                return "all" in part_set or name in part_set
+
             maj_dest = None
-            if "g1" in parts:  # perf bisection: one-hot + single dot only
+            if "g1" in part_set:  # perf bisection: one-hot + single dot only
                 oh_lo = _onehot_lo(cell, iota_lane)
                 oh2 = oh_lo.reshape(blk * 128, 128)
                 t = jnp.dot(oh2, b_hi_ref[:],
@@ -484,14 +492,14 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 beta = g3[:, :, 0] + beta_max * 0.5
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
-            elif "g0" in parts:  # one-hot construction only, no matmul
+            elif "g0" in part_set:  # one-hot construction only, no matmul
                 oh_lo = _onehot_lo(cell, iota_lane)
                 beta = (oh_lo[:, :, 0].astype(jnp.float32)
                         + beta_max * 0.5)
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
-            elif "g2" in parts:  # + b_lo dot + hi mask + product (no fold)
+            elif "g2" in part_set:  # + b_lo dot + hi mask + product (no fold)
                 oh_lo = _onehot_lo(cell, iota_lane)
                 oh2 = oh_lo.reshape(blk * 128, 128)
                 t = jnp.dot(oh2, b_hi_ref[:],
@@ -505,7 +513,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
-            elif "g4" in parts:  # full gather, single extracted column
+            elif "g4" in part_set:  # full gather, single extracted column
                 oh_lo = _onehot_lo(cell, iota_lane)
                 g = _gather_records(cell, oh_lo, b_hi_ref[:],
                                     iota_w_div, iota_w_mod, fields=(0,))
@@ -513,7 +521,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
-            elif parts == "all" or "gather" in parts:
+            elif en("gather"):
                 fields = ((0,) + (() if uniform_ssa else (1,))
                           + (() if uniform_hg else (2,))
                           + ((3,) if macro_factor > 0 else ()))
@@ -625,7 +633,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             # exclusive), so one factorized contract covers all three --
             # and it reuses the gather's lo one-hot (identical lo by
             # construction of oh_idx; only the hi rows differ).
-            if parts == "all" or "tally" in parts:
+            if en("tally"):
                 t_val = jnp.where(exit_top, w,
                                   jnp.where(exit_bot, w_down, absorbed))
                 t_val = jnp.where(exits | real, t_val, 0.0)
@@ -635,10 +643,21 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                            else _onehot_lo(oh_idx, iota_lane))
                 acc_ref[:] = acc_ref[:] + _tally_contract(
                     oh_lo_t, hi_t, t_val, jmod_ref[:])
-            return started
+            if "stats" in pcfg.debug_parts:  # event-profile instrumentation
+                fsum = lambda m: jnp.sum(m.astype(jnp.float32))  # noqa: E731
+                return (started, fsum(alive | exits | died_weight
+                                      | died_surface),
+                        fsum(real), fsum(exits), fsum(moved & clipped))
+            return (started, None, None, None, None)
 
-        started = block_step(b_idx, step0 + k_idx, jnp.float32(0.0))
+        started, s_act, s_real, s_exit, s_clip = block_step(
+            b_idx, step0 + k_idx, jnp.float32(0.0))
         nstat_ref[0, 0] = nstat_ref[0, 0] + started
+        if "stats" in pcfg.debug_parts:
+            nstat_ref[0, 2] = nstat_ref[0, 2] + s_act
+            nstat_ref[0, 3] = nstat_ref[0, 3] + s_real
+            nstat_ref[0, 4] = nstat_ref[0, 4] + s_exit
+            nstat_ref[0, 5] = nstat_ref[0, 5] + s_clip
 
         # remaining-work count, accumulated block by block at the last step
         @pl.when(k_idx == k_steps - 1)
@@ -730,7 +749,13 @@ def run_batch_pallas(domain: OpticalDomain,
         jnp.float32(0), jnp.float32(0),
     ]).reshape(1, 16)
 
-    # per-lane quotas (clamped by the traced n_photons, like run_batch)
+    # per-lane quotas (clamped by the traced n_photons, like run_batch).
+    # The quota-rebalance sums quotas in int32: the total must stay below
+    # 2^31 or the sum wraps and zeroes every quota mid-run.
+    if n_lanes * photons_per_lane >= 2 ** 31:
+        raise ValueError(
+            f"n_lanes*photons_per_lane = {n_lanes * photons_per_lane} "
+            f"overflows the int32 quota budget; split into more batches")
     if n_photons is None:
         quota0 = jnp.full((rows, 128), photons_per_lane, jnp.int32)
     else:
@@ -776,7 +801,7 @@ def run_batch_pallas(domain: OpticalDomain,
         for k in keys]
     out_shape = state_shapes + [
         jax.ShapeDtypeStruct((128, 128), jnp.float32),
-        jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {2 + i: i for i in range(n_state)}
@@ -793,11 +818,11 @@ def run_batch_pallas(domain: OpticalDomain,
     )
 
     def cond(carry):
-        state, acc, n_started, n_calls, work = carry
+        state, acc, n_started, n_calls, work, stat_acc = carry
         return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
 
     def body(carry):
-        state, acc, n_started, n_calls, work = carry
+        state, acc, n_started, n_calls, work, stat_acc = carry
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
@@ -819,10 +844,12 @@ def run_batch_pallas(domain: OpticalDomain,
                   + jnp.arange(128, dtype=jnp.int32)[None, :])
         new_state["quota"] = (total_q // n_lanes) + (
             lane_i < (total_q % n_lanes)).astype(jnp.int32)
-        return (new_state, acc, n_started, n_calls + 1, work)
+        return (new_state, acc, n_started, n_calls + 1, work,
+                stat_acc + stats[0])
 
-    carry = (state0, acc0, jnp.int32(0), jnp.int32(0), jnp.bool_(True))
-    state_f, acc_f, n_started, n_calls, _ = jax.lax.while_loop(
+    carry = (state0, acc0, jnp.int32(0), jnp.int32(0), jnp.bool_(True),
+             jnp.zeros((8,), jnp.float32))
+    state_f, acc_f, n_started, n_calls, _, stat_acc = jax.lax.while_loop(
         cond, body, carry)
 
     flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]; t = h*128 + lo
@@ -830,6 +857,9 @@ def run_batch_pallas(domain: OpticalDomain,
     flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
     vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    if "stats" in pcfg.debug_parts:
+        return (flux_up, flux_down, vol, n_started, n_bad, n_calls,
+                stat_acc)
     return flux_up, flux_down, vol, n_started, n_bad, n_calls
 
 

@@ -36,6 +36,48 @@ def wait_for_device(max_wait_s: float = 2400.0, probe_timeout: float = 90.0):
         time.sleep(30.0)
 
 
+def bench_intensity():
+    """Radiance-path throughput (local estimation, 6 directions, Iwabuchi
+    RR): the reference's dominant production cost (SURVEY.md section 3C).
+    Run with: python bench.py --intensity. Prints its own JSON line."""
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+    from mcbrat3d_tpu.transport.local_estimate import (
+        IntensityConfig, make_intensity_directions)
+
+    domain = make_step_cloud(ssa=0.99, macro_factor=8,
+                             compute_intensity_tables=True)
+    surface = Surface.lambertian(0.0)
+    source = illumination.directional(0.5, 0.0)
+    dirs = make_intensity_directions(
+        [1.0, 0.8, 0.6, 0.4, 0.6, 0.8],
+        [0.0, 0.0, 0.0, 0.0, 180.0, 180.0])
+    icfg = IntensityConfig(n_dirs=6, use_russian_roulette=True)
+    config = KernelConfig(n_lanes=1 << 15, photons_per_lane=32,
+                          max_steps=200_000)
+    t = run_batch(domain, surface, source, rng.batch_key(0, 0), config,
+                  intensity_config=icfg, intensity_dirs=dirs)
+    _ = int(t.n_photons)
+    rates = []
+    for b in range(1, 4):
+        t0 = time.time()
+        t = run_batch(domain, surface, source, rng.batch_key(0, b), config,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        n = int(t.n_photons)
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    rate = rates[len(rates) // 2]
+    print(json.dumps({
+        "metric": "step_cloud_radiance_throughput_6dir",
+        "value": round(rate, 1),
+        "unit": "photons/sec/chip",
+        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
+    }))
+
+
 def main():
     if not wait_for_device():
         print(json.dumps({
@@ -46,6 +88,10 @@ def main():
             "note": "device unreachable: the TPU relay stayed wedged for "
                     "40 minutes; see PERF_NOTES.md 'Relay hazard'",
         }))
+        return
+
+    if "--intensity" in sys.argv:
+        bench_intensity()
         return
 
     import jax.numpy as jnp  # noqa: F401  (device now known reachable)

@@ -13,13 +13,14 @@ buffer entirely in VMEM across K transport steps per launch:
   * tallies accumulate by the transposed contraction of the same one-hots;
     the volume-absorption section of the tally buffer is placed at a
     128-aligned base so the collision gather's lo-one-hot is reused;
-  * bf16 one-hot matmuls carry a hi/lo *value split* (v = bf16(v) +
-    bf16(v - bf16(v))) so gathered/accumulated f32 values keep ~1e-7
-    relative accuracy at bf16 MXU speed;
-  * uniforms come from an in-kernel counter-based mixer (two murmur3
-    finalizer rounds keyed by (lane, step, draw-site, seed)) -- stateless,
-    platform-independent (runs in interpreter mode on CPU for testing),
-    and reproducible in (key, call sequence);
+  * one-hots are exact in bf16, so both MXU contractions run at bf16 rate
+    with hi/lo *value splits* (v = bf16(v) + bf16(v - bf16(v)), ~2^-17
+    relative -- far below MC noise) on the record table and tally values;
+    PallasConfig(bf16=False) selects the exact all-f32 pipeline;
+  * uniforms come from the hardware PRNG (pltpu.prng_random_bits, seeded
+    per (seed, step, block)) on TPU; the CPU interpreter uses a
+    counter-based murmur3 mixer keyed by (lane, step, draw-site, seed).
+    Both are stateless and reproducible in (key, call sequence);
   * one launch advances K steps inside a fori_loop; an XLA-level
     while_loop re-launches until every lane quota is spent and dead,
     with the ~2.6 MB state as the loop carry (HBM round-trip per launch
@@ -66,6 +67,11 @@ class PallasConfig:
     steps_per_call: int = 128
     max_steps: int = 20_000
     interpret: bool = False  # CPU interpreter mode (tests)
+    # bf16 one-hot pipeline: one-hots are exact in bf16; the record table
+    # and tally values carry hi/lo bf16 splits (~2^-17 relative error,
+    # far below MC noise) so both MXU contractions run at bf16 rate and
+    # one-hot VMEM traffic halves. False = exact all-f32 pipeline.
+    bf16: bool = True
     # perf-bisection knob: comma-set of enabled sections out of
     # {gather, tally, exits}; anything disabled is replaced by constants.
     # NOT for production use -- statistics are wrong unless "all".
@@ -165,22 +171,25 @@ def _bf16_split(v):
     return hi, lo
 
 
-def _onehot_lo(idx_blk, iota_lane):
-    """[BLK, 128] int32 -> [BLK, 128, 128] f32 one-hot of idx & 127.
+def _onehot_lo(idx_blk, iota_lane, dtype=jnp.float32):
+    """[BLK, 128] int32 -> [BLK, 128, 128] one-hot of idx & 127.
 
-    f32 throughout: bf16 one-hots save MXU cycles but every cast/split is
-    a full VPU pass over a 1M-element array, which costs more than the
-    (exact) f32 matmuls they enable.
+    One-hots are exactly representable in bf16, which halves the VMEM
+    traffic of the materialized tensor and feeds the MXU at bf16 rate.
     """
     lo = jnp.bitwise_and(idx_blk, 127)
-    return (lo[:, :, None] == iota_lane).astype(jnp.float32)
+    return (lo[:, :, None] == iota_lane).astype(dtype)
 
 
-def _gather_records(cell_blk, oh_lo, b_hi, iota_w_div, iota_w_mod,
+def _gather_records(cell_blk, oh_lo, tables, iota_w_div, iota_w_mod,
                     fields=(0, 1, 2)):
     """One factorized record gather for a [BLK, 128] block of lanes.
 
-    The lo contraction is one 2D MXU matmul over merged lane rows (3D
+    ``tables`` is (B_hi, B_lo): either (f32 table, None) for the exact-f32
+    pipeline, or a bf16 hi/lo split pair (B = hi + lo to ~2^-17 relative)
+    contracted by two bf16 MXU matmuls accumulated in f32.
+
+    The lo contraction is a 2D MXU matmul over merged lane rows (3D
     contractions and batched dots lower ~10x slower in Mosaic); hi
     selection and per-record extraction are masked cross-lane reductions
     in block layout (lane-dim slice extraction costs ~10 us/block in
@@ -191,10 +200,13 @@ def _gather_records(cell_blk, oh_lo, b_hi, iota_w_div, iota_w_mod,
     Returns a dict {record column -> [BLK, 128] f32}.
     """
     blk = cell_blk.shape[0]
+    b_hi, b_lo = tables
     w_cols = b_hi.shape[1]
-    # T[n, w] = B[lo(n), w] -- one exact f32 MXU contraction
+    # T[n, w] = B[lo(n), w]
     oh2 = oh_lo.reshape(blk * 128, 128)
     t2 = jnp.dot(oh2, b_hi, preferred_element_type=jnp.float32)
+    if b_lo is not None:
+        t2 = t2 + jnp.dot(oh2, b_lo, preferred_element_type=jnp.float32)
     t = t2.reshape(blk, 128, w_cols)
     # hi selection: keep only the w-block of this lane's hi index
     hi = jnp.right_shift(cell_blk, 7)
@@ -203,7 +215,8 @@ def _gather_records(cell_blk, oh_lo, b_hi, iota_w_div, iota_w_mod,
     return {r: jnp.sum(s * (iota_w_mod == r), axis=2) for r in fields}
 
 
-def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod):
+def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
+                    ht: int = 128):
     """Transposed factorized scatter-add for one block.
 
     acc[j, lo] += sum_{b,l} (t_hi(b,l) == j % ht) * val(b,l) * oh_lo[b,l,lo]
@@ -213,13 +226,30 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod):
     [nb,128] x [nb,128] -> [128,128] dot -- a skinny ht-wide operand would
     idle most of the systolic array AND pay lane-padding passes on every
     elementwise op. Rows j >= ht are duplicates the caller ignores.
+
+    bf16 mode splits the values hi/lo (v = bf16(v) + bf16(v - bf16(v)),
+    ~2^-17 relative) and runs two bf16 dots instead of one f32 dot; the
+    f32 dot is the single most expensive op in the kernel (~1 GMAC/step
+    contracted at f32 rate).
     """
     blk = val_blk.shape[0]
     nb = blk * 128
     ohh = t_hi_blk[:, :, None] == jmod.reshape(1, 1, 128)
-    a = jnp.where(ohh, val_blk[:, :, None], 0.0).reshape(nb, 128)
     o2 = oh_lo.reshape(nb, 128)
     dn = (((0,), (0,)), ((), ()))  # contract the lane rows
+    if bf16:
+        vh, vl = _bf16_split(val_blk)
+        zero = jnp.bfloat16(0)
+        # j-major layout: Mosaic rejects minor-dim insertion on 16-bit
+        # operands (vh[:, :, None]), so broadcast the values along a MAJOR
+        # j axis instead and feed the MXU a plain [128, nb] @ [nb, 128].
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (128, 1, 1), 0)
+        ohh_j = (iota_j % np.int32(ht)) == t_hi_blk[None, :, :]
+        a_h = jnp.where(ohh_j, vh[None, :, :], zero).reshape(128, nb)
+        a_l = jnp.where(ohh_j, vl[None, :, :], zero).reshape(128, nb)
+        return (jnp.dot(a_h, o2, preferred_element_type=jnp.float32)
+                + jnp.dot(a_l, o2, preferred_element_type=jnp.float32))
+    a = jnp.where(ohh, val_blk[:, :, None], 0.0).reshape(nb, 128)
     return jax.lax.dot_general(a, o2, dn,
                                preferred_element_type=jnp.float32)
 
@@ -250,11 +280,12 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     hw_rng = (not pcfg.interpret) and "swrng" not in pcfg.debug_parts
     if "cheapu" in pcfg.debug_parts:
         hw_rng = False
+    oh_dtype = jnp.bfloat16 if pcfg.bf16 else jnp.float32
 
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
-               b_hi_ref, jmod_ref, acc_in,
+               b_hi_ref, b_lo_ref, jmod_ref, acc_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
@@ -514,9 +545,11 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
             elif "g4" in part_set:  # full gather, single extracted column
-                oh_lo = _onehot_lo(cell, iota_lane)
-                g = _gather_records(cell, oh_lo, b_hi_ref[:],
-                                    iota_w_div, iota_w_mod, fields=(0,))
+                oh_lo = _onehot_lo(cell, iota_lane, oh_dtype)
+                g = _gather_records(
+                    cell, oh_lo,
+                    (b_hi_ref[:], b_lo_ref[:] if pcfg.bf16 else None),
+                    iota_w_div, iota_w_mod, fields=(0,))
                 beta = g[0]
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
@@ -525,9 +558,11 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 fields = ((0,) + (() if uniform_ssa else (1,))
                           + (() if uniform_hg else (2,))
                           + ((3,) if macro_factor > 0 else ()))
-                oh_lo = _onehot_lo(oh_idx, iota_lane)
-                g = _gather_records(cell, oh_lo, b_hi_ref[:],
-                                    iota_w_div, iota_w_mod, fields=fields)
+                oh_lo = _onehot_lo(oh_idx, iota_lane, oh_dtype)
+                g = _gather_records(
+                    cell, oh_lo,
+                    (b_hi_ref[:], b_lo_ref[:] if pcfg.bf16 else None),
+                    iota_w_div, iota_w_mod, fields=fields)
                 beta = g[0]
                 ssa = (jnp.full((blk, 128), par_ref[0, 12])
                        if uniform_ssa else g[1])
@@ -640,9 +675,9 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 hi_t = jnp.where(exits, jnp.right_shift(t_exit, 7),
                                  vol_hi0 + jnp.right_shift(cell, 7))
                 oh_lo_t = (oh_lo if oh_lo is not None
-                           else _onehot_lo(oh_idx, iota_lane))
+                           else _onehot_lo(oh_idx, iota_lane, oh_dtype))
                 acc_ref[:] = acc_ref[:] + _tally_contract(
-                    oh_lo_t, hi_t, t_val, jmod_ref[:])
+                    oh_lo_t, hi_t, t_val, jmod_ref[:], pcfg.bf16, ht)
             if "stats" in pcfg.debug_parts:  # event-profile instrumentation
                 fsum = lambda m: jnp.sum(m.astype(jnp.float32))  # noqa: E731
                 return (started, fsum(alive | exits | died_weight
@@ -718,6 +753,12 @@ def run_batch_pallas(domain: OpticalDomain,
     vol_base = -(-2 * nxy // 128) * 128
     ht = -(-(vol_base + nxyz) // 128)
     b_tab, w_cols = _pack_tables(domain, h_cells)
+    if pcfg.bf16:
+        # bf16 hi/lo split of the record table (B = hi + lo to ~2^-17)
+        b_hi = b_tab.astype(jnp.bfloat16)
+        b_lo = (b_tab - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        b_hi, b_lo = b_tab, jnp.zeros_like(b_tab)
     # tiled-hi table for the tally contraction: jmod[j] = j % ht
     jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
 
@@ -789,7 +830,7 @@ def run_batch_pallas(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2 + 1),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 1),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -805,7 +846,7 @@ def run_batch_pallas(domain: OpticalDomain,
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 2] = n_state  # acc
+    aliases[2 + n_state + 3] = n_state  # acc
 
     call = pl.pallas_call(
         kernel,
@@ -826,7 +867,7 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    b_tab, jmod, acc)
+                    b_hi, b_lo, jmod, acc)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         stats = outs[n_state + 1]

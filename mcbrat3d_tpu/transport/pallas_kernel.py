@@ -234,22 +234,25 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
     """
     blk = val_blk.shape[0]
     nb = blk * 128
-    ohh = t_hi_blk[:, :, None] == jmod.reshape(1, 1, 128)
     o2 = oh_lo.reshape(nb, 128)
-    dn = (((0,), (0,)), ((), ()))  # contract the lane rows
     if bf16:
+        ht_pad = -(-ht // 8) * 8
         vh, vl = _bf16_split(val_blk)
         zero = jnp.bfloat16(0)
         # j-major layout: Mosaic rejects minor-dim insertion on 16-bit
         # operands (vh[:, :, None]), so broadcast the values along a MAJOR
-        # j axis instead and feed the MXU a plain [128, nb] @ [nb, 128].
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (128, 1, 1), 0)
-        ohh_j = (iota_j % np.int32(ht)) == t_hi_blk[None, :, :]
-        a_h = jnp.where(ohh_j, vh[None, :, :], zero).reshape(128, nb)
-        a_l = jnp.where(ohh_j, vl[None, :, :], zero).reshape(128, nb)
+        # j axis. j is a SUBLANE dim here, so it needs no 128-tiling --
+        # [ht_pad, nb] @ [nb, 128] streams ~ht_pad/128 of the full-tile
+        # MXU time (ht is 9 for the step cloud: ~8x cheaper than tiling).
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (ht_pad, 1, 1), 0)
+        ohh_j = iota_j == t_hi_blk[None, :, :]
+        a_h = jnp.where(ohh_j, vh[None, :, :], zero).reshape(ht_pad, nb)
+        a_l = jnp.where(ohh_j, vl[None, :, :], zero).reshape(ht_pad, nb)
         return (jnp.dot(a_h, o2, preferred_element_type=jnp.float32)
                 + jnp.dot(a_l, o2, preferred_element_type=jnp.float32))
+    ohh = t_hi_blk[:, :, None] == jmod.reshape(1, 1, 128)
     a = jnp.where(ohh, val_blk[:, :, None], 0.0).reshape(nb, 128)
+    dn = (((0,), (0,)), ((), ()))  # contract the lane rows
     return jax.lax.dot_general(a, o2, dn,
                                preferred_element_type=jnp.float32)
 
@@ -554,6 +557,44 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
+            elif en("gather") and "subg" in part_set:
+                # EXPERIMENT: sublane-layout gather. Photon index stays in
+                # the lane dim end-to-end: one-hot [blk, 128lo, 128p] (no
+                # transpose-broadcast), per-sublane-row small MXU dots,
+                # extraction by sublane-dim masked reduce.
+                fields = ((0,) + (() if uniform_ssa else (1,))
+                          + (() if uniform_hg else (2,))
+                          + ((3,) if macro_factor > 0 else ()))
+                lo_s = jnp.bitwise_and(oh_idx, 127)
+                iota_sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 128, 128), 1)
+                ohs = (lo_s[:, None, :] == iota_sub).astype(oh_dtype)
+                bth = b_hi_ref[:].T  # [W, 128lo]
+                btl = b_lo_ref[:].T if pcfg.bf16 else None
+                t_rows = []
+                for b_i in range(blk):
+                    tb = jnp.dot(bth, ohs[b_i],
+                                 preferred_element_type=jnp.float32)
+                    if btl is not None:
+                        tb = tb + jnp.dot(
+                            btl, ohs[b_i],
+                            preferred_element_type=jnp.float32)
+                    t_rows.append(tb)  # [W, 128p]
+                t3 = jnp.stack(t_rows, axis=0)  # [blk, W, 128p]
+                iota_ws = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, w_cols, 128), 1)
+                hi_s = jnp.right_shift(cell, 7)
+                s3 = t3 * ((iota_ws // REC_COLS) ==
+                           hi_s[:, None, :]).astype(jnp.float32)
+                g = {r: jnp.sum(s3 * ((iota_ws % REC_COLS) == r), axis=1)
+                     for r in fields}
+                oh_lo = None  # tally builds its own (old orientation)
+                beta = g[0]
+                ssa = (jnp.full((blk, 128), par_ref[0, 12])
+                       if uniform_ssa else g[1])
+                g_hg = (jnp.full((blk, 128), par_ref[0, 13])
+                        if uniform_hg else g[2])
+                maj_dest = g[3] if macro_factor > 0 else None
             elif en("gather"):
                 fields = ((0,) + (() if uniform_ssa else (1,))
                           + (() if uniform_hg else (2,))
@@ -818,7 +859,10 @@ def run_batch_pallas(domain: OpticalDomain,
         quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
         beta_loc=jnp.full((rows, 128), jnp.float32(beta_max)),
     )
-    acc0 = jnp.zeros((128, 128), jnp.float32)  # [j, lo]; j tiles hi mod ht
+    # [j, lo]: bf16 pipeline uses exactly ht rows (8-padded, j == hi);
+    # the f32 pipeline tiles hi mod ht over 128 rows (legacy layout)
+    ht_pad = (-(-ht // 8) * 8) if pcfg.bf16 else 128
+    acc0 = jnp.zeros((ht_pad, 128), jnp.float32)
 
     keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
             "beta_loc")
@@ -841,7 +885,7 @@ def run_batch_pallas(domain: OpticalDomain,
                              else jnp.float32)
         for k in keys]
     out_shape = state_shapes + [
-        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((ht_pad, 128), jnp.float32),
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)

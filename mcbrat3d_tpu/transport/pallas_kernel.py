@@ -517,6 +517,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 return "all" in part_set or name in part_set
 
             maj_dest = None
+            ohs_sub = None
             if "g1" in part_set:  # perf bisection: one-hot + single dot only
                 oh_lo = _onehot_lo(cell, iota_lane)
                 oh2 = oh_lo.reshape(blk * 128, 128)
@@ -557,11 +558,14 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
-            elif en("gather") and "subg" in part_set:
-                # EXPERIMENT: sublane-layout gather. Photon index stays in
-                # the lane dim end-to-end: one-hot [blk, 128lo, 128p] (no
-                # transpose-broadcast), per-sublane-row small MXU dots,
-                # extraction by sublane-dim masked reduce.
+            elif en("gather") and "oldgather" not in part_set:
+                # Sublane-layout gather (production default). The photon
+                # index stays in the lane dim end-to-end: the one-hot is
+                # [blk, 128lo, 128p] (no transpose-broadcast -- the minor-
+                # dim one-hot layout hid a photon-lane -> sublane transpose
+                # costing ~46 us/step), contracted by per-sublane-row small
+                # MXU dots, with extraction by sublane-dim masked reduce
+                # (~10 us/step total vs ~97 for the transposed layout).
                 fields = ((0,) + (() if uniform_ssa else (1,))
                           + (() if uniform_hg else (2,))
                           + ((3,) if macro_factor > 0 else ()))
@@ -588,7 +592,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                            hi_s[:, None, :]).astype(jnp.float32)
                 g = {r: jnp.sum(s3 * ((iota_ws % REC_COLS) == r), axis=1)
                      for r in fields}
-                oh_lo = None  # tally builds its own (old orientation)
+                oh_lo = None  # tally may reuse ohs (sublane orientation)
+                ohs_sub = ohs
                 beta = g[0]
                 ssa = (jnp.full((blk, 128), par_ref[0, 12])
                        if uniform_ssa else g[1])
@@ -715,10 +720,34 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 t_val = jnp.where(exits | real, t_val, 0.0)
                 hi_t = jnp.where(exits, jnp.right_shift(t_exit, 7),
                                  vol_hi0 + jnp.right_shift(cell, 7))
-                oh_lo_t = (oh_lo if oh_lo is not None
-                           else _onehot_lo(oh_idx, iota_lane, oh_dtype))
-                acc_ref[:] = acc_ref[:] + _tally_contract(
-                    oh_lo_t, hi_t, t_val, jmod_ref[:], pcfg.bf16, ht)
+                if ohs_sub is not None and "oldtally" not in part_set:
+                    # Sublane tally (production default): reuses the
+                    # sublane gather's one-hot -- per-sublane-row A.B^T
+                    # dots contracted over the photon-lane dim
+                    # (~11 us/step vs ~38 for the j-major layout).
+                    ht_pad = -(-ht // 8) * 8
+                    iota_j = jax.lax.broadcasted_iota(
+                        jnp.int32, (ht_pad, 1, 1), 0)
+                    ohh_j = iota_j == hi_t[None, :, :]
+                    vh_t, vl_t = _bf16_split(t_val)
+                    zero_b = jnp.bfloat16(0)
+                    a_h3 = jnp.where(ohh_j, vh_t[None, :, :], zero_b)
+                    a_l3 = jnp.where(ohh_j, vl_t[None, :, :], zero_b)
+                    dn_t = (((1,), (1,)), ((), ()))
+                    contrib = acc_ref[:]
+                    for b_i in range(blk):
+                        contrib = contrib + jax.lax.dot_general(
+                            a_h3[:, b_i, :], ohs_sub[b_i], dn_t,
+                            preferred_element_type=jnp.float32)
+                        contrib = contrib + jax.lax.dot_general(
+                            a_l3[:, b_i, :], ohs_sub[b_i], dn_t,
+                            preferred_element_type=jnp.float32)
+                    acc_ref[:] = contrib
+                else:
+                    oh_lo_t = (oh_lo if oh_lo is not None
+                               else _onehot_lo(oh_idx, iota_lane, oh_dtype))
+                    acc_ref[:] = acc_ref[:] + _tally_contract(
+                        oh_lo_t, hi_t, t_val, jmod_ref[:], pcfg.bf16, ht)
             if "stats" in pcfg.debug_parts:  # event-profile instrumentation
                 fsum = lambda m: jnp.sum(m.astype(jnp.float32))  # noqa: E731
                 return (started, fsum(alive | exits | died_weight

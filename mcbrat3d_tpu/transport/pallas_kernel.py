@@ -720,7 +720,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 t_val = jnp.where(exits | real, t_val, 0.0)
                 hi_t = jnp.where(exits, jnp.right_shift(t_exit, 7),
                                  vol_hi0 + jnp.right_shift(cell, 7))
-                if ohs_sub is not None and "oldtally" not in part_set:
+                if (ohs_sub is not None and pcfg.bf16
+                        and "oldtally" not in part_set):
+                    # (bf16 only: the f32 pipeline keeps the 128-row
+                    # j-major accumulator)
                     # Sublane tally (production default): reuses the
                     # sublane gather's one-hot -- per-sublane-row A.B^T
                     # dots contracted over the photon-lane dim

@@ -170,3 +170,35 @@ class TestMacroMajorant:
         z = np.abs(a - b_) / np.maximum(sigma, 1e-9)
         assert z.max() < 5.0, z.max()
         # macro run should use FEWER wave steps (the point of the majorant)
+
+
+class TestPipelineVariants:
+    """The debug/A-B pipelines must agree with the production path."""
+
+    @pytest.mark.parametrize("variant", [
+        dict(bf16=False),                       # exact all-f32 pipeline
+        dict(debug_parts="all,oldgather"),      # transposed-layout gather
+        dict(debug_parts="all,oldtally"),       # j-major tally
+    ])
+    def test_variant_matches_default(self, step_cloud, variant):
+        import dataclasses
+
+        base = dict(rows=8, block_rows=8, steps_per_call=32,
+                    max_steps=4096, interpret=True)
+        ref_cfg = PallasConfig(**base)
+        var_cfg = PallasConfig(**{**base, **variant})
+        key = rng.batch_key(5, 0)
+        ref = run_batch_pallas(step_cloud, Surface.lambertian(0.2),
+                               illumination.directional(0.5, 0.0),
+                               key, ref_cfg, 4)
+        var = run_batch_pallas(step_cloud, Surface.lambertian(0.2),
+                               illumination.directional(0.5, 0.0),
+                               key, var_cfg, 4)
+        assert int(ref[3]) == int(var[3])  # same photons started
+        # identical streams; only summation order / split arithmetic may
+        # differ -> near-bitwise agreement
+        for i, name in ((0, "flux_up"), (1, "flux_down"), (2, "vol")):
+            np.testing.assert_allclose(np.asarray(var[i]),
+                                       np.asarray(ref[i]),
+                                       atol=5e-4, rtol=1e-3,
+                                       err_msg=f"{name} ({variant})")

@@ -56,8 +56,11 @@ def bench_intensity():
         [1.0, 0.8, 0.6, 0.4, 0.6, 0.8],
         [0.0, 0.0, 0.0, 0.0, 180.0, 180.0])
     icfg = IntensityConfig(n_dirs=6, use_russian_roulette=True)
-    config = KernelConfig(n_lanes=1 << 15, photons_per_lane=32,
-                          max_steps=200_000)
+    # Small batches: the local-estimation path runs up to 3 DDA traces per
+    # direction per scattering event, and the relay kills single device
+    # executions beyond ~4 minutes.
+    config = KernelConfig(n_lanes=1 << 14, photons_per_lane=8,
+                          max_steps=60_000)
     t = run_batch(domain, surface, source, rng.batch_key(0, 0), config,
                   intensity_config=icfg, intensity_dirs=dirs)
     _ = int(t.n_photons)

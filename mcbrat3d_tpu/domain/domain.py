@@ -132,6 +132,20 @@ class OpticalDomain:
     macro_factor: int = dataclasses.field(metadata=dict(static=True), default=0)
     temps: Optional[jax.Array] = None  # [nx, ny, nz] f32 (broadband/LW)
     lambda_um: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    # Column-template structure (big-domain megakernel fast path; detected
+    # at build time): extinction is exactly
+    #   beta(x, y, z) = col_scale[ix*ny+iy] * (iz < col_height[ix*ny+iy]),
+    # the shape of the reference's Landsat-style scenes
+    # (reference: Domain-Files/i3rcLandsatCloud.f95:82-90). The per-cell
+    # record table is then redundant: the kernel gathers two per-COLUMN
+    # values instead of per-cell records, which keeps the factorized
+    # one-hot machinery within its 16384-entry envelope for domains of
+    # millions of cells.
+    col_scale: Optional[jax.Array] = None    # [nx*ny] f32
+    col_height: Optional[jax.Array] = None   # [nx*ny] f32 (cells, from z=0)
+    macro_table: Optional[jax.Array] = None  # [nbx*nby*nbz] f32 majorants
+    col_template: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
 
     @property
     def n_components(self) -> int:
@@ -266,6 +280,50 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
     if uniform_hg:
         rec[:, 2 + 3 * ncomp] = g0[0]
 
+    # --- column-template detection (Landsat-style scenes) ---
+    # beta(x,y,z) = col_scale * (iz < col_height): nonzero cells form a
+    # contiguous uniform block from z=0 in every column.
+    col_template = False
+    col_scale = col_height = macro_table_flat = None
+    if ncomp == 1 and grid.xy_regular and grid.z_regular:
+        t32 = np.asarray(total, np.float32)  # detect on the f32 the kernel sees
+        t2 = t32.reshape(nx * ny, nz)
+        h = (t2 > 0.0).sum(axis=1).astype(np.int64)
+        iz_row = np.arange(nz)[None, :]
+        if bool(np.all((t2 > 0.0) == (iz_row < h[:, None]))):
+            scale = t2[np.arange(nx * ny), np.maximum(h - 1, 0)]
+            scale = np.where(h > 0, scale, 0.0).astype(np.float32)
+            tmpl = scale[:, None] * (iz_row < h[:, None])
+            if bool(np.all(t2 == tmpl)):
+                col_template = True
+                col_scale = jnp.asarray(scale, jnp.float32)
+                col_height = jnp.asarray(h.astype(np.float32))
+                if macro_factor > 0:
+                    # xy-block majorant table for the column megakernel:
+                    # per block, (max scale rounded UP to bf16 so the bound
+                    # survives the bf16 table, max cloud-top height in
+                    # cells). Blocks span the full z range; the kernel
+                    # clips jumps at xy faces and the block's cloud-top
+                    # plane instead of 3D macro cells.
+                    f = macro_factor
+                    nbx, nby = -(-nx // f), -(-ny // f)
+                    s2 = np.zeros((nbx * f, nby * f), np.float32)
+                    h2 = np.zeros((nbx * f, nby * f), np.float32)
+                    s2[:nx, :ny] = scale.reshape(nx, ny)
+                    h2[:nx, :ny] = h.reshape(nx, ny).astype(np.float32)
+                    bs = s2.reshape(nbx, f, nby, f).max(axis=(1, 3))
+                    bh = h2.reshape(nbx, f, nby, f).max(axis=(1, 3))
+                    # round the majorant UP in bf16 (so the bound survives
+                    # the kernel's bf16 table quantization)
+                    import ml_dtypes
+                    bs16 = bs.astype(ml_dtypes.bfloat16).astype(np.float32)
+                    bumped = (bs * (1.0 + 2.0 ** -6)).astype(
+                        ml_dtypes.bfloat16).astype(np.float32)
+                    bump = np.where(bs16 < bs, bumped, bs16)
+                    macro_table_flat = jnp.asarray(
+                        np.stack([bump.reshape(-1), bh.reshape(-1)], 1),
+                        jnp.float32)  # [nbx*nby, 2]
+
     return OpticalDomain(
         grid=grid,
         total_ext=jnp.asarray(total, jnp.float32),
@@ -280,4 +338,8 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         macro_factor=int(macro_factor),
         temps=None if temps is None else jnp.asarray(temps, jnp.float32),
         lambda_um=float(lambda_um),
+        col_scale=col_scale,
+        col_height=col_height,
+        macro_table=macro_table_flat,
+        col_template=col_template,
     )

@@ -68,6 +68,10 @@ def kernel_config_from(cfg: SimulationConfig,
         lw_mode=cfg.is_longwave,
         record_scattering_orders=(cfg.num_rec_scat_ord
                                   if cfg.rec_scat_ord else 0),
+        # the 3D tally is only required when the namelist asks for it;
+        # without it, Landsat-scale column-template domains take the
+        # column megakernel (flux + column absorption + z profile)
+        need_volume_absorption=cfg.report_volume_absorption,
     )
 
 

@@ -92,6 +92,12 @@ class KernelConfig:
     # uses it on TPU whenever the configuration is eligible; "on" forces it
     # (errors if ineligible); "off" always runs the XLA wave kernel.
     use_pallas: str = "auto"
+    # Whether the caller requires the full 3D volume-absorption tally.
+    # False lets big column-template domains (Landsat-scale) use the
+    # column megakernel, which tallies fluxes, per-column absorption, and
+    # the z absorption profile but not the 3D field. The driver sets this
+    # from the reportVolumeAbsorption namelist option.
+    need_volume_absorption: bool = True
 
     @property
     def photons_per_batch(self) -> int:
@@ -110,7 +116,10 @@ class Tallies:
     flux_up: jax.Array  # [nx, ny]
     flux_down: jax.Array  # [nx, ny]
     flux_absorbed: jax.Array  # [nx, ny]
-    volume_absorption: jax.Array  # [nx, ny, nz]
+    # None on the column-megakernel path (big domains tally the z marginal
+    # in absorption_profile instead of the full 3D field)
+    volume_absorption: Optional[jax.Array]  # [nx, ny, nz] or None
+    absorption_profile: Optional[jax.Array] = None  # [nz] z marginal
     intensity: Optional[jax.Array] = None  # [nx, ny, ndir]
     flux_up_by_order: Optional[jax.Array] = None  # [nx, ny, K+1]
     flux_down_by_order: Optional[jax.Array] = None  # [nx, ny, K+1]
@@ -141,8 +150,14 @@ class Tallies:
             flux_up=self.flux_up / per_col,
             flux_down=self.flux_down / per_col,
             flux_absorbed=self.flux_absorbed / per_col,
-            volume_absorption=self.volume_absorption
+            volume_absorption=None if self.volume_absorption is None
+            else self.volume_absorption
             / (per_col3 * dz[None, None, :] * 1000.0),
+            # horizontal mean of W m^-3: the z marginal divided by the
+            # total photon count and cell depth (equals the column mean of
+            # the normalized 3D field on regular-xy grids)
+            absorption_profile=None if self.absorption_profile is None
+            else self.absorption_profile / (n * dz * 1000.0),
             intensity=None if self.intensity is None
             else self.intensity / per_col3,
             flux_up_by_order=None if self.flux_up_by_order is None
@@ -273,6 +288,17 @@ def run_batch(domain: OpticalDomain,
                 interpret=not on_tpu)
         if eligible and on_tpu:
             return _pk.run_batch_pallas_tallies(
+                domain, surface, source, key, cfg, n_photons)
+        # ---- big-domain column-template megakernel ----
+        from mcbrat3d_tpu.transport import pallas_col as _pc
+        col_eligible = _pc.pallas_col_eligible(
+            domain, surface, source,
+            lw_mode=cfg.lw_mode, compute_intensity=False,
+            record_scattering_orders=cfg.record_scattering_orders,
+            use_ray_tracing=cfg.use_ray_tracing,
+            need_volume_absorption=cfg.need_volume_absorption)
+        if col_eligible and on_tpu:
+            return _pc.run_batch_pallas_col_tallies(
                 domain, surface, source, key, cfg, n_photons)
 
     grid = domain.grid

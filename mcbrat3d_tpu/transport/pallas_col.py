@@ -1,0 +1,670 @@
+"""Column-template Pallas megakernel: Landsat-scale domains on TPU.
+
+The small-domain megakernel (transport/pallas_kernel.py) is bounded by its
+factorized one-hot gather to <= 16384 CELLS. The reference's flagship big
+scenes -- I3RC case 4 Landsat (128 x 128 columns, ~2M cells; reference:
+Domain-Files/i3rcLandsatCloud.f95:27-40) -- are far past that, but their
+extinction field is exactly column-templated:
+
+    beta(x, y, z) = col_scale[col] * (iz < col_height[col])
+
+so per-COLUMN records (<= 16384 columns) carry the whole field. This kernel
+re-uses the wave/VMEM design with:
+
+  * a BILINEAR two-one-hot gather: value[n] = oh_hi[n] . M . oh_lo[n]^T
+    with col = hi * 128 + lo; step 1 is a per-sublane-row MXU dot
+    (M^T [128lo, 128hi] @ ohh[:, b, :]), step 2 a batched one-hot mask +
+    sublane tree-reduce, photon index in the lane dim throughout;
+  * col fields: bf16 hi/lo split of col_scale (exact to ~2^-17) + integer
+    col_height (bf16-exact for nz <= 128);
+  * a two-level majorant over xy BLOCKS of macro_factor^2 columns: each
+    block stores (max scale rounded UP in bf16, max cloud-top height).
+    Jumps sample against the carried block ceiling below the block's
+    cloud-top plane and advance geometrically above it, clipped at xy
+    block faces and (descending) the cloud-top plane;
+  * SECTIONED column tallies sharing the gather's two one-hots: flux-up /
+    flux-down / column-absorption are three value-sets contracted against
+    the same (hi, lo) one-hots into static row-ranges of one accumulator
+    (absorption carries a bf16 hi/lo value split; exits are plain bf16 --
+    they are ~2.5% of events and far under MC noise);
+  * a z-profile absorption tally (one extra one-hot over iz <= 128),
+    serving the reference's absorption-profile output; full 3D volume
+    absorption is NOT tallied here (configurations that require it fall
+    back to the XLA wave kernel).
+
+Eligibility: monochromatic flux(+profile) runs, one all-HG component with
+uniform ssa/g, column-template domains with nx*ny <= 16384 and nz <= 128,
+regular grid, uniform Lambertian surface, directional/random-azimuth/flux
+sources. Reference hot loop being replaced:
+Integrators/monteCarloRadiativeTransfer.f95:393-841.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcbrat3d_tpu.domain.domain import OpticalDomain
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport.pallas_kernel import (
+    PallasConfig,
+    _bf16_split,
+    _make_uniform,
+)
+
+_TINY = np.float32(1e-30)
+_TOP_EPS = np.float32(1e-6)
+_BIG = np.float32(3e38)
+
+MAX_COLS = 128 * 128
+
+
+def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
+                        source: illumination.Source,
+                        lw_mode: bool, compute_intensity: bool,
+                        record_scattering_orders: int,
+                        use_ray_tracing: bool,
+                        need_volume_absorption: bool) -> bool:
+    """True when the column megakernel covers this configuration exactly."""
+    nx, ny, nz = domain.grid.shape
+    return (
+        bool(domain.col_template)
+        and domain.all_hg
+        and domain.n_components == 1
+        and domain.uniform_ssa and domain.uniform_hg
+        and domain.grid.xy_regular and domain.grid.z_regular
+        and surface.is_uniform_lambertian
+        and source.kind in (illumination.DIRECTIONAL,
+                            illumination.RANDOM_AZIMUTH,
+                            illumination.FLUX)
+        and not lw_mode
+        and not compute_intensity
+        and record_scattering_orders == 0
+        and not use_ray_tracing
+        and not need_volume_absorption
+        and nx * ny <= MAX_COLS
+        and nz <= 128
+    )
+
+
+def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
+                      use_rr: bool, macro_factor: int, nbx: int, nby: int):
+    """Close over static shapes; returns the column-mode kernel function."""
+    nx, ny, nz = shape
+    rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
+
+    hw_rng = (not pcfg.interpret) and "swrng" not in pcfg.debug_parts
+
+    def kernel(scal_ref, par_ref,
+               x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
+               quota_in, alive_in, bls_in, blh_in,
+               mcol_ref, mblk_ref, acc_in, accz_in,
+               x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
+               quota_ref, alive_ref, bls_ref, blh_ref,
+               acc_ref, accz_ref, nstat_ref):
+        k_idx = pl.program_id(0)
+        b_idx = pl.program_id(1)
+
+        @pl.when((k_idx == 0) & (b_idx == 0))
+        def _init():
+            for src, dst in ((x_in, x_ref), (y_in, y_ref), (z_in, z_ref),
+                             (ux_in, ux_ref), (uy_in, uy_ref),
+                             (uz_in, uz_ref), (w_in, w_ref),
+                             (quota_in, quota_ref), (alive_in, alive_ref),
+                             (bls_in, bls_ref), (blh_in, blh_ref),
+                             (acc_in, acc_ref), (accz_in, accz_ref)):
+                dst[:] = src[:]
+            for _j in range(8):
+                nstat_ref[0, _j] = 0.0
+
+        seed = scal_ref[0]
+        step0 = scal_ref[1]
+        beta_max = par_ref[0, 0]
+        albedo = par_ref[0, 2]
+        smu = par_ref[0, 3]
+        sphi = par_ref[0, 4]
+        rr_w = par_ref[0, 5]
+        x0 = par_ref[0, 6]
+        lx = par_ref[0, 7]
+        y0 = par_ref[0, 8]
+        ly = par_ref[0, 9]
+        z0 = par_ref[0, 10]
+        lz = par_ref[0, 11]
+        ssa_u = par_ref[0, 12]
+        g_u = par_ref[0, 13]
+        inv_dx = nx / lx
+        inv_dy = ny / ly
+        inv_dz = nz / lz
+        dz = lz / nz
+        z_max = z0 + lz
+        z_eps = lz * _TOP_EPS
+
+        lane0 = (jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 0)
+                 * np.uint32(128)
+                 + jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 1))
+        seed_u = seed.astype(jnp.uint32)
+
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, 128), 1)
+        iota_hi3 = jax.lax.broadcasted_iota(jnp.int32, (128, blk, 128), 0)
+
+        def bilinear(m_t, ohh_bf, ohs_f32):
+            """value[b, p] = sum_{hi,lo} ohh[hi,b,p] M[hi,lo] ohs[b,lo,p].
+
+            m_t: [128lo, 128hi] bf16 (pre-transposed table slice).
+            """
+            gs = [jnp.dot(m_t, ohh_bf[:, b_i, :],
+                          preferred_element_type=jnp.float32)
+                  for b_i in range(blk)]
+            g3 = jnp.stack(gs, axis=0)  # [blk, 128lo, 128p] f32
+            return jnp.sum(g3 * ohs_f32, axis=1)  # [blk, 128p]
+
+        def block_step(b, ctr_i32, started):
+            ctr = ctr_i32.astype(jnp.uint32)
+            sl = pl.ds(b * blk, blk)
+            if hw_rng:
+                pltpu.prng_seed(seed, ctr_i32 * np.int32(rows // blk) + b)
+
+                def uniform(counter, site):
+                    del counter, site
+                    bits = pltpu.prng_random_bits((blk, 128))
+                    ub = pltpu.bitcast(bits, jnp.uint32) >> np.uint32(8)
+                    x24 = jax.lax.bitcast_convert_type(ub, jnp.int32)
+                    return (x24.astype(jnp.float32)
+                            * np.float32(2.0 ** -24))
+            else:
+                uniform = _make_uniform(
+                    lane0 + np.uint32(blk * 128) * b.astype(jnp.uint32),
+                    seed_u)
+
+            x, y, z = x_ref[sl], y_ref[sl], z_ref[sl]
+            ux, uy, uz = ux_ref[sl], uy_ref[sl], uz_ref[sl]
+            w = w_ref[sl]
+            alive = alive_ref[sl] > 0
+            quota = quota_ref[sl]
+            bls = bls_ref[sl]  # carried block majorant (scale)
+            blh = blh_ref[sl]  # carried block cloud-top height [cells]
+
+            # ---- refill dead lanes from the source ----
+            need = (~alive) & (quota > 0)
+            u0 = uniform(ctr, 0)
+            u1 = uniform(ctr, 1)
+            x = jnp.where(need, x0 + u0 * lx, x)
+            y = jnp.where(need, y0 + u1 * ly, y)
+            z = jnp.where(need, z_max - z_eps, z)
+            if source_kind == illumination.DIRECTIONAL:
+                s_mu = -smu
+                s_phi = jnp.full((blk, 128), sphi)
+            elif source_kind == illumination.RANDOM_AZIMUTH:
+                s_mu = -smu
+                s_phi = 2.0 * np.pi * uniform(ctr, 2)
+            else:  # FLUX
+                s_mu = -jnp.sqrt(jnp.maximum(uniform(ctr, 2),
+                                             np.float32(1e-12)))
+                s_phi = 2.0 * np.pi * uniform(ctr, 9)
+            s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
+            ux = jnp.where(need, s_sin * jnp.cos(s_phi), ux)
+            uy = jnp.where(need, s_sin * jnp.sin(s_phi), uy)
+            uz = jnp.where(need, jnp.broadcast_to(s_mu, (blk, 128)), uz)
+            w = jnp.where(need, 1.0, w)
+            alive = alive | need
+            quota = quota - need.astype(jnp.int32)
+            started = started + jnp.sum(need.astype(jnp.float32))
+            # fresh photons carry the (always valid) global ceiling
+            bls = jnp.where(need, beta_max, bls)
+            blh = jnp.where(need, jnp.float32(nz), blh)
+
+            # ---- Woodcock jump against the carried block ceiling ----
+            u_tau = uniform(ctr, 3)
+            tau = -jnp.log1p(-u_tau)
+            ztop_m = z0 + blh * dz  # block cloud-top plane
+            above = z >= ztop_m
+            ceiling = jnp.where(above, 0.0, bls)
+            d_samp = jnp.where(ceiling > 0,
+                               tau / jnp.where(ceiling == 0, 1.0, ceiling),
+                               _BIG)
+            if macro_factor > 0:
+                bx_w = lx / nx * macro_factor
+                by_w = ly / ny * macro_factor
+                clip_nudge = 1e-5 * jnp.minimum(bx_w, by_w)
+                tx = ((jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w
+                      + x0 - x)
+                ty = ((jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w
+                      + y0 - y)
+                tx = jnp.where(jnp.abs(ux) > 1e-12,
+                               tx / jnp.where(ux == 0, 1.0, ux), _BIG)
+                ty = jnp.where(jnp.abs(uy) > 1e-12,
+                               ty / jnp.where(uy == 0, 1.0, uy), _BIG)
+                # descending into the cloud region: the zero ceiling is
+                # only valid above the plane
+                tz = jnp.where(above & (uz < -1e-12),
+                               (ztop_m - z) / jnp.where(uz == 0, 1.0, uz),
+                               _BIG)
+                t_raw = jnp.minimum(jnp.minimum(tx, ty), tz)
+                # a photon exactly ON an outward face takes one
+                # global-ceiling step instead (its carried block values
+                # may belong to the block it is leaving)
+                escape = t_raw <= 0.0
+                bls = jnp.where(escape, beta_max, bls)
+                blh = jnp.where(escape, jnp.float32(nz), blh)
+                ceiling = jnp.where(escape, beta_max, ceiling)
+                d_samp = jnp.where(escape, tau / beta_max, d_samp)
+                t_clip = jnp.where(escape, _BIG, t_raw + clip_nudge)
+                clipped = t_clip < d_samp
+                d = jnp.minimum(d_samp, t_clip)
+            else:
+                clipped = jnp.zeros((blk, 128), bool)
+                d = jnp.where(ceiling > 0, d_samp, _BIG)
+            zn = z + uz * d
+            exit_top = alive & (zn >= z_max)
+            exit_bot = alive & ~exit_top & (zn <= z0)
+            moved = alive & ~exit_top & ~exit_bot
+            collide = moved & ~clipped
+
+            # boundary crossing column (exit tallies + reflection)
+            z_b = jnp.where(exit_top, z_max, z0)
+            safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
+            t_b = (z_b - z) / safe_uz
+            xe = x0 + jnp.mod(x + ux * t_b - x0, lx)
+            ye = y0 + jnp.mod(y + uy * t_b - y0, ly)
+            ixe = jnp.clip(((xe - x0) * inv_dx).astype(jnp.int32), 0, nx - 1)
+            iye = jnp.clip(((ye - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
+            col_e = ixe * ny + iye
+
+            # collision column / level
+            xc = x0 + jnp.mod(x + ux * d - x0, lx)
+            yc = y0 + jnp.mod(y + uy * d - y0, ly)
+            zc = jnp.clip(zn, z0, z_max)
+            ix = jnp.clip(((xc - x0) * inv_dx).astype(jnp.int32), 0, nx - 1)
+            iy = jnp.clip(((yc - y0) * inv_dy).astype(jnp.int32), 0, ny - 1)
+            iz = jnp.clip(((zc - z0) * inv_dz).astype(jnp.int32), 0, nz - 1)
+            col = ix * ny + iy
+
+            exits = exit_top | exit_bot
+            colT = jnp.where(exits, col_e, col)
+
+            u_col = uniform(ctr, 4)
+            u_ang = uniform(ctr, 5)
+            u_phi = uniform(ctr, 6)
+            phi_rot = 2.0 * np.pi * u_phi
+
+            # ---- shared one-hots (gather AND tally) ----
+            lo_c = jnp.bitwise_and(colT, 127)
+            hi_c = jnp.right_shift(colT, 7)
+            cmp_lo = lo_c[:, None, :] == iota_sub
+            ohs_f32 = cmp_lo.astype(jnp.float32)   # [blk, lo, p]
+            ohs_bf = cmp_lo.astype(jnp.bfloat16)
+            ohh_bf = (iota_hi3 == hi_c[None, :, :]).astype(
+                jnp.bfloat16)                       # [hi, blk, p]
+
+            # ---- column gather: scale (split) + height ----
+            s_hi = bilinear(mcol_ref[:, 0:128], ohh_bf, ohs_f32)
+            s_lo = bilinear(mcol_ref[:, 128:256], ohh_bf, ohs_f32)
+            height = bilinear(mcol_ref[:, 256:384], ohh_bf, ohs_f32)
+            scale = s_hi + s_lo
+            beta = jnp.where(iz.astype(jnp.float32) < height, scale, 0.0)
+
+            # ---- block-majorant gather at the destination ----
+            if macro_factor > 0:
+                bidx = ((ix // macro_factor) * nby + iy // macro_factor)
+                blo = jnp.bitwise_and(bidx, 127)
+                bhi = jnp.right_shift(bidx, 7)
+                cmp_blo = blo[:, None, :] == iota_sub
+                obs_f32 = cmp_blo.astype(jnp.float32)
+                obh_bf = (iota_hi3 == bhi[None, :, :]).astype(jnp.bfloat16)
+                g_bs = bilinear(mblk_ref[:, 0:128], obh_bf, obs_f32)
+                g_bh = bilinear(mblk_ref[:, 128:256], obh_bf, obs_f32)
+                bls = jnp.where(moved, g_bs, bls)
+                blh = jnp.where(moved, g_bh, blh)
+
+            # null-collision test against the ceiling this jump sampled
+            real = collide & (u_col * ceiling < beta)
+            absorbed = jnp.where(real, w * (1.0 - ssa_u), 0.0)
+            w = jnp.where(real, w * ssa_u, w)
+
+            # ---- Russian roulette ----
+            if use_rr:
+                u_rr = uniform(ctr, 7)
+                play = real & (w < 0.5 * rr_w)
+                survive = u_rr < w / rr_w
+                w = jnp.where(play, jnp.where(survive, rr_w, 0.0), w)
+            died_weight = real & (w <= _TINY)
+
+            # ---- HG scattering (uniform g) ----
+            scatter = real & ~died_weight
+            g_hg = g_u
+            g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
+            s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
+            ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
+            cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5, 2.0 * u_ang - 1.0,
+                                  jnp.clip(ct, -1.0, 1.0))
+            sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
+            cos_phi = jnp.cos(phi_rot)
+            sin_phi = jnp.sin(phi_rot)
+            denom_sq = jnp.maximum(1.0 - uz * uz, 0.0)
+            denom = jnp.sqrt(denom_sq)
+            safe = denom > 1e-6
+            inv_denom = jnp.where(safe, 1.0 / jnp.maximum(denom, 1e-12),
+                                  0.0)
+            rx = ux * cos_theta + sin_theta * (
+                ux * uz * cos_phi - uy * sin_phi) * inv_denom
+            ry = uy * cos_theta + sin_theta * (
+                uy * uz * cos_phi + ux * sin_phi) * inv_denom
+            rz = uz * cos_theta - sin_theta * cos_phi * denom
+            sgn = jnp.sign(jnp.where(uz == 0, 1.0, uz))
+            vx = sin_theta * cos_phi
+            vy = sgn * sin_theta * sin_phi
+            vz = sgn * cos_theta
+            ox = jnp.where(safe, rx, vx)
+            oy = jnp.where(safe, ry, vy)
+            oz = jnp.where(safe, rz, vz)
+            oz = jnp.where(jnp.abs(oz) < 1e-4,
+                           jnp.sign(jnp.where(oz == 0, 1.0, oz)) * 1e-4, oz)
+            inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+            ux = jnp.where(scatter, ox * inv_norm, ux)
+            uy = jnp.where(scatter, oy * inv_norm, uy)
+            uz = jnp.where(scatter, oz * inv_norm, uz)
+
+            # ---- Lambertian surface reflection ----
+            w_down = w
+            w_refl = w_down * albedo
+            died_surface = exit_bot & (w_refl <= _TINY)
+            reflected = exit_bot & ~died_surface
+            mu_new = jnp.sqrt(jnp.maximum(u_ang, np.float32(1e-12)))
+            sin_new = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_new * mu_new))
+            x = jnp.where(exit_bot, xe, jnp.where(moved, xc, x))
+            y = jnp.where(exit_bot, ye, jnp.where(moved, yc, y))
+            z = jnp.where(exit_bot, z0 + z_eps, jnp.where(moved, zc, z))
+            ux = jnp.where(reflected, sin_new * jnp.cos(phi_rot), ux)
+            uy = jnp.where(reflected, sin_new * jnp.sin(phi_rot), uy)
+            uz = jnp.where(reflected, mu_new, uz)
+            w = jnp.where(reflected, w_refl, w)
+            # reflected photons restart with the global ceiling
+            bls = jnp.where(exit_bot, beta_max, bls)
+            blh = jnp.where(exit_bot, jnp.float32(nz), blh)
+
+            alive = alive & ~exit_top & ~died_weight & ~died_surface
+
+            x_ref[sl], y_ref[sl], z_ref[sl] = x, y, z
+            ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz
+            w_ref[sl] = w
+            quota_ref[sl] = quota
+            alive_ref[sl] = alive.astype(jnp.int32)
+            bls_ref[sl] = bls
+            blh_ref[sl] = blh
+
+            # ---- sectioned column tallies (shared one-hots) ----
+            # acc rows [0:128] flux-up, [128:256] flux-down,
+            # [256:384] column absorption (hi/lo value split).
+            dn_t = (((1,), (1,)), ((), ()))
+
+            def contract(vals_bf):
+                a3 = ohh_bf * vals_bf[None, :, :]  # [hi, blk, p]
+                out = None
+                for b_i in range(blk):
+                    d_ = jax.lax.dot_general(
+                        a3[:, b_i, :], ohs_bf[b_i], dn_t,
+                        preferred_element_type=jnp.float32)
+                    out = d_ if out is None else out + d_
+                return out  # [128hi, 128lo]
+
+            v_up = jnp.where(exit_top, w, 0.0)
+            v_dn = jnp.where(exit_bot, w_down, 0.0)
+            ab_h, ab_l = _bf16_split(absorbed)
+            acc_ref[0:128] = acc_ref[0:128] + contract(
+                v_up.astype(jnp.bfloat16))
+            acc_ref[128:256] = acc_ref[128:256] + contract(
+                v_dn.astype(jnp.bfloat16))
+            acc_ref[256:384] = (acc_ref[256:384] + contract(ab_h)
+                                + contract(ab_l))
+
+            # ---- z-profile absorption tally ----
+            ohz_bf = (iz[:, None, :] == iota_sub).astype(jnp.bfloat16)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (8, blk, 128), 0)
+            az_h = jnp.where(iota_r == 0, ab_h[None, :, :],
+                             jnp.bfloat16(0))
+            az_l = jnp.where(iota_r == 0, ab_l[None, :, :],
+                             jnp.bfloat16(0))
+            zout = None
+            for b_i in range(blk):
+                d_ = (jax.lax.dot_general(az_h[:, b_i, :], ohz_bf[b_i],
+                                          dn_t,
+                                          preferred_element_type=jnp.float32)
+                      + jax.lax.dot_general(az_l[:, b_i, :], ohz_bf[b_i],
+                                            dn_t,
+                                            preferred_element_type=jnp.float32))
+                zout = d_ if zout is None else zout + d_
+            accz_ref[:] = accz_ref[:] + zout
+
+            return started
+
+        started = block_step(b_idx, step0 + k_idx, jnp.float32(0.0))
+        nstat_ref[0, 0] = nstat_ref[0, 0] + started
+
+        @pl.when(k_idx == k_steps - 1)
+        def _count_work():
+            sl = pl.ds(b_idx * blk, blk)
+            work = jnp.sum(((alive_ref[sl] > 0)
+                            | (quota_ref[sl] > 0)).astype(jnp.float32))
+            nstat_ref[0, 1] = nstat_ref[0, 1] + work
+
+    return kernel
+
+
+def _pack_col_tables(domain: OpticalDomain):
+    """(mcolT [128, 384] bf16, mblkT [128, 256] bf16, nbx, nby).
+
+    mcolT field f at [:, f*128:(f+1)*128] is M_f^T with
+    M_f[hi, lo] = field(col = hi*128 + lo); fields: bf16(scale),
+    bf16 residual of scale, height. mblkT likewise for the xy-block
+    (majorant scale [rounded up host-side], max height).
+    """
+    nx, ny, nz = domain.grid.shape
+    nxy = nx * ny
+
+    def to_m(vals_f32, n_entries):
+        pad = 128 * 128 - n_entries
+        v = jnp.pad(vals_f32, (0, pad))
+        return v.reshape(128, 128).T  # [lo, hi]
+
+    scale = domain.col_scale.astype(jnp.float32)
+    s_hi = scale.astype(jnp.bfloat16).astype(jnp.float32)
+    s_lo = scale - s_hi
+    height = domain.col_height.astype(jnp.float32)
+    mcol = jnp.concatenate([to_m(s_hi, nxy), to_m(s_lo, nxy),
+                            to_m(height, nxy)], axis=1)
+
+    f = domain.macro_factor
+    if f > 0:
+        nbx, nby = -(-nx // f), -(-ny // f)
+        mt = domain.macro_table  # [nbx*nby, 2] (pre-rounded majorant, hmax)
+        mblk = jnp.concatenate([to_m(mt[:, 0], nbx * nby),
+                                to_m(mt[:, 1], nbx * nby)], axis=1)
+    else:
+        nbx = nby = 0
+        mblk = jnp.zeros((128, 256), jnp.float32)
+    return (mcol.astype(jnp.bfloat16), mblk.astype(jnp.bfloat16), nbx, nby)
+
+
+def run_batch_pallas_col(domain: OpticalDomain,
+                         surface: Surface,
+                         source: illumination.Source,
+                         key: jax.Array,
+                         pcfg: PallasConfig,
+                         photons_per_lane: int,
+                         n_photons=None,
+                         use_russian_roulette: bool = True,
+                         russian_roulette_weight: float = 1.0):
+    """One photon batch through the column megakernel.
+
+    Returns (flux_up [nx,ny], flux_down [nx,ny], abs_col [nx,ny],
+    abs_profile [nz], n_started, n_bad, n_calls).
+    """
+    grid = domain.grid
+    nx, ny, nz = grid.shape
+    nxy = nx * ny
+    rows = pcfg.rows
+    n_lanes = pcfg.n_lanes
+    if n_lanes * photons_per_lane >= 2 ** 31:
+        raise ValueError("quota budget overflows int32; split batches")
+
+    mcol, mblk, nbx, nby = _pack_col_tables(domain)
+    kernel = _build_kernel_col((nx, ny, nz), pcfg, source.kind,
+                               use_russian_roulette, domain.macro_factor,
+                               nbx, nby)
+
+    beta_max = jnp.maximum(domain.max_extinction, _TINY)
+    if source.kind in (illumination.DIRECTIONAL,
+                       illumination.RANDOM_AZIMUTH):
+        smu = source.solar_mu
+        sphi = (source.solar_azimuth
+                if source.kind == illumination.DIRECTIONAL else 0.0)
+    else:
+        smu, sphi = 0.0, 0.0
+    ge = grid.x_edges, grid.y_edges, grid.z_edges
+    params = jnp.stack([
+        beta_max, 1.0 / beta_max,
+        surface.params.reshape(-1)[0],
+        jnp.asarray(smu, jnp.float32), jnp.asarray(sphi, jnp.float32),
+        jnp.float32(russian_roulette_weight),
+        ge[0][0], ge[0][-1] - ge[0][0],
+        ge[1][0], ge[1][-1] - ge[1][0],
+        ge[2][0], ge[2][-1] - ge[2][0],
+        domain.cell_records[0, 3],   # uniform ssa
+        domain.cell_records[0, 5],   # uniform HG g
+        jnp.float32(0), jnp.float32(0),
+    ]).reshape(1, 16)
+
+    if n_photons is None:
+        quota0 = jnp.full((rows, 128), photons_per_lane, jnp.int32)
+    else:
+        cap = n_lanes * photons_per_lane
+        n_ph = jnp.minimum(jnp.asarray(n_photons, jnp.int32), cap)
+        lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
+                  + jnp.arange(128, dtype=jnp.int32)[None, :])
+        quota0 = (n_ph // n_lanes) + (lane_i < (n_ph % n_lanes)).astype(
+            jnp.int32)
+
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seed = (kd[0] * np.uint32(0x9E37_79B9) ^ kd[-1]).astype(jnp.int32)
+
+    f32z = jnp.zeros((rows, 128), jnp.float32)
+    state0 = dict(
+        x=f32z, y=f32z, z=f32z, ux=f32z, uy=f32z,
+        uz=jnp.ones((rows, 128), jnp.float32), w=f32z,
+        quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
+        bls=jnp.full((rows, 128), jnp.float32(beta_max)),
+        blh=jnp.full((rows, 128), jnp.float32(nz)),
+    )
+    acc0 = jnp.zeros((384, 128), jnp.float32)
+    accz0 = jnp.zeros((8, 128), jnp.float32)
+
+    keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
+            "bls", "blh")
+    n_state = len(keys)
+    grid_spec = pl.GridSpec(
+        grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 4),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+    )
+    state_shapes = [
+        jax.ShapeDtypeStruct((rows, 128),
+                             jnp.int32 if k in ("quota", "alive")
+                             else jnp.float32)
+        for k in keys]
+    out_shape = state_shapes + [
+        jax.ShapeDtypeStruct((384, 128), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, 8), jnp.float32),
+    ]
+    aliases = {2 + i: i for i in range(n_state)}
+    aliases[2 + n_state + 2] = n_state      # acc
+    aliases[2 + n_state + 3] = n_state + 1  # accz
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=pcfg.interpret,
+    )
+
+    def cond(carry):
+        state, acc, accz, n_started, n_calls, work = carry
+        return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
+
+    def body(carry):
+        state, acc, accz, n_started, n_calls, work = carry
+        scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
+            jnp.int32)
+        outs = call(scal, params, *[state[k] for k in keys],
+                    mcol, mblk, acc, accz)
+        new_state = dict(zip(keys, outs[:n_state]))
+        acc = outs[n_state]
+        accz = outs[n_state + 1]
+        stats = outs[n_state + 2]
+        n_started = n_started + stats[0, 0].astype(jnp.int32)
+        work = stats[0, 1] > 0
+        q = new_state["quota"]
+        total_q = jnp.sum(q)
+        lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
+                  + jnp.arange(128, dtype=jnp.int32)[None, :])
+        new_state["quota"] = (total_q // n_lanes) + (
+            lane_i < (total_q % n_lanes)).astype(jnp.int32)
+        return (new_state, acc, accz, n_started, n_calls + 1, work)
+
+    carry = (state0, acc0, accz0, jnp.int32(0), jnp.int32(0),
+             jnp.bool_(True))
+    state_f, acc_f, accz_f, n_started, n_calls, _ = jax.lax.while_loop(
+        cond, body, carry)
+
+    # sections: t = hi*128 + lo = col
+    flux_up = acc_f[0:128].reshape(-1)[:nxy].reshape(nx, ny)
+    flux_down = acc_f[128:256].reshape(-1)[:nxy].reshape(nx, ny)
+    abs_col = acc_f[256:384].reshape(-1)[:nxy].reshape(nx, ny)
+    abs_profile = accz_f[0, :nz]
+    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    return (flux_up, flux_down, abs_col, abs_profile,
+            n_started, n_bad, n_calls)
+
+
+def run_batch_pallas_col_tallies(domain, surface, source, key, config,
+                                 n_photons=None, interpret: bool = False):
+    """run_batch-compatible entry returning a transport.integrator.Tallies
+    (volume_absorption is None; absorption_profile carries the z marginal).
+    """
+    from mcbrat3d_tpu.transport.integrator import Tallies
+    from mcbrat3d_tpu.transport.pallas_kernel import config_for
+
+    pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
+                           config.max_steps, interpret)
+    # the bilinear gather materializes [blk, 128, 128] f32 intermediates
+    # per field; cap the block size to bound transient VMEM
+    if pcfg.block_rows > 32:
+        pcfg = PallasConfig(rows=pcfg.rows, block_rows=32,
+                            steps_per_call=pcfg.steps_per_call,
+                            max_steps=pcfg.max_steps,
+                            interpret=pcfg.interpret)
+    if n_photons is None:
+        n_photons = config.photons_per_batch
+    fu, fd, ac, az, n_started, n_bad, n_calls = run_batch_pallas_col(
+        domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
+        use_russian_roulette=config.use_russian_roulette,
+        russian_roulette_weight=config.russian_roulette_weight)
+    return Tallies(
+        flux_up=fu, flux_down=fd,
+        flux_absorbed=ac,
+        volume_absorption=None,
+        absorption_profile=az,
+        n_photons=n_started, n_bad=n_bad,
+        n_steps=n_calls * pcfg.steps_per_call,
+    )

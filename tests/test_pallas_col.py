@@ -1,0 +1,159 @@
+"""Column-template megakernel tests (CPU interpreter mode).
+
+The column kernel (transport/pallas_col.py) must match the XLA wave kernel
+statistically on column-template domains -- same physics, different RNG
+streams -- and its z-profile marginal must match the XLA kernel's 3D
+volume-absorption field summed over columns.
+"""
+
+import numpy as np
+import pytest
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.core.grid import Grid
+from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+from mcbrat3d_tpu.physics.phase_function import (
+    PhaseFunction,
+    PhaseFunctionTable,
+)
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport import pallas_col as pc
+from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+from mcbrat3d_tpu.transport.pallas_kernel import PallasConfig
+
+
+def make_broken_cloud(nx=16, ny=16, nz=8, ssa=0.99, seed=0,
+                      macro_factor=4, **build_kwargs):
+    """Random column-template scene: broken cloud deck, per-column optical
+    depth and top height (the Landsat shape;
+    reference: Domain-Files/i3rcLandsatCloud.f95:82-90)."""
+    rs = np.random.RandomState(seed)
+    scale = rs.rand(nx, ny) * 0.05 * (rs.rand(nx, ny) > 0.4)
+    h = rs.randint(0, nz + 1, (nx, ny)) * (scale > 0)
+    scale = scale * (h > 0)
+    ext = np.zeros((nx, ny, nz))
+    for k in range(nz):
+        ext[:, :, k] = np.where(k < h, scale, 0.0)
+    grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+    table = PhaseFunctionTable(
+        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    comp = OpticalComponent("broken cloud", ext, np.full_like(ext, ssa),
+                            np.zeros(ext.shape, np.int32), table)
+    build_kwargs.setdefault("n_cdf_steps", 201)
+    return build_domain(grid, [comp], macro_factor=macro_factor,
+                        **build_kwargs)
+
+
+@pytest.fixture(scope="module")
+def domain():
+    return make_broken_cloud()
+
+
+SMALL = PallasConfig(rows=8, block_rows=8, steps_per_call=16,
+                     max_steps=4096, interpret=True)
+
+
+class TestDetection:
+    def test_broken_cloud_detected(self, domain):
+        assert domain.col_template
+        assert domain.col_scale.shape == (16 * 16,)
+        assert domain.macro_table.shape == (16, 2)
+
+    def test_non_template_not_detected(self):
+        # a field with mid-column gaps is not column-templated
+        nx, ny, nz = 4, 4, 6
+        ext = np.zeros((nx, ny, nz))
+        ext[:, :, 2:4] = 0.01  # elevated layer, zero below
+        grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+        table = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 32)], key=[1.0])
+        comp = OpticalComponent("layer", ext, np.full_like(ext, 1.0),
+                                np.zeros(ext.shape, np.int32), table)
+        dom = build_domain(grid, [comp], n_cdf_steps=101)
+        assert not dom.col_template
+
+    def test_eligibility(self, domain):
+        ok = pc.pallas_col_eligible(
+            domain, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=False)
+        assert ok
+        assert not pc.pallas_col_eligible(
+            domain, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=True)
+
+
+class TestColTransport:
+    def test_energy_conservation_no_rr(self, domain):
+        out = pc.run_batch_pallas_col(
+            domain, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(0, 0), SMALL, 2, use_russian_roulette=False)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == 8 * 128 * 2
+        assert int(nbad) == 0
+        bal = (float(fu.sum()) + 0.8 * float(fd.sum())
+               + float(ac.sum())) / n
+        assert bal == pytest.approx(1.0, abs=2e-3)
+        # z marginal must equal the column-absorption total
+        assert float(az.sum()) == pytest.approx(float(ac.sum()), rel=1e-4)
+
+    def test_matches_xla_kernel_statistically(self, domain):
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                           max_steps=20_000, use_pallas="off")
+        n_ph = cfg.photons_per_batch
+        t = run_batch(domain, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(9, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = pc.run_batch_pallas_col(
+            domain, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(9, 1), pcfg, 64)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == n_ph
+        for a, b, name, p in (
+                (fu, t.flux_up, "R", 0.4),
+                (fd, t.flux_down, "T", 0.7),
+                (ac, t.flux_absorbed, "A", 0.05)):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / int(t.n_photons)
+            sigma = 2.0 * np.sqrt(max(p * (1 - p), 0.01) / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        # z profile vs the XLA kernel's volume field summed over columns
+        prof_ref = np.asarray(t.volume_absorption).sum(axis=(0, 1)) \
+            / int(t.n_photons)
+        prof = np.asarray(az) / n
+        np.testing.assert_allclose(prof, prof_ref, atol=4e-3)
+
+    def test_deterministic(self, domain):
+        args = (domain, Surface.lambertian(0.2),
+                illumination.directional(0.5, 0.0))
+        a = pc.run_batch_pallas_col(*args, rng.batch_key(3, 5), SMALL, 2)
+        b = pc.run_batch_pallas_col(*args, rng.batch_key(3, 5), SMALL, 2)
+        c = pc.run_batch_pallas_col(*args, rng.batch_key(3, 6), SMALL, 2)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.any(np.asarray(a[0]) != np.asarray(c[0]))
+
+    def test_tallies_wrapper(self, domain):
+        cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2,
+                           max_steps=4096,
+                           need_volume_absorption=False)
+        t = pc.run_batch_pallas_col_tallies(
+            domain, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(0, 0), cfg, interpret=True)
+        assert t.volume_absorption is None
+        assert t.absorption_profile.shape == (8,)
+        norm = t.normalized(domain.grid)
+        assert norm.absorption_profile is not None
+        assert int(t.n_photons) == cfg.photons_per_batch

@@ -56,10 +56,11 @@ def bench_intensity():
         [1.0, 0.8, 0.6, 0.4, 0.6, 0.8],
         [0.0, 0.0, 0.0, 0.0, 180.0, 180.0])
     icfg = IntensityConfig(n_dirs=6, use_russian_roulette=True)
-    # Small batches: the local-estimation path runs up to 3 DDA traces per
-    # direction per scattering event, and the relay kills single device
-    # executions beyond ~4 minutes.
-    config = KernelConfig(n_lanes=1 << 14, photons_per_lane=8,
+    # Small batches: the XLA local-estimation path costs ~0.003 M
+    # photons/s at 6 directions (each scattering event runs per-direction
+    # DDA traces whose per-crossing gathers dominate), and the relay kills
+    # single device executions beyond ~4 minutes.
+    config = KernelConfig(n_lanes=1 << 15, photons_per_lane=1,
                           max_steps=60_000)
     t = run_batch(domain, surface, source, rng.batch_key(0, 0), config,
                   intensity_config=icfg, intensity_dirs=dirs)
@@ -81,6 +82,66 @@ def bench_intensity():
     }))
 
 
+def bench_landsat():
+    """Landsat-scale throughput: 128x128x64 broken-cloud column-template
+    scene through the column megakernel (the reference's I3RC case-4
+    scale; reference: Domain-Files/i3rcLandsatCloud.f95:27-40). Run with:
+    python bench.py --landsat."""
+    import numpy as np
+
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.core.grid import Grid
+    from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+    from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                     PhaseFunctionTable)
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    nx, ny, nz = 128, 128, 64
+    rs = np.random.RandomState(1)
+    # spatially correlated broken-cloud field (the Landsat scene class:
+    # patchy clouds with contiguous clear regions)
+    f = rs.rand(nx, ny)
+    for _ in range(3):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    cloudy = f > np.quantile(f, 0.55)
+    scale = rs.rand(nx, ny) * 0.05 * cloudy
+    h = (np.ceil(f * nz)).astype(int) * (scale > 0)
+    scale = scale * (h > 0)
+    ext = np.zeros((nx, ny, nz))
+    for k in range(nz):
+        ext[:, :, k] = np.where(k < h, scale, 0.0)
+    grid = Grid.regular(nx, ny, nz, 30.0, 30.0, 20.0)
+    table = PhaseFunctionTable(
+        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    comp = OpticalComponent("broken cloud", ext, np.full_like(ext, 0.99),
+                            np.zeros(ext.shape, np.int32), table)
+    domain = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=201)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=64,
+                          max_steps=400_000,
+                          need_volume_absorption=False)
+    source = illumination.directional(0.5, 0.0)
+    surface = Surface.lambertian(0.2)
+    t = run_batch(domain, surface, source, rng.batch_key(0, 0), config)
+    _ = int(t.n_photons)
+    rates = []
+    for b in range(1, 4):
+        t0 = time.time()
+        t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
+        n = int(t.n_photons)
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    rate = rates[len(rates) // 2]
+    print(json.dumps({
+        "metric": "landsat_scale_photon_throughput",
+        "value": round(rate, 1),
+        "unit": "photons/sec/chip",
+        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
+    }))
+
+
 def main():
     if not wait_for_device():
         print(json.dumps({
@@ -95,6 +156,9 @@ def main():
 
     if "--intensity" in sys.argv:
         bench_intensity()
+        return
+    if "--landsat" in sys.argv:
+        bench_landsat()
         return
 
     import jax.numpy as jnp  # noqa: F401  (device now known reachable)

@@ -270,30 +270,45 @@ def run_batch(domain: OpticalDomain,
     cfg = config
 
     # ---- TPU fast path: VMEM-resident Pallas megakernel ----
-    if cfg.use_pallas != "off" and intensity_config is None \
-            and not debug_state:
+    if cfg.use_pallas != "off" and not debug_state:
         from mcbrat3d_tpu.transport import pallas_kernel as _pk
-        eligible = _pk.pallas_eligible(
-            domain, surface, source,
-            lw_mode=cfg.lw_mode, compute_intensity=False,
-            record_scattering_orders=cfg.record_scattering_orders,
-            use_ray_tracing=cfg.use_ray_tracing)
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if cfg.use_pallas == "on":
-            if not eligible:
-                raise ValueError("use_pallas='on' but the configuration is "
-                                 "outside the megakernel's v1 envelope")
-            return _pk.run_batch_pallas_tallies(
-                domain, surface, source, key, cfg, n_photons,
-                interpret=not on_tpu)
-        if eligible and on_tpu:
-            return _pk.run_batch_pallas_tallies(
-                domain, surface, source, key, cfg, n_photons)
+        if intensity_config is not None:
+            # in-kernel local estimation (exact non-RR estimator)
+            i_ok = _pk.pallas_intensity_eligible(
+                domain, surface, source, lw_mode=cfg.lw_mode,
+                record_scattering_orders=cfg.record_scattering_orders,
+                use_ray_tracing=cfg.use_ray_tracing,
+                icfg=intensity_config, dirs=intensity_dirs)
+            if i_ok and (on_tpu or cfg.use_pallas == "on"):
+                return _pk.run_batch_pallas_tallies(
+                    domain, surface, source, key, cfg, n_photons,
+                    interpret=not on_tpu,
+                    intensity_config=intensity_config,
+                    intensity_dirs=intensity_dirs)
+        else:
+            eligible = _pk.pallas_eligible(
+                domain, surface, source,
+                lw_mode=cfg.lw_mode, compute_intensity=False,
+                record_scattering_orders=cfg.record_scattering_orders,
+                use_ray_tracing=cfg.use_ray_tracing)
+            if cfg.use_pallas == "on":
+                if not eligible:
+                    raise ValueError(
+                        "use_pallas='on' but the configuration is "
+                        "outside the megakernel's v1 envelope")
+                return _pk.run_batch_pallas_tallies(
+                    domain, surface, source, key, cfg, n_photons,
+                    interpret=not on_tpu)
+            if eligible and on_tpu:
+                return _pk.run_batch_pallas_tallies(
+                    domain, surface, source, key, cfg, n_photons)
         # ---- big-domain column-template megakernel ----
         from mcbrat3d_tpu.transport import pallas_col as _pc
         col_eligible = _pc.pallas_col_eligible(
             domain, surface, source,
-            lw_mode=cfg.lw_mode, compute_intensity=False,
+            lw_mode=cfg.lw_mode,
+            compute_intensity=intensity_config is not None,
             record_scattering_orders=cfg.record_scattering_orders,
             use_ray_tracing=cfg.use_ray_tracing,
             need_volume_absorption=cfg.need_volume_absorption)

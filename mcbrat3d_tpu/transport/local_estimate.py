@@ -46,6 +46,13 @@ class IntensityConfig:
     # :294-322 redistribution).
     limit_contributions: bool = False
     max_contribution: float = 77.0
+    # Megakernel local estimation sizes its static DDA-march bound from
+    # this floor: every direction's mu must be >= pallas_min_mu (or <= 0,
+    # which contributes zero TOA radiance) for the in-kernel path to be
+    # exact. Shallower upward directions fall back to the XLA path by
+    # lowering this value (longer marches) or are handled there anyway
+    # when other eligibility conditions fail.
+    pallas_min_mu: float = 0.15
 
 
 def make_intensity_directions(mus, phis_deg) -> jax.Array:

@@ -151,16 +151,26 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
         iota_sub = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, 128), 1)
         iota_hi3 = jax.lax.broadcasted_iota(jnp.int32, (128, blk, 128), 0)
 
-        def bilinear(m_t, ohh_bf, ohs_f32):
-            """value[b, p] = sum_{hi,lo} ohh[hi,b,p] M[hi,lo] ohs[b,lo,p].
+        def bilinear_multi(m_stack, ohh_bf, ohs_f32, groups):
+            """Multi-field bilinear gather with ONE dot per sublane row.
 
-            m_t: [128lo, 128hi] bf16 (pre-transposed table slice).
+            m_stack [128*F, 128hi] bf16 stacks F pre-transposed field
+            tables along rows; ``groups`` lists tuples of field indices
+            whose row-blocks are SUMMED before the one-hot mask + sublane
+            reduce (bf16 hi/lo value splits collapse into one reduce).
+            Returns one [blk, 128p] f32 per group.
             """
-            gs = [jnp.dot(m_t, ohh_bf[:, b_i, :],
+            gs = [jnp.dot(m_stack, ohh_bf[:, b_i, :],
                           preferred_element_type=jnp.float32)
                   for b_i in range(blk)]
-            g3 = jnp.stack(gs, axis=0)  # [blk, 128lo, 128p] f32
-            return jnp.sum(g3 * ohs_f32, axis=1)  # [blk, 128p]
+            g3 = jnp.stack(gs, axis=0)  # [blk, 128*F, 128p] f32
+            outs = []
+            for grp in groups:
+                acc = g3[:, grp[0] * 128:(grp[0] + 1) * 128, :]
+                for f_i in grp[1:]:
+                    acc = acc + g3[:, f_i * 128:(f_i + 1) * 128, :]
+                outs.append(jnp.sum(acc * ohs_f32, axis=1))
+            return outs
 
         def block_step(b, ctr_i32, started):
             ctr = ctr_i32.astype(jnp.uint32)
@@ -300,11 +310,9 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             ohh_bf = (iota_hi3 == hi_c[None, :, :]).astype(
                 jnp.bfloat16)                       # [hi, blk, p]
 
-            # ---- column gather: scale (split) + height ----
-            s_hi = bilinear(mcol_ref[:, 0:128], ohh_bf, ohs_f32)
-            s_lo = bilinear(mcol_ref[:, 128:256], ohh_bf, ohs_f32)
-            height = bilinear(mcol_ref[:, 256:384], ohh_bf, ohs_f32)
-            scale = s_hi + s_lo
+            # ---- column gather: scale (split summed in-gather) + height
+            scale, height = bilinear_multi(
+                mcol_ref[:], ohh_bf, ohs_f32, groups=((0, 1), (2,)))
             beta = jnp.where(iz.astype(jnp.float32) < height, scale, 0.0)
 
             # ---- block-majorant gather at the destination ----
@@ -315,8 +323,8 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                 cmp_blo = blo[:, None, :] == iota_sub
                 obs_f32 = cmp_blo.astype(jnp.float32)
                 obh_bf = (iota_hi3 == bhi[None, :, :]).astype(jnp.bfloat16)
-                g_bs = bilinear(mblk_ref[:, 0:128], obh_bf, obs_f32)
-                g_bh = bilinear(mblk_ref[:, 128:256], obh_bf, obs_f32)
+                g_bs, g_bh = bilinear_multi(
+                    mblk_ref[:], obh_bf, obs_f32, groups=((0,), (1,)))
                 bls = jnp.where(moved, g_bs, bls)
                 blh = jnp.where(moved, g_bh, blh)
 
@@ -401,25 +409,26 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             # [256:384] column absorption (hi/lo value split).
             dn_t = (((1,), (1,)), ((), ()))
 
-            def contract(vals_bf):
-                a3 = ohh_bf * vals_bf[None, :, :]  # [hi, blk, p]
-                out = None
-                for b_i in range(blk):
-                    d_ = jax.lax.dot_general(
-                        a3[:, b_i, :], ohs_bf[b_i], dn_t,
-                        preferred_element_type=jnp.float32)
-                    out = d_ if out is None else out + d_
-                return out  # [128hi, 128lo]
-
             v_up = jnp.where(exit_top, w, 0.0)
             v_dn = jnp.where(exit_bot, w_down, 0.0)
             ab_h, ab_l = _bf16_split(absorbed)
-            acc_ref[0:128] = acc_ref[0:128] + contract(
-                v_up.astype(jnp.bfloat16))
-            acc_ref[128:256] = acc_ref[128:256] + contract(
-                v_dn.astype(jnp.bfloat16))
-            acc_ref[256:384] = (acc_ref[256:384] + contract(ab_h)
-                                + contract(ab_l))
+            # one concatenated A (all four value sets) -> ONE A.B^T dot
+            # per sublane row instead of four
+            a_all = jnp.concatenate([
+                ohh_bf * v_up.astype(jnp.bfloat16)[None, :, :],
+                ohh_bf * v_dn.astype(jnp.bfloat16)[None, :, :],
+                ohh_bf * ab_h[None, :, :],
+                ohh_bf * ab_l[None, :, :],
+            ], axis=0)  # [512, blk, p]
+            t_out = None
+            for b_i in range(blk):
+                d_ = jax.lax.dot_general(
+                    a_all[:, b_i, :], ohs_bf[b_i], dn_t,
+                    preferred_element_type=jnp.float32)
+                t_out = d_ if t_out is None else t_out + d_
+            acc_ref[0:256] = acc_ref[0:256] + t_out[0:256]
+            acc_ref[256:384] = (acc_ref[256:384] + t_out[256:384]
+                                + t_out[384:512])
 
             # ---- z-profile absorption tally ----
             ohz_bf = (iz[:, None, :] == iota_sub).astype(jnp.bfloat16)
@@ -455,11 +464,12 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
 
 
 def _pack_col_tables(domain: OpticalDomain):
-    """(mcolT [128, 384] bf16, mblkT [128, 256] bf16, nbx, nby).
+    """(mcolT [384, 128] bf16, mblkT [256, 128] bf16, nbx, nby).
 
-    mcolT field f at [:, f*128:(f+1)*128] is M_f^T with
-    M_f[hi, lo] = field(col = hi*128 + lo); fields: bf16(scale),
-    bf16 residual of scale, height. mblkT likewise for the xy-block
+    mcolT stacks field transposes M_f^T ([128lo, 128hi], with
+    M_f[hi, lo] = field(col = hi*128 + lo)) along ROWS so the kernel runs
+    one dot per sublane row for all fields; fields: bf16(scale), bf16
+    residual of scale, height. mblkT likewise for the xy-block
     (majorant scale [rounded up host-side], max height).
     """
     nx, ny, nz = domain.grid.shape
@@ -475,17 +485,17 @@ def _pack_col_tables(domain: OpticalDomain):
     s_lo = scale - s_hi
     height = domain.col_height.astype(jnp.float32)
     mcol = jnp.concatenate([to_m(s_hi, nxy), to_m(s_lo, nxy),
-                            to_m(height, nxy)], axis=1)
+                            to_m(height, nxy)], axis=0)
 
     f = domain.macro_factor
     if f > 0:
         nbx, nby = -(-nx // f), -(-ny // f)
         mt = domain.macro_table  # [nbx*nby, 2] (pre-rounded majorant, hmax)
         mblk = jnp.concatenate([to_m(mt[:, 0], nbx * nby),
-                                to_m(mt[:, 1], nbx * nby)], axis=1)
+                                to_m(mt[:, 1], nbx * nby)], axis=0)
     else:
         nbx = nby = 0
-        mblk = jnp.zeros((128, 256), jnp.float32)
+        mblk = jnp.zeros((256, 128), jnp.float32)
     return (mcol.astype(jnp.bfloat16), mblk.astype(jnp.bfloat16), nbx, nby)
 
 

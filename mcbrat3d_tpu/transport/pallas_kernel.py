@@ -49,6 +49,7 @@ from mcbrat3d_tpu.sources import illumination
 
 _TINY = np.float32(1e-30)
 _TOP_EPS = np.float32(1e-6)
+_BIG_F = np.float32(3e38)
 
 # Record columns gathered per collision: total extinction, single-scattering
 # albedo, HG asymmetry, (pad). Padded to 4 so W = H * REC_COLS stays
@@ -72,6 +73,14 @@ class PallasConfig:
     # far below MC noise) so both MXU contractions run at bf16 rate and
     # one-hot VMEM traffic halves. False = exact all-f32 pipeline.
     bf16: bool = True
+    # Local-estimation radiance: number of intensity directions (0 = off)
+    # and the static DDA-march iteration bound per direction. When on,
+    # every scattering/surface event runs an in-kernel DDA march to the
+    # domain top per direction (one-hot gathers per crossing) and tallies
+    # w * P/(4 pi |mu_d|) * exp(-tau) at the TOA exit column
+    # (reference: Integrators/monteCarloRadiativeTransfer.f95:1623-1832).
+    n_dirs: int = 0
+    k_dda: int = 0
     # perf-bisection knob: comma-set of enabled sections out of
     # {gather, tally, exits}; anything disabled is replaced by constants.
     # NOT for production use -- statistics are wrong unless "all".
@@ -80,6 +89,41 @@ class PallasConfig:
     @property
     def n_lanes(self) -> int:
         return self.rows * 128
+
+
+def pallas_intensity_eligible(domain: OpticalDomain, surface: Surface,
+                              source: illumination.Source,
+                              lw_mode: bool,
+                              record_scattering_orders: int,
+                              use_ray_tracing: bool,
+                              icfg, dirs) -> bool:
+    """True when the megakernel's in-kernel local estimation covers this
+    radiance configuration exactly: the exact (non-Russian-roulette)
+    estimator, plain phase functions (no hybrid), no contribution capping,
+    all directions upward-looking, on a flux-eligible domain."""
+    if icfg is None or dirs is None:
+        return False
+    # dirs may be traced (run_batch is jitted): check values only when
+    # concrete; the static march bound comes from icfg.pallas_min_mu and
+    # callers must keep every direction's mu >= that floor (downward
+    # directions yield zero TOA radiance either way, matching the DDA
+    # path's exit-top condition).
+    upward_ok = True
+    if not isinstance(dirs, jax.core.Tracer):
+        d = np.asarray(dirs)
+        upward_ok = bool(np.all(d[2] > 0.0))
+    return (
+        pallas_eligible(domain, surface, source, lw_mode,
+                        compute_intensity=False,
+                        record_scattering_orders=record_scattering_orders,
+                        use_ray_tracing=use_ray_tracing)
+        and not icfg.use_russian_roulette
+        and not icfg.use_hybrid_phase
+        and not icfg.limit_contributions
+        and icfg.n_dirs <= 8
+        and tuple(dirs.shape) == (3, icfg.n_dirs)
+        and upward_ok
+    )
 
 
 def pallas_eligible(domain: OpticalDomain, surface: Surface,
@@ -264,7 +308,7 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
 def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   h_cells: int, ht: int, use_rr: bool,
                   uniform_ssa: bool = False, uniform_hg: bool = False,
-                  macro_factor: int = 0):
+                  macro_factor: int = 0, hti_pad: int = 8):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -285,12 +329,14 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
         hw_rng = False
     oh_dtype = jnp.bfloat16 if pcfg.bf16 else jnp.float32
 
-    def kernel(scal_ref, par_ref,
+    n_dirs, k_dda = pcfg.n_dirs, pcfg.k_dda
+
+    def kernel(scal_ref, par_ref, dirs_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
-               b_hi_ref, b_lo_ref, jmod_ref, acc_in,
+               b_hi_ref, b_lo_ref, jmod_ref, acc_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
-               quota_ref, alive_ref, bl_ref, acc_ref, nstat_ref):
+               quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
         # block -- a small compile unit; Mosaic iterates it sequentially.
         # All buffers use constant index maps so they stay VMEM-resident
@@ -307,7 +353,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                              (ux_in, ux_ref), (uy_in, uy_ref),
                              (uz_in, uz_ref), (w_in, w_ref),
                              (quota_in, quota_ref), (alive_in, alive_ref),
-                             (bl_in, bl_ref), (acc_in, acc_ref)):
+                             (bl_in, bl_ref), (acc_in, acc_ref),
+                             (acci_in, acci_ref)):
                 dst[:] = src[:]
             for _j in range(8):  # SMEM takes scalar stores only
                 nstat_ref[0, _j] = 0.0
@@ -630,6 +677,12 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 bl = jnp.where(moved, maj_dest, bl)
             absorbed = jnp.where(real, w * (1.0 - ssa), 0.0)
             w = jnp.where(real, w * ssa, w)
+            if n_dirs > 0:
+                # local estimation uses the post-absorption pre-roulette
+                # weight and the INCOMING direction (reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:776-790)
+                w_int = w
+                ux_in0, uy_in0, uz_in0 = ux, uy, uz
 
             # ---- Russian roulette ----
             if use_rr:
@@ -700,6 +753,141 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 bl = jnp.where(exit_bot, beta_max, bl)
 
             alive = alive & ~exit_top & ~died_weight & ~died_surface
+
+            # ---- in-kernel local estimation (radiance) ----
+            # One DDA march per direction serves both event kinds this
+            # step (scatter at the collision point with the HG phase
+            # value, surface reflection with 1/pi -- the masks are
+            # disjoint per lane). Exact estimator: contribution =
+            # w * P/(4 pi mu_d) * exp(-tau_toa), tallied at the TOA exit
+            # column. (reference:
+            # Integrators/monteCarloRadiativeTransfer.f95:1623-1752)
+            if n_dirs > 0:
+                ev = real | reflected
+                sx = jnp.where(reflected, xe, xc)
+                sy = jnp.where(reflected, ye, yc)
+                sz = jnp.where(reflected, z0 + z_eps, zc)
+                w_ev = jnp.where(reflected, w_refl, w_int)
+                dxc_ = lx / nx
+                dyc_ = ly / ny
+                dzc_ = lz / nz
+                nudge = 1e-6 * jnp.minimum(dzc_, jnp.minimum(dxc_, dyc_))
+                iota_sub_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 128, 128), 1)
+                iota_ws_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, w_cols, 128), 1)
+                bth_m = b_hi_ref[:].T
+                btl_m = b_lo_ref[:].T if pcfg.bf16 else None
+
+                def gather_beta(cellm):
+                    lo_m = jnp.bitwise_and(cellm, 127)
+                    ohs_m = (lo_m[:, None, :] == iota_sub_m).astype(
+                        oh_dtype)
+                    rws = []
+                    for b_i2 in range(blk):
+                        tb = jnp.dot(bth_m, ohs_m[b_i2],
+                                     preferred_element_type=jnp.float32)
+                        if btl_m is not None:
+                            tb = tb + jnp.dot(
+                                btl_m, ohs_m[b_i2],
+                                preferred_element_type=jnp.float32)
+                        rws.append(tb)
+                    t3m = jnp.stack(rws, axis=0)  # [blk, W, 128]
+                    hi_m = jnp.right_shift(cellm, 7)
+                    s3m = t3m * ((iota_ws_m // REC_COLS) ==
+                                 hi_m[:, None, :]).astype(jnp.float32)
+                    return jnp.sum(
+                        s3m * ((iota_ws_m % REC_COLS) == 0), axis=1)
+
+                iota_je = jax.lax.broadcasted_iota(
+                    jnp.int32, (hti_pad, 1, 1), 0)
+                dn_i = (((1,), (1,)), ((), ()))
+                for d_i in range(n_dirs):
+                    ddx = dirs_ref[0, d_i]
+                    ddy = dirs_ref[1, d_i]
+                    ddz = dirs_ref[2, d_i]  # > 0 by eligibility
+                    cosb = ux_in0 * ddx + uy_in0 * ddy + uz_in0 * ddz
+                    q_hg = jnp.maximum(
+                        1.0 + g_hg * g_hg - 2.0 * g_hg * cosb, 1e-12)
+                    pv = (1.0 - g_hg * g_hg) / (q_hg * jnp.sqrt(q_hg))
+                    npf = jnp.where(reflected, np.float32(1.0 / np.pi),
+                                    pv / (4.0 * np.pi * ddz))
+                    sdx = jnp.where(jnp.abs(ddx) > 1e-12, ddx, 1e-12)
+                    sdy = jnp.where(jnp.abs(ddy) > 1e-12, ddy, 1e-12)
+
+                    def m_body(it, carry, sdx=sdx, sdy=sdy, ddx=ddx,
+                               ddy=ddy, ddz=ddz):
+                        px, py, pz, tau, act, ex_col = carry
+                        pxw = x0 + jnp.mod(px - x0, lx)
+                        pyw = y0 + jnp.mod(py - y0, ly)
+                        ixm = jnp.clip(((pxw - x0) * inv_dx).astype(
+                            jnp.int32), 0, nx - 1)
+                        iym = jnp.clip(((pyw - y0) * inv_dy).astype(
+                            jnp.int32), 0, ny - 1)
+                        izm = jnp.clip(((pz - z0) * inv_dz).astype(
+                            jnp.int32), 0, nz - 1)
+                        cellm = (ixm * ny + iym) * nz + izm
+                        beta_m = gather_beta(cellm)
+                        fx = jnp.where(ddx >= 0, ixm + 1, ixm).astype(
+                            jnp.float32) * dxc_ + x0
+                        fy = jnp.where(ddy >= 0, iym + 1, iym).astype(
+                            jnp.float32) * dyc_ + y0
+                        fz = (izm + 1).astype(jnp.float32) * dzc_ + z0
+                        tx = jnp.where(jnp.abs(ddx) > 1e-12,
+                                       (fx - pxw) / sdx, _BIG_F)
+                        ty = jnp.where(jnp.abs(ddy) > 1e-12,
+                                       (fy - pyw) / sdy, _BIG_F)
+                        tz = (fz - pz) / ddz
+                        ds = jnp.maximum(
+                            jnp.minimum(tx, jnp.minimum(ty, tz)), 0.0
+                        ) + nudge
+                        tau = jnp.where(act, tau + beta_m * ds, tau)
+                        pz2 = pz + ddz * ds
+                        top = pz2 >= z_max
+                        newly = act & top
+                        tb_ = (z_max - pz) / ddz
+                        exx = x0 + jnp.mod(pxw + ddx * tb_ - x0, lx)
+                        exy = y0 + jnp.mod(pyw + ddy * tb_ - y0, ly)
+                        exc = (jnp.clip(((exx - x0) * inv_dx).astype(
+                            jnp.int32), 0, nx - 1) * ny
+                            + jnp.clip(((exy - y0) * inv_dy).astype(
+                                jnp.int32), 0, ny - 1))
+                        ex_col = jnp.where(newly, exc, ex_col)
+                        act = act & ~top
+                        return (pxw + ddx * ds, pyw + ddy * ds, pz2,
+                                tau, act, ex_col)
+
+                    z32 = jnp.zeros((blk, 128), jnp.float32)
+                    i32z = jnp.zeros((blk, 128), jnp.int32)
+                    carry_m = (sx, sy, sz, z32, ev, i32z)
+                    carry_m = jax.lax.fori_loop(0, k_dda, m_body, carry_m)
+                    _, _, _, tau_f, act_f, ex_col = carry_m
+                    # lanes still marching after k_dda never exited: drop
+                    # (k_dda is sized to the geometry so this is empty)
+                    hit = ev & ~act_f
+                    contrib = jnp.where(
+                        hit, w_ev * npf * jnp.exp(-tau_f), 0.0)
+                    ch, cl = _bf16_split(contrib)
+                    lo_e = jnp.bitwise_and(ex_col, 127)
+                    hi_e = jnp.right_shift(ex_col, 7)
+                    ohs_e = (lo_e[:, None, :] == iota_sub_m).astype(
+                        jnp.bfloat16)
+                    ohh_e = iota_je == hi_e[None, :, :]
+                    zb = jnp.bfloat16(0)
+                    a_he = jnp.where(ohh_e, ch[None, :, :], zb)
+                    a_le = jnp.where(ohh_e, cl[None, :, :], zb)
+                    iout = None
+                    for b_i2 in range(blk):
+                        d_ = (jax.lax.dot_general(
+                            a_he[:, b_i2, :], ohs_e[b_i2], dn_i,
+                            preferred_element_type=jnp.float32)
+                            + jax.lax.dot_general(
+                                a_le[:, b_i2, :], ohs_e[b_i2], dn_i,
+                                preferred_element_type=jnp.float32))
+                        iout = d_ if iout is None else iout + d_
+                    r0 = d_i * hti_pad
+                    acci_ref[r0:r0 + hti_pad] = (
+                        acci_ref[r0:r0 + hti_pad] + iout)
 
             x_ref[sl], y_ref[sl], z_ref[sl] = x, y, z
             ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz
@@ -810,11 +998,13 @@ def run_batch_pallas(domain: OpticalDomain,
                      photons_per_lane: int,
                      n_photons=None,
                      use_russian_roulette: bool = True,
-                     russian_roulette_weight: float = 1.0):
+                     russian_roulette_weight: float = 1.0,
+                     intensity_dirs=None):
     """Run one photon batch through the megakernel; returns raw tally parts.
 
     Returns (flux_up [nx,ny], flux_down [nx,ny], volume_absorption
-    [nx,ny,nz], n_started i32, n_bad i32, n_calls i32).
+    [nx,ny,nz], n_started i32, n_bad i32, n_calls i32); with
+    pcfg.n_dirs > 0 an [nx, ny, n_dirs] raw intensity array is appended.
     """
     grid = domain.grid
     nx, ny, nz = grid.shape
@@ -835,11 +1025,21 @@ def run_batch_pallas(domain: OpticalDomain,
     # tiled-hi table for the tally contraction: jmod[j] = j % ht
     jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
 
+    n_dirs = pcfg.n_dirs
+    hti_pad = -(-(-(-nxy // 128)) // 8) * 8  # ceil8(ceil(nxy / 128))
     kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
                            ht, use_russian_roulette,
                            uniform_ssa=domain.uniform_ssa,
                            uniform_hg=domain.uniform_hg,
-                           macro_factor=domain.macro_factor)
+                           macro_factor=domain.macro_factor,
+                           hti_pad=hti_pad)
+    if n_dirs > 0:
+        if not pcfg.bf16:
+            raise ValueError("in-kernel local estimation requires the "
+                             "bf16 pipeline")
+        dirs_a = jnp.asarray(intensity_dirs, jnp.float32)
+    else:
+        dirs_a = jnp.zeros((3, 1), jnp.float32)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH):
@@ -895,6 +1095,7 @@ def run_batch_pallas(domain: OpticalDomain,
     # the f32 pipeline tiles hi mod ht over 128 rows (legacy layout)
     ht_pad = (-(-ht // 8) * 8) if pcfg.bf16 else 128
     acc0 = jnp.zeros((ht_pad, 128), jnp.float32)
+    acci0 = jnp.zeros((max(8, n_dirs * hti_pad), 128), jnp.float32)
 
     keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
             "beta_loc")
@@ -905,10 +1106,11 @@ def run_batch_pallas(domain: OpticalDomain,
     grid_spec = pl.GridSpec(
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 1),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 2),
         out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 1)
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
     )
     state_shapes = [
@@ -918,11 +1120,13 @@ def run_batch_pallas(domain: OpticalDomain,
         for k in keys]
     out_shape = state_shapes + [
         jax.ShapeDtypeStruct((ht_pad, 128), jnp.float32),
+        jax.ShapeDtypeStruct(acci0.shape, jnp.float32),
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
-    aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 3] = n_state  # acc
+    aliases = {3 + i: i for i in range(n_state)}
+    aliases[3 + n_state + 3] = n_state      # acc
+    aliases[3 + n_state + 4] = n_state + 1  # acc_i
 
     call = pl.pallas_call(
         kernel,
@@ -935,18 +1139,19 @@ def run_batch_pallas(domain: OpticalDomain,
     )
 
     def cond(carry):
-        state, acc, n_started, n_calls, work, stat_acc = carry
+        state, acc, acci, n_started, n_calls, work, stat_acc = carry
         return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
 
     def body(carry):
-        state, acc, n_started, n_calls, work, stat_acc = carry
+        state, acc, acci, n_started, n_calls, work, stat_acc = carry
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
-        outs = call(scal, params, *[state[k] for k in keys],
-                    b_hi, b_lo, jmod, acc)
+        outs = call(scal, params, dirs_a, *[state[k] for k in keys],
+                    b_hi, b_lo, jmod, acc, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
-        stats = outs[n_state + 1]
+        acci = outs[n_state + 1]
+        stats = outs[n_state + 2]
         n_started = n_started + stats[0, 0].astype(jnp.int32)
         work = stats[0, 1] > 0
         # Rebalance unspent quota evenly across lanes between launches:
@@ -961,23 +1166,28 @@ def run_batch_pallas(domain: OpticalDomain,
                   + jnp.arange(128, dtype=jnp.int32)[None, :])
         new_state["quota"] = (total_q // n_lanes) + (
             lane_i < (total_q % n_lanes)).astype(jnp.int32)
-        return (new_state, acc, n_started, n_calls + 1, work,
+        return (new_state, acc, acci, n_started, n_calls + 1, work,
                 stat_acc + stats[0])
 
-    carry = (state0, acc0, jnp.int32(0), jnp.int32(0), jnp.bool_(True),
-             jnp.zeros((8,), jnp.float32))
-    state_f, acc_f, n_started, n_calls, _, stat_acc = jax.lax.while_loop(
-        cond, body, carry)
+    carry = (state0, acc0, acci0, jnp.int32(0), jnp.int32(0),
+             jnp.bool_(True), jnp.zeros((8,), jnp.float32))
+    (state_f, acc_f, acci_f, n_started, n_calls, _,
+     stat_acc) = jax.lax.while_loop(cond, body, carry)
 
     flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]; t = h*128 + lo
     flux_up = flat[:nxy].reshape(nx, ny)
     flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
     vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    base = (flux_up, flux_down, vol, n_started, n_bad, n_calls)
+    if pcfg.n_dirs > 0:
+        intensity = jnp.stack(
+            [acci_f[d * hti_pad:(d + 1) * hti_pad].reshape(-1)[:nxy]
+             .reshape(nx, ny) for d in range(pcfg.n_dirs)], axis=-1)
+        base = base + (intensity,)
     if "stats" in pcfg.debug_parts:
-        return (flux_up, flux_down, vol, n_started, n_bad, n_calls,
-                stat_acc)
-    return flux_up, flux_down, vol, n_started, n_bad, n_calls
+        return base + (stat_acc,)
+    return base
 
 
 def config_for(n_lanes: int, photons_per_lane: int, max_steps: int,
@@ -999,23 +1209,48 @@ def config_for(n_lanes: int, photons_per_lane: int, max_steps: int,
                         max_steps=max_steps, interpret=interpret), ppl
 
 
+def dda_iteration_bound(grid, min_mu: float) -> int:
+    """Static march-length bound: face crossings from the domain bottom to
+    the top along the shallowest admissible direction (mu >= min_mu),
+    plus margin. Grid edges are concrete (host arrays)."""
+    nx, ny, nz = grid.shape
+    lz = float(grid.z_edges[-1] - grid.z_edges[0])
+    dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
+    dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+    length = lz / max(min_mu, 1e-3)
+    sin_max = float(np.sqrt(max(0.0, 1.0 - min_mu * min_mu)))
+    return int(np.ceil(nz + length * sin_max / min(dxc, dyc))) + 8
+
+
 def run_batch_pallas_tallies(domain, surface, source, key, config,
-                             n_photons=None, interpret: bool = False):
+                             n_photons=None, interpret: bool = False,
+                             intensity_config=None, intensity_dirs=None):
     """run_batch-compatible entry: returns a transport.integrator.Tallies."""
+    import dataclasses as _dc
+
     from mcbrat3d_tpu.transport.integrator import Tallies
 
     pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
                            config.max_steps, interpret)
+    if intensity_config is not None:
+        pcfg = _dc.replace(
+            pcfg, n_dirs=intensity_config.n_dirs,
+            k_dda=dda_iteration_bound(domain.grid,
+                                      intensity_config.pallas_min_mu))
     if n_photons is None:
         n_photons = config.photons_per_batch
-    fu, fd, vol, n_started, n_bad, n_calls = run_batch_pallas(
+    out = run_batch_pallas(
         domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
         use_russian_roulette=config.use_russian_roulette,
-        russian_roulette_weight=config.russian_roulette_weight)
+        russian_roulette_weight=config.russian_roulette_weight,
+        intensity_dirs=intensity_dirs)
+    fu, fd, vol, n_started, n_bad, n_calls = out[:6]
+    intensity = out[6] if pcfg.n_dirs > 0 else None
     return Tallies(
         flux_up=fu, flux_down=fd,
         flux_absorbed=jnp.sum(vol, axis=2),
         volume_absorption=vol,
+        intensity=intensity,
         n_photons=n_started, n_bad=n_bad,
         n_steps=n_calls * pcfg.steps_per_call,
     )

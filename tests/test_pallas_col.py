@@ -29,8 +29,16 @@ def make_broken_cloud(nx=16, ny=16, nz=8, ssa=0.99, seed=0,
     depth and top height (the Landsat shape;
     reference: Domain-Files/i3rcLandsatCloud.f95:82-90)."""
     rs = np.random.RandomState(seed)
-    scale = rs.rand(nx, ny) * 0.05 * (rs.rand(nx, ny) > 0.4)
-    h = rs.randint(0, nz + 1, (nx, ny)) * (scale > 0)
+    # spatially correlated cloud field (real Landsat scenes are patchy,
+    # not per-column white noise -- and block majorants only help when
+    # clear regions span whole blocks)
+    f = rs.rand(nx, ny)
+    for _ in range(3):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    cloudy = f > np.quantile(f, 0.55)
+    scale = rs.rand(nx, ny) * 0.05 * cloudy
+    h = (np.ceil(f * nz).astype(int)) * (scale > 0)
     scale = scale * (h > 0)
     ext = np.zeros((nx, ny, nz))
     for k in range(nz):

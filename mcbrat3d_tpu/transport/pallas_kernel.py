@@ -1233,8 +1233,12 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
     pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
                            config.max_steps, interpret)
     if intensity_config is not None:
+        # small march blocks: the per-crossing gather unrolls block_rows
+        # MXU dots inside each direction's fori body, and the remote
+        # Mosaic compiler scales badly with program size
         pcfg = _dc.replace(
             pcfg, n_dirs=intensity_config.n_dirs,
+            block_rows=min(pcfg.block_rows, 16),
             k_dda=dda_iteration_bound(domain.grid,
                                       intensity_config.pallas_min_mu))
     if n_photons is None:

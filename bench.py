@@ -55,13 +55,14 @@ def bench_intensity():
     dirs = make_intensity_directions(
         [1.0, 0.8, 0.6, 0.4, 0.6, 0.8],
         [0.0, 0.0, 0.0, 0.0, 180.0, 180.0])
-    icfg = IntensityConfig(n_dirs=6, use_russian_roulette=True)
-    # Small batches: the XLA local-estimation path costs ~0.003 M
-    # photons/s at 6 directions (each scattering event runs per-direction
-    # DDA traces whose per-crossing gathers dominate), and the relay kills
-    # single device executions beyond ~4 minutes.
-    config = KernelConfig(n_lanes=1 << 15, photons_per_lane=1,
-                          max_steps=60_000)
+    # Exact (non-RR) estimator: megakernel-eligible, so the in-kernel
+    # DDA march per direction runs with one-hot gathers instead of the
+    # XLA path's 400-us-per-crossing gathers. All bench dirs have
+    # mu >= 0.4, which sizes the static march bound.
+    icfg = IntensityConfig(n_dirs=6, use_russian_roulette=False,
+                           pallas_min_mu=0.4)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=4,
+                          max_steps=100_000)
     t = run_batch(domain, surface, source, rng.batch_key(0, 0), config,
                   intensity_config=icfg, intensity_dirs=dirs)
     _ = int(t.n_photons)

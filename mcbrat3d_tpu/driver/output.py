@@ -131,7 +131,7 @@ def write_all(results: Results, grid) -> list:
     if cfg.output_abs_prof_file:
         write_absorption_profile_file(cfg.output_abs_prof_file, results, grid)
         written.append(cfg.output_abs_prof_file)
-    if cfg.output_abs_volume_file:
+    if cfg.output_abs_volume_file and "volume_absorption" in results.mean:
         write_volume_absorption_file(cfg.output_abs_volume_file, results, grid)
         written.append(cfg.output_abs_volume_file)
     if cfg.output_rad_file and "intensity" in results.mean:

@@ -46,10 +46,12 @@ def write_results_netcdf(path: str, results: Results, grid) -> None:
             m["absorption_profile"])
         nc.createVariable("absorptionProfile_StdErr", "f8", ("z",))[:] = (
             s["absorption_profile"])
-        nc.createVariable("absorbedVolume", "f8", ("z", "y", "x"))[:] = (
-            m["volume_absorption"].T)
-        nc.createVariable("absorbedVolume_StdErr", "f8", ("z", "y", "x"))[:] = (
-            s["volume_absorption"].T)
+        if "volume_absorption" in m:  # absent on the column-megakernel path
+            nc.createVariable("absorbedVolume", "f8", ("z", "y", "x"))[:] = (
+                m["volume_absorption"].T)
+            nc.createVariable(
+                "absorbedVolume_StdErr", "f8", ("z", "y", "x"))[:] = (
+                s["volume_absorption"].T)
 
         if "intensity" in m:
             mus, phis = cfg.radiance_directions()

@@ -138,16 +138,22 @@ def run_simulation(domain: OpticalDomain,
             "flux_up": np.asarray(t.flux_up),
             "flux_down": np.asarray(t.flux_down),
             "flux_absorbed": np.asarray(t.flux_absorbed),
-            "volume_absorption": np.asarray(t.volume_absorption),
         }
+        # the column megakernel (big domains) tallies the z marginal
+        # directly instead of the full 3D field
+        if t.volume_absorption is not None:
+            arrays["volume_absorption"] = np.asarray(t.volume_absorption)
         # Domain means + horizontally averaged absorption profile
         # (reportResults equivalents; reference:
         # Integrators/monteCarloRadiativeTransfer.f95:845-1042)
         arrays["mean_flux_up"] = arrays["flux_up"].mean()
         arrays["mean_flux_down"] = arrays["flux_down"].mean()
         arrays["mean_flux_absorbed"] = arrays["flux_absorbed"].mean()
-        arrays["absorption_profile"] = arrays["volume_absorption"].mean(
-            axis=(0, 1))
+        if t.absorption_profile is not None:
+            arrays["absorption_profile"] = np.asarray(t.absorption_profile)
+        elif t.volume_absorption is not None:
+            arrays["absorption_profile"] = arrays[
+                "volume_absorption"].mean(axis=(0, 1))
         if t.intensity is not None:
             arrays["intensity"] = np.asarray(t.intensity)
         if t.flux_up_by_order is not None:

@@ -331,10 +331,13 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
     n_dirs, k_dda = pcfg.n_dirs, pcfg.k_dda
 
+    hb_pad = -(-h_cells // 8) * 8  # march beta-table rows (8-padded)
+
     def kernel(scal_ref, par_ref, dirs_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
-               b_hi_ref, b_lo_ref, jmod_ref, acc_in, acci_in,
+               b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref,
+               jmod_ref, acc_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
@@ -774,30 +777,31 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 nudge = 1e-6 * jnp.minimum(dzc_, jnp.minimum(dxc_, dyc_))
                 iota_sub_m = jax.lax.broadcasted_iota(
                     jnp.int32, (blk, 128, 128), 1)
-                iota_ws_m = jax.lax.broadcasted_iota(
-                    jnp.int32, (blk, w_cols, 128), 1)
-                bth_m = b_hi_ref[:].T
-                btl_m = b_lo_ref[:].T if pcfg.bf16 else None
+                iota_hb_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, hb_pad, 128), 1)
 
                 def gather_beta(cellm):
+                    # dedicated single-field table [hb_pad, 128lo]: the
+                    # march needs only extinction, so the dot and the
+                    # sublane extraction are ~REC_COLS*h/hb narrower than
+                    # the full record gather
                     lo_m = jnp.bitwise_and(cellm, 127)
                     ohs_m = (lo_m[:, None, :] == iota_sub_m).astype(
                         oh_dtype)
                     rws = []
                     for b_i2 in range(blk):
-                        tb = jnp.dot(bth_m, ohs_m[b_i2],
+                        tb = jnp.dot(bm_hi_ref[:], ohs_m[b_i2],
                                      preferred_element_type=jnp.float32)
-                        if btl_m is not None:
+                        if pcfg.bf16:
                             tb = tb + jnp.dot(
-                                btl_m, ohs_m[b_i2],
+                                bm_lo_ref[:], ohs_m[b_i2],
                                 preferred_element_type=jnp.float32)
                         rws.append(tb)
-                    t3m = jnp.stack(rws, axis=0)  # [blk, W, 128]
+                    t3m = jnp.stack(rws, axis=0)  # [blk, hb_pad, 128]
                     hi_m = jnp.right_shift(cellm, 7)
-                    s3m = t3m * ((iota_ws_m // REC_COLS) ==
+                    s3m = t3m * (iota_hb_m ==
                                  hi_m[:, None, :]).astype(jnp.float32)
-                    return jnp.sum(
-                        s3m * ((iota_ws_m % REC_COLS) == 0), axis=1)
+                    return jnp.sum(s3m, axis=1)
 
                 iota_je = jax.lax.broadcasted_iota(
                     jnp.int32, (hti_pad, 1, 1), 0)
@@ -1033,13 +1037,20 @@ def run_batch_pallas(domain: OpticalDomain,
                            uniform_hg=domain.uniform_hg,
                            macro_factor=domain.macro_factor,
                            hti_pad=hti_pad)
+    hb_pad = -(-h_cells // 8) * 8
     if n_dirs > 0:
         if not pcfg.bf16:
             raise ValueError("in-kernel local estimation requires the "
                              "bf16 pipeline")
         dirs_a = jnp.asarray(intensity_dirs, jnp.float32)
+        # march beta table [hb_pad, 128lo] (transposed, single field)
+        bm = jnp.pad(b_tab[:, 0::REC_COLS].T,
+                     ((0, hb_pad - h_cells), (0, 0)))
+        bm_hi = bm.astype(jnp.bfloat16)
+        bm_lo = (bm - bm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     else:
         dirs_a = jnp.zeros((3, 1), jnp.float32)
+        bm_hi = bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH):
@@ -1108,7 +1119,7 @@ def run_batch_pallas(domain: OpticalDomain,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 2),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 4),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -1125,8 +1136,8 @@ def run_batch_pallas(domain: OpticalDomain,
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {3 + i: i for i in range(n_state)}
-    aliases[3 + n_state + 3] = n_state      # acc
-    aliases[3 + n_state + 4] = n_state + 1  # acc_i
+    aliases[3 + n_state + 5] = n_state      # acc
+    aliases[3 + n_state + 6] = n_state + 1  # acc_i
 
     call = pl.pallas_call(
         kernel,
@@ -1147,7 +1158,7 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, dirs_a, *[state[k] for k in keys],
-                    b_hi, b_lo, jmod, acc, acci)
+                    b_hi, b_lo, bm_hi, bm_lo, jmod, acc, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         acci = outs[n_state + 1]

@@ -26,10 +26,13 @@ buffer entirely in VMEM across K transport steps per launch:
     with the ~2.6 MB state as the loop carry (HBM round-trip per launch
     is amortized over K steps).
 
-Eligibility (v1; everything else falls back to transport.integrator):
-monochromatic flux-only runs with one all-HG component on a regular grid,
-uniform Lambertian surface, directional/random-azimuth/flux sources,
-n_cells <= 16384 and 2*nx*ny + padding + n_cells <= 16384.
+Eligibility (everything else falls back to transport.integrator):
+monochromatic runs with one all-HG component on a regular grid, uniform
+Lambertian surface, directional/random-azimuth/flux sources, n_cells <=
+16384 and 2*nx*ny + padding + n_cells <= 16384. Radiance runs
+additionally require the exact (non-Russian-roulette) estimator, plain
+phase functions, and <= 8 upward directions (pallas_intensity_eligible).
+Bigger column-template domains: transport/pallas_col.py.
 """
 
 from __future__ import annotations

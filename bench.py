@@ -120,7 +120,7 @@ def bench_landsat():
     comp = OpticalComponent("broken cloud", ext, np.full_like(ext, 0.99),
                             np.zeros(ext.shape, np.int32), table)
     domain = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=201)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=64,
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=16,
                           max_steps=400_000,
                           need_volume_absorption=False)
     source = illumination.directional(0.5, 0.0)

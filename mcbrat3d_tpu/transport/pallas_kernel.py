@@ -768,7 +768,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             # w * P/(4 pi mu_d) * exp(-tau_toa), tallied at the TOA exit
             # column. (reference:
             # Integrators/monteCarloRadiativeTransfer.f95:1623-1752)
-            if n_dirs > 0:
+            if n_dirs > 0 and "noint" not in part_set:
                 ev = real | reflected
                 sx = jnp.where(reflected, xe, xc)
                 sy = jnp.where(reflected, ye, yc)

@@ -131,3 +131,37 @@ class TestMieTable:
         assert back.n_entries == table.n_entries
         np.testing.assert_allclose(back.extinction, table.extinction,
                                    rtol=1e-6)
+
+
+class TestBandAveragedMie:
+    """avgflag='A' Planck-weighted band averaging over deltawave steps
+    (reference: Tools/MakeMieTable.f95:523-595)."""
+
+    def _cfg(self, **kw):
+        from mcbrat3d_tpu.tools.mie_table import MieTableConfig
+        base = dict(wavelen1=10.0, wavelen2=11.0, avgflag="A",
+                    deltawave=0.25, partype="W", alpha=7.0,
+                    distflag="G", sretab=8.0, eretab=8.0, nretanb=1,
+                    maxradius=30.0, max_legendre=64)
+        base.update(kw)
+        return MieTableConfig(**base)
+
+    def test_band_average_between_endpoints(self):
+        """The band-averaged extinction must lie between the two
+        single-wavelength endpoint tables (Qext varies monotonically
+        across this narrow thermal-IR band for water)."""
+        from mcbrat3d_tpu.tools.mie_table import make_mie_table
+
+        t_avg = make_mie_table(self._cfg())
+        t_lo = make_mie_table(self._cfg(wavelen2=10.0, avgflag="C"))
+        t_hi = make_mie_table(self._cfg(wavelen1=11.0, avgflag="C"))
+        e_avg = float(np.asarray(t_avg.extinction)[0])
+        e_lo = float(np.asarray(t_lo.extinction)[0])
+        e_hi = float(np.asarray(t_hi.extinction)[0])
+        lo, hi = min(e_lo, e_hi), max(e_lo, e_hi)
+        assert lo <= e_avg <= hi
+        # and it differs from the center-wavelength table (deltawave is
+        # genuinely exercised, not dead)
+        t_c = make_mie_table(self._cfg(avgflag="C"))
+        e_c = float(np.asarray(t_c.extinction)[0])
+        assert e_avg != pytest.approx(e_c, rel=1e-6)

@@ -60,7 +60,7 @@ def bench_intensity():
     # XLA path's 400-us-per-crossing gathers. All bench dirs have
     # mu >= 0.4, which sizes the static march bound.
     icfg = IntensityConfig(n_dirs=6, use_russian_roulette=False,
-                           pallas_min_mu=0.4)
+                           use_hybrid_phase=False, pallas_min_mu=0.4)
     config = KernelConfig(n_lanes=1 << 16, photons_per_lane=4,
                           max_steps=100_000)
     t = run_batch(domain, surface, source, rng.batch_key(0, 0), config,

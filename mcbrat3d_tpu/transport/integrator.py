@@ -292,11 +292,7 @@ def run_batch(domain: OpticalDomain,
                 lw_mode=cfg.lw_mode, compute_intensity=False,
                 record_scattering_orders=cfg.record_scattering_orders,
                 use_ray_tracing=cfg.use_ray_tracing)
-            if cfg.use_pallas == "on":
-                if not eligible:
-                    raise ValueError(
-                        "use_pallas='on' but the configuration is "
-                        "outside the megakernel's v1 envelope")
+            if cfg.use_pallas == "on" and eligible:
                 return _pk.run_batch_pallas_tallies(
                     domain, surface, source, key, cfg, n_photons,
                     interpret=not on_tpu)
@@ -312,9 +308,13 @@ def run_batch(domain: OpticalDomain,
             record_scattering_orders=cfg.record_scattering_orders,
             use_ray_tracing=cfg.use_ray_tracing,
             need_volume_absorption=cfg.need_volume_absorption)
-        if col_eligible and on_tpu:
+        if col_eligible and (on_tpu or cfg.use_pallas == "on"):
             return _pc.run_batch_pallas_col_tallies(
-                domain, surface, source, key, cfg, n_photons)
+                domain, surface, source, key, cfg, n_photons,
+                interpret=not on_tpu)
+        if cfg.use_pallas == "on":
+            raise ValueError("use_pallas='on' but the configuration is "
+                             "outside every megakernel envelope")
 
     grid = domain.grid
     nx, ny, nz = grid.shape

@@ -1226,14 +1226,20 @@ def config_for(n_lanes: int, photons_per_lane: int, max_steps: int,
 def dda_iteration_bound(grid, min_mu: float) -> int:
     """Static march-length bound: face crossings from the domain bottom to
     the top along the shallowest admissible direction (mu >= min_mu),
-    plus margin. Grid edges are concrete (host arrays)."""
+    plus margin. Uses concrete grid edges when available; inside jit
+    (edges traced) it assumes cells are no taller than wide (dz <= dx --
+    true for atmospheric grids, whose cells are much wider than tall)."""
     nx, ny, nz = grid.shape
-    lz = float(grid.z_edges[-1] - grid.z_edges[0])
-    dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
-    dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
-    length = lz / max(min_mu, 1e-3)
-    sin_max = float(np.sqrt(max(0.0, 1.0 - min_mu * min_mu)))
-    return int(np.ceil(nz + length * sin_max / min(dxc, dyc))) + 8
+    mu = max(min_mu, 1e-3)
+    sin_max = float(np.sqrt(max(0.0, 1.0 - mu * mu)))
+    try:
+        lz = float(grid.z_edges[-1] - grid.z_edges[0])
+        dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
+        dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+        return int(np.ceil(nz + lz / mu * sin_max / min(dxc, dyc))) + 8
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return int(np.ceil(nz * (1.0 + sin_max / mu))) + 8
 
 
 def run_batch_pallas_tallies(domain, surface, source, key, config,

@@ -215,7 +215,8 @@ class TestMegakernelIntensity:
         dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
                               compute_intensity_tables=True)
         dirs = make_intensity_directions([1.0, 0.5], [0.0, 0.0])
-        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False)
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                               use_hybrid_phase=False)
         cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
                            max_steps=20_000, use_pallas="off")
         t = run_batch(dom, Surface.lambertian(0.2),
@@ -244,7 +245,8 @@ class TestMegakernelIntensity:
 
         dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
                               compute_intensity_tables=True)
-        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False)
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                               use_hybrid_phase=False)
         import jax.numpy as jnp
         dirs = jnp.asarray([[0.0, 0.0], [0.0, 0.0], [1.0, -1.0]],
                            jnp.float32)

@@ -824,7 +824,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
                     def m_body(it, carry, sdx=sdx, sdy=sdy, ddx=ddx,
                                ddy=ddy, ddz=ddz):
-                        px, py, pz, tau, act, ex_col = carry
+                        # all-i32/f32 carry: Mosaic fails to legalize
+                        # scf.for with i1 (bool) loop carries
+                        px, py, pz, tau, act_i, ex_col = carry
+                        act = act_i > 0
                         pxw = x0 + jnp.mod(px - x0, lx)
                         pyw = y0 + jnp.mod(py - y0, ly)
                         ixm = jnp.clip(((pxw - x0) * inv_dx).astype(
@@ -862,13 +865,15 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         ex_col = jnp.where(newly, exc, ex_col)
                         act = act & ~top
                         return (pxw + ddx * ds, pyw + ddy * ds, pz2,
-                                tau, act, ex_col)
+                                tau, act.astype(jnp.int32), ex_col)
 
                     z32 = jnp.zeros((blk, 128), jnp.float32)
                     i32z = jnp.zeros((blk, 128), jnp.int32)
-                    carry_m = (sx, sy, sz, z32, ev, i32z)
+                    carry_m = (sx, sy, sz, z32,
+                               ev.astype(jnp.int32), i32z)
                     carry_m = jax.lax.fori_loop(0, k_dda, m_body, carry_m)
-                    _, _, _, tau_f, act_f, ex_col = carry_m
+                    _, _, _, tau_f, act_fi, ex_col = carry_m
+                    act_f = act_fi > 0
                     # lanes still marching after k_dda never exited: drop
                     # (k_dda is sized to the geometry so this is empty)
                     hit = ev & ~act_f

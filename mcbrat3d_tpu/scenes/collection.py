@@ -228,3 +228,36 @@ def hg_phase_values(g: float = 0.85, n_angles: int = 181) -> np.ndarray:
     mu = np.cos(np.deg2rad(ang))
     vals = (1 - g**2) / (1 + g**2 - 2 * g * mu) ** 1.5
     return np.stack([ang, vals], axis=1)
+
+
+def broken_cloud_scene(nx: int = 128, ny: int = 128, nz: int = 64,
+                       ssa: float = 0.99, g: float = 0.85,
+                       dx: float = 30.0, dy: float = 30.0, dz: float = 20.0,
+                       max_scale: float = 0.05, cloud_fraction: float = 0.45,
+                       seed: int = 1, n_legendre: int = 64):
+    """Synthetic Landsat-class broken-cloud deck: a spatially correlated
+    column-template field (beta = col_scale * (iz < col_height)), the shape
+    of the reference's I3RC case-4 scene without its proprietary data files
+    (reference: Domain-Files/i3rcLandsatCloud.f95:82-90). Column-template
+    domains of this shape take the big-domain Pallas column megakernel on
+    TPU (transport/pallas_col.py)."""
+    rs = np.random.RandomState(seed)
+    f = rs.rand(nx, ny)
+    for _ in range(3):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    cloudy = f > np.quantile(f, 1.0 - cloud_fraction)
+    scale = rs.rand(nx, ny) * max_scale * cloudy
+    h = np.ceil(f * nz).astype(int) * (scale > 0)
+    scale = scale * (h > 0)
+    ext = np.zeros((nx, ny, nz))
+    for k in range(nz):
+        ext[:, :, k] = np.where(k < h, scale, 0.0)
+    grid = Grid.regular(nx=int(nx), ny=int(ny), nz=int(nz),
+                        dx=dx, dy=dy, dz=dz)
+    comp = OpticalComponent(
+        name="broken cloud", extinction=ext,
+        single_scattering_albedo=np.full_like(ext, ssa),
+        phase_function_index=np.zeros(ext.shape, np.int32),
+        phase_function_table=_hg_table(g, n_legendre, "broken-cloud HG"))
+    return grid, [comp], None

@@ -82,6 +82,12 @@ def _radar(**kw):
     return radar_cloud_scene(**kw)
 
 
+@_register("broken_cloud")
+def _broken_cloud(**kw):
+    from mcbrat3d_tpu.scenes.collection import broken_cloud_scene
+    return broken_cloud_scene(**kw)
+
+
 def main(scene: str, output: str, params=None) -> int:
     if scene not in SCENES:
         print(f"unknown scene {scene!r}; available: {sorted(SCENES)}")

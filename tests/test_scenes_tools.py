@@ -238,3 +238,19 @@ class TestMolecScattTrans:
         assert data.shape == (5, 5)
         assert data[0, 0] == pytest.approx(0.201)
         assert data[-1, 0] == pytest.approx(1.2)
+
+
+def test_broken_cloud_scene_roundtrip(tmp_path):
+    """broken_cloud CLI scene -> domain netCDF -> build_domain keeps the
+    column-template structure (so the namelist driver path reaches the
+    big-domain column megakernel on TPU)."""
+    from mcbrat3d_tpu.domain import io_netcdf
+    from mcbrat3d_tpu.tools import scene_cli
+
+    out = str(tmp_path / "bc.dom")
+    rc = scene_cli.main("broken_cloud", out, ["nx=16", "ny=16", "nz=8"])
+    assert rc == 0
+    grid, comps, temps, lam = io_netcdf.read_domain(out)
+    dom = build_domain(grid, comps, macro_factor=4, n_cdf_steps=101)
+    assert dom.col_template
+    assert dom.macro_table is not None

@@ -206,18 +206,25 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             y = jnp.where(need, y0 + u1 * ly, y)
             z = jnp.where(need, z_max - z_eps, z)
             if source_kind == illumination.DIRECTIONAL:
+                # constant beam: host-precomputed cosines (params 14/15)
                 s_mu = -smu
-                s_phi = jnp.full((blk, 128), sphi)
+                sux = jnp.broadcast_to(par_ref[0, 14], (blk, 128))
+                suy = jnp.broadcast_to(par_ref[0, 15], (blk, 128))
             elif source_kind == illumination.RANDOM_AZIMUTH:
                 s_mu = -smu
                 s_phi = 2.0 * np.pi * uniform(ctr, 2)
+                s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
+                sux = s_sin * jnp.cos(s_phi)
+                suy = s_sin * jnp.sin(s_phi)
             else:  # FLUX
                 s_mu = -jnp.sqrt(jnp.maximum(uniform(ctr, 2),
                                              np.float32(1e-12)))
                 s_phi = 2.0 * np.pi * uniform(ctr, 9)
-            s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
-            ux = jnp.where(need, s_sin * jnp.cos(s_phi), ux)
-            uy = jnp.where(need, s_sin * jnp.sin(s_phi), uy)
+                s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
+                sux = s_sin * jnp.cos(s_phi)
+                suy = s_sin * jnp.sin(s_phi)
+            ux = jnp.where(need, sux, ux)
+            uy = jnp.where(need, suy, uy)
             uz = jnp.where(need, jnp.broadcast_to(s_mu, (blk, 128)), uz)
             w = jnp.where(need, 1.0, w)
             alive = alive | need
@@ -545,7 +552,10 @@ def run_batch_pallas_col(domain: OpticalDomain,
         ge[2][0], ge[2][-1] - ge[2][0],
         domain.cell_records[0, 3],   # uniform ssa
         domain.cell_records[0, 5],   # uniform HG g
-        jnp.float32(0), jnp.float32(0),
+        jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
+        * jnp.cos(jnp.float32(sphi)),
+        jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
+        * jnp.sin(jnp.float32(sphi)),
     ]).reshape(1, 16)
 
     if n_photons is None:

@@ -59,7 +59,13 @@ _BIG_F = np.float32(3e38)
 # lane-tileable for every H.
 REC_COLS = 4
 
-MAX_CELLS = 128 * 128  # hi fits one one-hot factor
+# The (hi, lo) factorization needs hi < W/REC_COLS table blocks; the
+# sublane machinery has no hard 128 limit on hi, so the envelope is set
+# by gather width (w_cols = ceil(cells/128)*REC_COLS) and tally rows.
+# 36864 cells (288 hi blocks) covers the I3RC radar cloud (640 x 54;
+# reference: Domain-Files/i3rcRadarCloud.f95:28-30); beyond ~16384 cells
+# the launcher shrinks block_rows to bound the gather's VMEM transient.
+MAX_CELLS = 288 * 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,7 +158,7 @@ def pallas_eligible(domain: OpticalDomain, surface: Surface,
         and not use_ray_tracing
         and n_cells <= MAX_CELLS
         and vol_base + n_cells <= MAX_CELLS
-    )
+    )  # noqa: E501
 
 
 # ---------------------------------------------------------------------------
@@ -1035,6 +1041,15 @@ def run_batch_pallas(domain: OpticalDomain,
     h_cells = -(-nxyz // 128)
     vol_base = -(-2 * nxy // 128) * 128
     ht = -(-(vol_base + nxyz) // 128)
+    if ht > 128 and not pcfg.bf16:
+        raise ValueError("domains beyond 16384 tally entries need the "
+                         "bf16 pipeline (the f32 tally tiles hi mod ht "
+                         "over 128 rows)")
+    # wide record tables: shrink the block so the sublane gather's
+    # [blk, w_cols, 128] f32 transient stays a few MB
+    if h_cells > 128 and pcfg.block_rows > 16:
+        import dataclasses as _dc2
+        pcfg = _dc2.replace(pcfg, block_rows=16)
     b_tab, w_cols = _pack_tables(domain, h_cells)
     if pcfg.bf16:
         # bf16 hi/lo split of the record table (B = hi + lo to ~2^-17)

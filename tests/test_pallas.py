@@ -257,3 +257,55 @@ class TestMegakernelIntensity:
             record_scattering_orders=0, use_ray_tracing=False,
             icfg=icfg, dirs=dirs)
         assert not ok
+
+
+class TestWideDomainEnvelope:
+    """Cells beyond the old 16384 bound (the I3RC radar cloud shape,
+    640 x 54; reference: Domain-Files/i3rcRadarCloud.f95:28-30) run the
+    megakernel with a wider hi factor and a capped block size."""
+
+    def test_radar_shaped_domain_matches_xla(self):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+
+        nx, ny, nz = 640, 1, 54  # 34560 cells > 16384
+        rs = np.random.RandomState(3)
+        ext = rs.rand(nx, ny, nz) * 0.004 * (rs.rand(nx, ny, nz) > 0.5)
+        grid = Grid.regular(nx, ny, nz, 50.0, 32000.0, 45.0)
+        table = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+        comp = OpticalComponent("radar", ext, np.full_like(ext, 0.99),
+                                np.zeros(ext.shape, np.int32), table)
+        dom = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=101)
+        assert pk.pallas_eligible(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0), lw_mode=False,
+            compute_intensity=False, record_scattering_orders=0,
+            use_ray_tracing=False)
+
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(2, 0), cfg)
+        pcfg = PallasConfig(rows=16, block_rows=16, steps_per_call=64,
+                            max_steps=20_000, interpret=True)
+        out = run_batch_pallas(dom, Surface.lambertian(0.2),
+                               illumination.directional(0.5, 0.0),
+                               rng.batch_key(2, 1), pcfg, 4)
+        fu, fd, vol, n, nbad, _ = out[:6]
+        n = int(n)
+        assert n == cfg.photons_per_batch
+        assert int(nbad) == 0
+        for a, b, name in ((fu, t.flux_up, "R"), (fd, t.flux_down, "T")):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / int(t.n_photons)
+            sigma = 2.0 * np.sqrt(0.25 / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        # volume absorption shape covers all 34560 cells
+        assert vol.shape == (nx, ny, nz)
+        assert float(np.asarray(vol).sum()) > 0

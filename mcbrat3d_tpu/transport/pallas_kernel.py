@@ -126,6 +126,7 @@ def pallas_intensity_eligible(domain: OpticalDomain, surface: Surface,
                         compute_intensity=False,
                         record_scattering_orders=record_scattering_orders,
                         use_ray_tracing=use_ray_tracing)
+        and domain.all_hg
         and not icfg.use_russian_roulette
         and not icfg.use_hybrid_phase
         and not icfg.limit_contributions
@@ -145,7 +146,7 @@ def pallas_eligible(domain: OpticalDomain, surface: Surface,
     n_cells = nx * ny * nz
     vol_base = -(-2 * nx * ny // 128) * 128
     return (
-        domain.all_hg
+        (domain.all_hg or domain.tables.inverse.size <= MAX_CELLS)
         and domain.n_components == 1
         and domain.grid.xy_regular and domain.grid.z_regular
         and surface.is_uniform_lambertian
@@ -317,7 +318,9 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
 def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   h_cells: int, ht: int, use_rr: bool,
                   uniform_ssa: bool = False, uniform_hg: bool = False,
-                  macro_factor: int = 0, hti_pad: int = 8):
+                  macro_factor: int = 0, hti_pad: int = 8,
+                  analytic_hg: bool = True, inv_hp: int = 8,
+                  inv_n_steps: int = 0):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -345,7 +348,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     def kernel(scal_ref, par_ref, dirs_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
-               b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref,
+               b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref, inv_ref,
                jmod_ref, acc_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, nstat_ref):
@@ -719,12 +722,48 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 sin_phi = jnp.sin(phi_rot)
                 ux = jnp.where(scatter, ux + u_ang * np.float32(1e-9), ux)
             else:
-                g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
-                s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
-                ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
-                cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5,
-                                      2.0 * u_ang - 1.0,
-                                      jnp.clip(ct, -1.0, 1.0))
+                if analytic_hg:
+                    g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
+                    s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg
+                                                + 2.0 * g_hg * u_ang)
+                    ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
+                    cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5,
+                                          2.0 * u_ang - 1.0,
+                                          jnp.clip(ct, -1.0, 1.0))
+                else:
+                    # tabulated phase function: inverse-CDF angle lookup
+                    # (field 2 carries the per-cell phase index; matches
+                    # sample_scattering_cos / the reference's
+                    # computeScatteringAngle,
+                    # Integrators/monteCarloRadiativeTransfer.f95:1594)
+                    t_u = u_ang * np.float32(inv_n_steps - 1)
+                    k_i = jnp.clip(t_u.astype(jnp.int32), 0,
+                                   inv_n_steps - 2)
+                    frac_i = t_u - k_i.astype(jnp.float32)
+                    flat_i = (g_hg.astype(jnp.int32)
+                              * np.int32(inv_n_steps) + k_i)
+                    lo_i = jnp.bitwise_and(flat_i, 127)
+                    hi_i = jnp.right_shift(flat_i, 7)
+                    iota_sub_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 128, 128), 1)
+                    ohs_i = (lo_i[:, None, :] == iota_sub_i).astype(
+                        oh_dtype)
+                    rws_i = [jnp.dot(inv_ref[:], ohs_i[b_i2],
+                                     preferred_element_type=jnp.float32)
+                             for b_i2 in range(blk)]
+                    t3i = jnp.stack(rws_i, axis=0)  # [blk, 3*hp, 128p]
+                    rows_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 3 * inv_hp, 128), 1)
+                    a0h = jnp.sum(
+                        t3i * (rows_i == hi_i[:, None, :]), axis=1)
+                    a0l = jnp.sum(
+                        t3i * (rows_i == (inv_hp + hi_i)[:, None, :]),
+                        axis=1)
+                    dd = jnp.sum(
+                        t3i * (rows_i == (2 * inv_hp + hi_i)[:, None, :]),
+                        axis=1)
+                    angle = (a0h + a0l) + frac_i * dd
+                    cos_theta = jnp.cos(angle)
                 sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
                 cos_phi = jnp.cos(phi_rot)
                 sin_phi = jnp.sin(phi_rot)
@@ -1002,10 +1041,14 @@ def _pack_tables(domain: OpticalDomain, h_cells: int):
     ncomp = domain.n_components
     n_cells = rec.shape[0]
     w_cols = h_cells * REC_COLS
+    # field 2 is dual-use: HG asymmetry for analytic (all-HG) domains,
+    # the phase-function index for tabulated (inverse-CDF) domains
+    f2 = (rec[:, 2 + 3 * ncomp] if domain.all_hg
+          else rec[:, 2 + 2 * ncomp])
     vals = jnp.stack([
         rec[:, 0],                 # beta
         rec[:, 2 + ncomp],         # ssa (component 0)
-        rec[:, 2 + 3 * ncomp],     # hg g (component 0)
+        f2,                        # hg g | phase index (component 0)
         rec[:, 1],                 # local (macro-block) majorant
     ], axis=1)  # [n_cells, REC_COLS]
     pad = h_cells * 128 - n_cells
@@ -1014,6 +1057,36 @@ def _pack_tables(domain: OpticalDomain, h_cells: int):
     b = vals.reshape(h_cells, 128, REC_COLS).transpose(1, 0, 2).reshape(
         128, w_cols)
     return b.astype(jnp.float32), w_cols
+
+
+def _pack_inverse_table(domain: OpticalDomain):
+    """Pack the inverse-CDF angle table for in-kernel gathers.
+
+    Paired layout over flat index i = row * n_steps + k:
+    a0 = angle[i] split into bf16 hi/lo (angles need f32 accuracy -- the
+    forward peak lives in the last few table bins), and the lerp DELTA
+    angle[i+1] - angle[i] as a single bf16 (its bf16 relative error scales
+    with the already-small step). Rows: [0:hp] a0_hi, [hp:2hp] a0_lo,
+    [2hp:3hp] delta, each an [hp, 128] (hi, lo) block of the flat index.
+    Returns (packed [3*hp, 128] bf16, hp, n_steps).
+    """
+    inv = domain.tables.inverse  # [n_entries, n_steps] f32 angles
+    n_entries, n_steps = inv.shape
+    flat = inv.reshape(-1)
+    nxt = jnp.concatenate([flat[1:], flat[-1:]])
+    delta = nxt - flat
+    total = flat.size
+    hp = -(-(-(-total // 128)) // 8) * 8
+
+    def block(v):
+        vp = jnp.pad(v, (0, hp * 128 - total))
+        return vp.reshape(hp, 128)
+
+    a_hi = block(flat).astype(jnp.bfloat16)
+    a_lo = block(flat - a_hi.astype(jnp.float32).reshape(-1)[:total]
+                 ).astype(jnp.bfloat16)
+    d_b = block(delta).astype(jnp.bfloat16)
+    return (jnp.concatenate([a_hi, a_lo, d_b], axis=0), hp, n_steps)
 
 
 def run_batch_pallas(domain: OpticalDomain,
@@ -1045,9 +1118,15 @@ def run_batch_pallas(domain: OpticalDomain,
         raise ValueError("domains beyond 16384 tally entries need the "
                          "bf16 pipeline (the f32 tally tiles hi mod ht "
                          "over 128 rows)")
-    # wide record tables: shrink the block so the sublane gather's
-    # [blk, w_cols, 128] f32 transient stays a few MB
-    if h_cells > 128 and pcfg.block_rows > 16:
+    analytic_hg = bool(domain.all_hg)
+    if analytic_hg:
+        inv_packed = jnp.zeros((24, 128), jnp.bfloat16)
+        inv_hp, inv_n_steps = 8, 0
+    else:
+        inv_packed, inv_hp, inv_n_steps = _pack_inverse_table(domain)
+    # wide tables: shrink the block so the sublane gathers'
+    # [blk, rows, 128] f32 transients stay a few MB
+    if (h_cells > 128 or inv_hp > 128) and pcfg.block_rows > 16:
         import dataclasses as _dc2
         pcfg = _dc2.replace(pcfg, block_rows=16)
     b_tab, w_cols = _pack_tables(domain, h_cells)
@@ -1065,9 +1144,12 @@ def run_batch_pallas(domain: OpticalDomain,
     kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
                            ht, use_russian_roulette,
                            uniform_ssa=domain.uniform_ssa,
-                           uniform_hg=domain.uniform_hg,
+                           uniform_hg=(domain.uniform_hg if analytic_hg
+                                       else
+                                       domain.tables.inverse.shape[0] == 1),
                            macro_factor=domain.macro_factor,
-                           hti_pad=hti_pad)
+                           hti_pad=hti_pad, analytic_hg=analytic_hg,
+                           inv_hp=inv_hp, inv_n_steps=inv_n_steps)
     hb_pad = -(-h_cells // 8) * 8
     if n_dirs > 0:
         if not pcfg.bf16:
@@ -1099,9 +1181,12 @@ def run_batch_pallas(domain: OpticalDomain,
         ge[0][0], ge[0][-1] - ge[0][0],
         ge[1][0], ge[1][-1] - ge[1][0],
         ge[2][0], ge[2][-1] - ge[2][0],
-        # uniform-ssa / uniform-hg scalars (valid when the static flags say)
+        # uniform-ssa / uniform-field2 scalars (field 2 = HG g for
+        # analytic domains, phase index for tabulated ones)
         domain.cell_records[0, 2 + domain.n_components],
-        domain.cell_records[0, 2 + 3 * domain.n_components],
+        (domain.cell_records[0, 2 + 3 * domain.n_components]
+         if domain.all_hg
+         else domain.cell_records[0, 2 + 2 * domain.n_components]),
         # DIRECTIONAL beam horizontal cosines (constants; refill reads
         # them instead of recomputing cos/sin/sqrt every step)
         jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
@@ -1155,7 +1240,7 @@ def run_batch_pallas(domain: OpticalDomain,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 4),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 5),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -1172,8 +1257,8 @@ def run_batch_pallas(domain: OpticalDomain,
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {3 + i: i for i in range(n_state)}
-    aliases[3 + n_state + 5] = n_state      # acc
-    aliases[3 + n_state + 6] = n_state + 1  # acc_i
+    aliases[3 + n_state + 6] = n_state      # acc
+    aliases[3 + n_state + 7] = n_state + 1  # acc_i
 
     call = pl.pallas_call(
         kernel,
@@ -1194,7 +1279,7 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, dirs_a, *[state[k] for k in keys],
-                    b_hi, b_lo, bm_hi, bm_lo, jmod, acc, acci)
+                    b_hi, b_lo, bm_hi, bm_lo, inv_packed, jmod, acc, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         acci = outs[n_state + 1]

@@ -309,3 +309,75 @@ class TestWideDomainEnvelope:
         # volume absorption shape covers all 34560 cells
         assert vol.shape == (nx, ny, nz)
         assert float(np.asarray(vol).sum()) > 0
+
+
+class TestTabulatedPhaseFunctions:
+    """Non-HG (inverse-CDF) phase functions in the megakernel: the angle
+    table is gathered in-kernel (bf16 hi/lo split + lerp delta), matching
+    sample_scattering_cos (reference: computeScatteringAngle,
+    Integrators/monteCarloRadiativeTransfer.f95:1594-1621)."""
+
+    def _domain(self, two_entries=False):
+        from mcbrat3d_tpu.domain.domain import build_domain
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        from mcbrat3d_tpu.scenes.step_cloud import step_cloud_scene
+
+        grid, comps, temps = step_cloud_scene(ssa=0.99, n_legendre=64)
+        mix = np.array([0.8 * 0.7 ** (m + 1) + 0.2 * 0.3 ** (m + 1)
+                        for m in range(64)])
+        if two_entries:
+            sharp = np.array([0.9 ** (m + 1) for m in range(64)])
+            comps[0].phase_function_table = PhaseFunctionTable(
+                [PhaseFunction(coefficients=mix),
+                 PhaseFunction(coefficients=sharp)], key=[1.0, 2.0])
+            pfi = np.zeros(comps[0].extinction.shape, np.int32)
+            pfi[16:] = 1  # thick half uses the sharper function
+            comps[0].phase_function_index = pfi
+        else:
+            comps[0].phase_function_table.phase_functions[0] = \
+                PhaseFunction(coefficients=mix)
+        return build_domain(grid, comps, macro_factor=8, n_cdf_steps=501)
+
+    @pytest.mark.parametrize("two_entries", [False, True])
+    def test_matches_xla(self, two_entries):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+
+        dom = self._domain(two_entries)
+        assert not dom.all_hg
+        assert pk.pallas_eligible(
+            dom, Surface.lambertian(0.0),
+            illumination.directional(0.5, 0.0), False, False, 0, False)
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(dom, Surface.lambertian(0.0),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(5, 0), cfg)
+        n = int(t.n_photons)
+        pcfg = PallasConfig(rows=16, block_rows=16, steps_per_call=64,
+                            max_steps=20_000, interpret=True)
+        out = run_batch_pallas(dom, Surface.lambertian(0.0),
+                               illumination.directional(0.5, 0.0),
+                               rng.batch_key(5, 1), pcfg, 4)
+        n2 = int(out[3])
+        assert n2 == n
+        sig = 2 * np.sqrt(0.25 / n)
+        for i, ref, name in ((0, t.flux_up, "R"), (1, t.flux_down, "T")):
+            a = float(np.asarray(out[i]).sum()) / n2
+            b = float(np.asarray(ref).sum()) / n
+            assert a == pytest.approx(b, abs=4 * sig), name
+
+    def test_energy_conservation_no_rr(self):
+        dom = self._domain(two_entries=True)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = run_batch_pallas(dom, Surface.lambertian(0.2),
+                               illumination.directional(0.5, 0.0),
+                               rng.batch_key(0, 0), pcfg, 2,
+                               use_russian_roulette=False)
+        fu, fd, vol, n, nbad, _ = out[:6]
+        n = int(n)
+        bal = (float(np.asarray(fu).sum()) + 0.8 * float(np.asarray(fd).sum())
+               + float(np.asarray(vol).sum())) / n
+        assert int(nbad) == 0
+        assert bal == pytest.approx(1.0, abs=2e-3)

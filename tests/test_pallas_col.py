@@ -170,9 +170,9 @@ class TestColTransport:
 def test_public_dispatch_use_pallas_on(domain=None):
     """run_batch routes col-template domains through the column kernel
     when use_pallas='on' (CPU: interpreter mode). The domain must exceed
-    the small megakernel's 16384-cell envelope or the flux branch takes
+    the small megakernel's 36864-cell envelope or the flux branch takes
     it first."""
-    dom = make_broken_cloud(nx=64, ny=32, nz=12)
+    dom = make_broken_cloud(nx=64, ny=32, nz=32)
     cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2, max_steps=4096,
                        use_pallas="on", need_volume_absorption=False)
     t = run_batch(dom, Surface.lambertian(0.2),
@@ -184,7 +184,7 @@ def test_public_dispatch_use_pallas_on(domain=None):
 
 
 def test_use_pallas_on_rejects_uncovered_config():
-    dom = make_broken_cloud(nx=64, ny=32, nz=12)
+    dom = make_broken_cloud(nx=64, ny=32, nz=32)
     cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2, max_steps=4096,
                        use_pallas="on", need_volume_absorption=True)
     with pytest.raises(ValueError, match="megakernel"):

@@ -67,6 +67,13 @@ REC_COLS = 4
 # the launcher shrinks block_rows to bound the gather's VMEM transient.
 MAX_CELLS = 288 * 128
 
+# The inverse-CDF angle table uses the cheaper march-style single-pair
+# gather ([3*hp, 128] rows), so its envelope is larger than the record
+# table's: 131072 entries covers the reference-default 9001-step tables
+# with ~14 Reff entries (reference nPhaseIntervals default:
+# Drivers/monteCarloDriver.f95 namelist monteCarlo).
+MAX_INV_ENTRIES = 1024 * 128
+
 
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
@@ -146,7 +153,7 @@ def pallas_eligible(domain: OpticalDomain, surface: Surface,
     n_cells = nx * ny * nz
     vol_base = -(-2 * nx * ny // 128) * 128
     return (
-        (domain.all_hg or domain.tables.inverse.size <= MAX_CELLS)
+        (domain.all_hg or domain.tables.inverse.size <= MAX_INV_ENTRIES)
         and domain.n_components == 1
         and domain.grid.xy_regular and domain.grid.z_regular
         and surface.is_uniform_lambertian

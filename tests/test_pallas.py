@@ -381,3 +381,46 @@ class TestTabulatedPhaseFunctions:
                + float(np.asarray(vol).sum())) / n
         assert int(nbad) == 0
         assert bal == pytest.approx(1.0, abs=2e-3)
+
+    def test_reference_default_table_size_eligible(self):
+        """9001-step tables with several Reff entries (the reference's
+        nPhaseIntervals default) fit the inverse-table envelope and match
+        the XLA kernel with per-cell entry routing."""
+        from mcbrat3d_tpu.domain.domain import build_domain
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        from mcbrat3d_tpu.scenes.step_cloud import step_cloud_scene
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+
+        grid, comps, temps = step_cloud_scene(ssa=0.99, n_legendre=64)
+        pfs = [PhaseFunction(coefficients=np.array(
+            [(0.5 + 0.08 * i) ** (m + 1) for m in range(64)]))
+            for i in range(5)]
+        comps[0].phase_function_table = PhaseFunctionTable(
+            pfs, key=list(range(5)))
+        pfi = np.zeros(comps[0].extinction.shape, np.int32)
+        pfi[8:16] = 2
+        pfi[16:] = 4
+        comps[0].phase_function_index = pfi
+        dom = build_domain(grid, comps, macro_factor=8, n_cdf_steps=9001)
+        assert dom.tables.inverse.size == 5 * 9001
+        assert pk.pallas_eligible(
+            dom, Surface.lambertian(0.0),
+            illumination.directional(0.5, 0.0), False, False, 0, False)
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(dom, Surface.lambertian(0.0),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(5, 0), cfg)
+        n = int(t.n_photons)
+        pcfg = PallasConfig(rows=16, block_rows=16, steps_per_call=64,
+                            max_steps=20_000, interpret=True)
+        out = run_batch_pallas(dom, Surface.lambertian(0.0),
+                               illumination.directional(0.5, 0.0),
+                               rng.batch_key(5, 1), pcfg, 4)
+        n2 = int(out[3])
+        sig = 2 * np.sqrt(0.25 / n)
+        for i, ref in ((0, t.flux_up), (1, t.flux_down)):
+            a = float(np.asarray(out[i]).sum()) / n2
+            b = float(np.asarray(ref).sum()) / n
+            assert a == pytest.approx(b, abs=4 * sig)

@@ -245,13 +245,15 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         macro_factor = 0
     global_max = float(total.max()) if total.size else 0.0
     if macro_factor > 0:
+        # vectorized block-max: pad to full macro blocks (zero padding
+        # cannot raise a max over non-negative extinction), reduce, expand
         f = macro_factor
-        majorant = np.empty_like(total)
-        for bx in range(0, nx, f):
-            for by in range(0, ny, f):
-                for bz in range(0, nz, f):
-                    blk = total[bx:bx + f, by:by + f, bz:bz + f]
-                    majorant[bx:bx + f, by:by + f, bz:bz + f] = blk.max()
+        nbx, nby, nbz = -(-nx // f), -(-ny // f), -(-nz // f)
+        tp = np.zeros((nbx * f, nby * f, nbz * f), total.dtype)
+        tp[:nx, :ny, :nz] = total
+        bm = tp.reshape(nbx, f, nby, f, nbz, f).max(axis=(1, 3, 5))
+        majorant = np.repeat(np.repeat(np.repeat(
+            bm, f, 0), f, 1), f, 2)[:nx, :ny, :nz]
     else:
         majorant = np.full_like(total, global_max)
 

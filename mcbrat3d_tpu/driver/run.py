@@ -68,10 +68,13 @@ def kernel_config_from(cfg: SimulationConfig,
         lw_mode=cfg.is_longwave,
         record_scattering_orders=(cfg.num_rec_scat_ord
                                   if cfg.rec_scat_ord else 0),
-        # the 3D tally is only required when the namelist asks for it;
-        # without it, Landsat-scale column-template domains take the
-        # column megakernel (flux + column absorption + z profile)
-        need_volume_absorption=cfg.report_volume_absorption,
+        # the 3D tally is required when EITHER namelist surface asks for
+        # it (reportVolumeAbsorption, or an outputAbsVolumeFile that would
+        # otherwise be silently skipped); without it, Landsat-scale
+        # column-template domains take the column megakernel (flux +
+        # column absorption + z profile)
+        need_volume_absorption=(cfg.report_volume_absorption
+                                or bool(cfg.output_abs_volume_file)),
     )
 
 

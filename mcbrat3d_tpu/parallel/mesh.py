@@ -30,7 +30,8 @@ from mcbrat3d_tpu.core import rng
 from mcbrat3d_tpu.domain.domain import OpticalDomain
 from mcbrat3d_tpu.physics.surface import Surface
 from mcbrat3d_tpu.sources import illumination
-from mcbrat3d_tpu.transport.integrator import KernelConfig, Tallies, run_batch
+from mcbrat3d_tpu.transport.integrator import (KernelConfig, Tallies,
+                                               _run_batch_impl, run_batch)
 from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
 
 PHOTON_AXIS = "photons"
@@ -52,8 +53,6 @@ def resolve_mesh(mesh):
     return mesh
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "intensity_config", "mesh"))
 def run_batch_sharded(domain: OpticalDomain,
                       surface: Surface,
                       source: illumination.Source,
@@ -64,6 +63,32 @@ def run_batch_sharded(domain: OpticalDomain,
                       intensity_config: Optional[IntensityConfig] = None,
                       intensity_dirs: Optional[jax.Array] = None,
                       n_photons=None) -> Tallies:
+    """Non-jit wrapper: validates the radiance-direction mu floor on
+    concrete values (see transport.pallas_kernel.dirs_mu_floor_ok), then
+    dispatches to the jitted sharded implementation with the result as a
+    static flag."""
+    from mcbrat3d_tpu.transport import pallas_kernel as _pk
+    dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
+    return _run_batch_sharded_impl(
+        domain, surface, source, seed, global_batch, config, mesh,
+        intensity_config, intensity_dirs, n_photons,
+        dirs_mu_ok=dirs_mu_ok)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "intensity_config", "mesh",
+                                    "dirs_mu_ok"))
+def _run_batch_sharded_impl(domain: OpticalDomain,
+                      surface: Surface,
+                      source: illumination.Source,
+                      seed,
+                      global_batch: int,
+                      config: KernelConfig,
+                      mesh: Mesh,
+                      intensity_config: Optional[IntensityConfig] = None,
+                      intensity_dirs: Optional[jax.Array] = None,
+                      n_photons=None,
+                      dirs_mu_ok: bool = False) -> Tallies:
     """One *global* photon batch across the mesh.
 
     Each device traces ``config.photons_per_batch`` photons (or its share of
@@ -88,8 +113,9 @@ def run_batch_sharded(domain: OpticalDomain,
         else:
             n_glob = jnp.asarray(n_photons, jnp.int32)
             n_local = n_glob // n_dev + (d < n_glob % n_dev).astype(jnp.int32)
-        t = run_batch(domain, surface, source, key, config,
-                      intensity_config, intensity_dirs, n_photons=n_local)
+        t = _run_batch_impl(domain, surface, source, key, config,
+                            intensity_config, intensity_dirs,
+                            n_photons=n_local, dirs_mu_ok=dirs_mu_ok)
         return jax.tree.map(
             lambda x: jax.lax.psum(x, PHOTON_AXIS) if x is not None else None,
             t)

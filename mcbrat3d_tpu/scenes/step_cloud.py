@@ -47,6 +47,55 @@ def step_cloud_scene(ssa: float = 1.0,
     return grid, [comp], None
 
 
+def make_step_cloud_multi(ssa: float = 0.99,
+                          n_components: int = 3,
+                          gas_ext: float = 0.002,
+                          rayleigh_ext: float = 0.001,
+                          analytic: bool = True,
+                          **kwargs) -> OpticalDomain:
+    """Step cloud + horizontally uniform gas absorber (+ Rayleigh
+    scatterer): the production broadband-SW component shape (gas absXsec
+    + particles + Rayleigh; reference: src/opticalProperties.f95:217-293,
+    calc_RayleighScattering :2052-2086). With ``analytic`` the Rayleigh
+    component is approximated isotropic (g=0 HG) so the domain stays
+    all-HG; ``analytic=False`` uses the true Rayleigh Legendre expansion
+    (forcing the tabulated inverse-CDF path)."""
+    if n_components not in (2, 3):
+        raise ValueError("n_components must be 2 or 3")
+    grid, comps, temps = step_cloud_scene(ssa=ssa, **{
+        k: v for k, v in kwargs.items()
+        if k in ("n_columns", "n_layers", "domain_size", "thickness", "g",
+                 "n_legendre", "tau_thin", "tau_thick")})
+    nz = grid.shape[2]
+    gas_tbl = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+    gas = OpticalComponent(
+        name="gas absorber",
+        extinction=np.full((1, 1, nz), gas_ext),
+        single_scattering_albedo=np.zeros((1, 1, nz)),
+        phase_function_index=np.zeros((1, 1, nz), np.int32),
+        phase_function_table=gas_tbl)
+    comps = comps + [gas]
+    if n_components == 3:
+        if analytic:
+            ray_tbl = PhaseFunctionTable([PhaseFunction.isotropic()],
+                                         key=[1.0])
+        else:
+            ray_tbl = PhaseFunctionTable([PhaseFunction.rayleigh()],
+                                         key=[1.0])
+        rayl = OpticalComponent(
+            name="rayleigh",
+            extinction=np.full((1, 1, nz), rayleigh_ext),
+            single_scattering_albedo=np.ones((1, 1, nz)),
+            phase_function_index=np.zeros((1, 1, nz), np.int32),
+            phase_function_table=ray_tbl)
+        comps = comps + [rayl]
+    build_kwargs = {k: v for k, v in kwargs.items()
+                    if k in ("n_cdf_steps", "n_forward_angles",
+                             "compute_intensity_tables", "hybrid_width_deg",
+                             "macro_factor")}
+    return build_domain(grid, comps, **build_kwargs)
+
+
 def make_step_cloud(ssa: float = 1.0, **kwargs) -> OpticalDomain:
     build_kwargs = {k: kwargs.pop(k) for k in list(kwargs)
                     if k in ("n_cdf_steps", "n_forward_angles",

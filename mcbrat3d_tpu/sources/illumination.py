@@ -56,6 +56,17 @@ class Source:
     voxel_cdf: jax.Array = None
     atms_fraction: jax.Array = None
     grid_shape: tuple = dataclasses.field(metadata=dict(static=True), default=None)
+    # Walker alias table of the voxel emission distribution in KERNEL cell
+    # order ((ix*ny + iy)*nz + iz), built eagerly from the (concrete) CDF
+    # at source construction. The TPU megakernel samples the emission
+    # voxel in O(1): one uniform picks bin j, a second accepts j with
+    # probability em_prob[j] or takes em_alias[j] -- one table gather per
+    # refill instead of a CDF bisection (TPU-first replacement for the
+    # reference's 3-level CDF scan; reference:
+    # src/monteCarloIllumination.f95:495-498). None when the CDF was
+    # traced (then only the XLA searchsorted path is available).
+    em_prob: jax.Array = None
+    em_alias: jax.Array = None
 
 
 def directional(solar_mu: float, solar_azimuth_deg: float) -> Source:
@@ -98,10 +109,94 @@ def emission(voxel_cdf, atms_fraction, grid_shape) -> Source:
     reference: src/monteCarloIllumination.f95:457-522).
     """
     nx, ny, nz = grid_shape
+    em_prob = em_alias = None
+    if not isinstance(voxel_cdf, jax.core.Tracer):
+        cdf = np.asarray(voxel_cdf, np.float64)
+        p = np.diff(cdf, prepend=0.0)
+        p = np.maximum(p, 0.0)
+        s = p.sum()
+        p = p / s if s > 0 else np.full_like(p, 1.0 / p.size)
+        # reorder [nz, ny, nx] C-order -> kernel order (ix*ny + iy)*nz + iz
+        pk = p.reshape(nz, ny, nx).transpose(2, 1, 0).reshape(-1)
+        prob, alias = _walker_alias(pk)
+        em_prob = jnp.asarray(prob, jnp.float32)
+        em_alias = jnp.asarray(alias, jnp.float32)  # f32-exact (< 2^24)
     return Source(kind=EMISSION,
                   voxel_cdf=jnp.asarray(voxel_cdf, jnp.float32),
                   atms_fraction=jnp.float32(atms_fraction),
-                  grid_shape=(int(nx), int(ny), int(nz)))
+                  grid_shape=(int(nx), int(ny), int(nz)),
+                  em_prob=em_prob, em_alias=em_alias)
+
+
+def _load_alias_native():
+    """Build/load native/libalias.so (Vose is sequential: Python loops over
+    the flagship's 15.8M voxels take minutes; the C++ loop takes ~0.1 s).
+    Returns the ctypes function or None (Python fallback)."""
+    import ctypes
+    import os
+    import subprocess
+
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native", "alias.cpp")
+    lib_path = os.path.join(os.path.dirname(src), "libalias.so")
+    try:
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O3", "-march=native", "-shared",
+                            "-fPIC", src, "-o", lib_path], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.walker_alias.restype = ctypes.c_int
+        lib.walker_alias.argtypes = [
+            ctypes.c_longlong, np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64)]
+        return lib.walker_alias
+    except Exception:
+        return None
+
+
+_ALIAS_NATIVE = None
+_ALIAS_NATIVE_TRIED = False
+
+
+def _walker_alias(p: np.ndarray):
+    """Vose's O(n) alias-table construction for the distribution ``p``.
+
+    Returns (prob, alias): sample j ~ Uniform{0..n-1}, accept j with
+    probability prob[j], else take alias[j]; the result is distributed
+    exactly as p (up to f64 rounding). Uses native/alias.cpp when
+    available (the construction is sequential and runs per wavelength bin
+    over up to ~16M voxels on production LW domains).
+    """
+    global _ALIAS_NATIVE, _ALIAS_NATIVE_TRIED
+    n = p.size
+    if not _ALIAS_NATIVE_TRIED:
+        _ALIAS_NATIVE = _load_alias_native()
+        _ALIAS_NATIVE_TRIED = True
+    if _ALIAS_NATIVE is not None:
+        p64 = np.ascontiguousarray(p, np.float64)
+        prob = np.zeros(n, np.float64)
+        alias = np.zeros(n, np.int64)
+        if _ALIAS_NATIVE(n, p64, prob, alias) == 0:
+            return prob, alias
+    prob = np.zeros(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    scaled = p.astype(np.float64) * n
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s_i = small.pop()
+        l_i = large.pop()
+        prob[s_i] = scaled[s_i]
+        alias[s_i] = l_i
+        scaled[l_i] = (scaled[l_i] + scaled[s_i]) - 1.0
+        (small if scaled[l_i] < 1.0 else large).append(l_i)
+    for i in large:
+        prob[i] = 1.0
+    for i in small:  # numerical leftovers
+        prob[i] = 1.0
+    return prob, alias
 
 
 def sample(source: Source, key: jax.Array, n: int):

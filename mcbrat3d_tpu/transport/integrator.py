@@ -246,10 +246,6 @@ def sample_scattering_cos(inverse_flat, n_steps, row, u):
     return jnp.cos(angle)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "intensity_config", "debug_state"),
-)
 def run_batch(domain: OpticalDomain,
               surface: Surface,
               source: illumination.Source,
@@ -266,7 +262,36 @@ def run_batch(domain: OpticalDomain,
     ``n_photons`` (traced) overrides config.photons_per_batch so spectral
     bins with uneven photon counts reuse one compiled kernel; it must be
     <= config.photons_per_batch.
+
+    This wrapper validates the radiance-direction mu floor on CONCRETE
+    direction values before entering jit (the in-kernel DDA march bound is
+    static and truncates shallower directions); the result threads into
+    the jitted implementation as a static flag. Called with traced
+    ``intensity_dirs`` (e.g. inside another jit), the in-kernel radiance
+    path is refused and the XLA estimator runs instead.
     """
+    from mcbrat3d_tpu.transport import pallas_kernel as _pk
+    dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
+    return _run_batch_impl(domain, surface, source, key, config,
+                           intensity_config, intensity_dirs, n_photons,
+                           debug_state=debug_state, dirs_mu_ok=dirs_mu_ok)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "intensity_config", "debug_state",
+                     "dirs_mu_ok"),
+)
+def _run_batch_impl(domain: OpticalDomain,
+                    surface: Surface,
+                    source: illumination.Source,
+                    key: jax.Array,
+                    config: KernelConfig,
+                    intensity_config: Optional[IntensityConfig] = None,
+                    intensity_dirs: Optional[jax.Array] = None,
+                    n_photons: Optional[jax.Array] = None,
+                    debug_state: bool = False,
+                    dirs_mu_ok: bool = False) -> Tallies:
     cfg = config
 
     # ---- TPU fast path: VMEM-resident Pallas megakernel ----
@@ -279,7 +304,8 @@ def run_batch(domain: OpticalDomain,
                 domain, surface, source, lw_mode=cfg.lw_mode,
                 record_scattering_orders=cfg.record_scattering_orders,
                 use_ray_tracing=cfg.use_ray_tracing,
-                icfg=intensity_config, dirs=intensity_dirs)
+                icfg=intensity_config, dirs=intensity_dirs,
+                dirs_mu_ok=dirs_mu_ok)
             if i_ok and (on_tpu or cfg.use_pallas == "on"):
                 return _pk.run_batch_pallas_tallies(
                     domain, surface, source, key, cfg, n_photons,
@@ -313,8 +339,20 @@ def run_batch(domain: OpticalDomain,
                 domain, surface, source, key, cfg, n_photons,
                 interpret=not on_tpu)
         if cfg.use_pallas == "on":
-            raise ValueError("use_pallas='on' but the configuration is "
-                             "outside every megakernel envelope")
+            reasons = _pk.ineligibility_reasons(
+                domain, surface, source, lw_mode=cfg.lw_mode,
+                compute_intensity=intensity_config is not None,
+                record_scattering_orders=cfg.record_scattering_orders,
+                use_ray_tracing=cfg.use_ray_tracing)
+            if intensity_config is not None:
+                reasons = _pk.intensity_ineligibility_reasons(
+                    domain, surface, source, cfg.lw_mode,
+                    cfg.record_scattering_orders, cfg.use_ray_tracing,
+                    intensity_config, intensity_dirs, dirs_mu_ok)
+            raise ValueError(
+                "use_pallas='on' but the configuration is outside every "
+                "megakernel envelope; failing predicates: "
+                + "; ".join(reasons))
 
     grid = domain.grid
     nx, ny, nz = grid.shape

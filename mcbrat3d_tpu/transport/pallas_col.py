@@ -97,7 +97,8 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
 
-    hw_rng = (not pcfg.interpret) and "swrng" not in pcfg.debug_parts
+    hw_rng = (not pcfg.interpret) and "swrng" not in frozenset(
+        pcfg.debug_parts.split(","))
 
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,

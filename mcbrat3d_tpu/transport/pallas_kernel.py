@@ -27,12 +27,15 @@ buffer entirely in VMEM across K transport steps per launch:
     is amortized over K steps).
 
 Eligibility (everything else falls back to transport.integrator):
-monochromatic runs with one all-HG component on a regular grid, uniform
-Lambertian surface, directional/random-azimuth/flux sources, n_cells <=
-16384 and 2*nx*ny + padding + n_cells <= 16384. Radiance runs
+monochromatic runs with up to 3 components (gas + cloud + Rayleigh --
+the production broadband shape; multi-component collisions use the
+scattering-coefficient formulation, see _build_kernel) on a regular grid,
+uniform Lambertian surface, directional/random-azimuth/flux sources, and
+n_cells within the VMEM record-table envelope (MAX_CELLS). Radiance runs
 additionally require the exact (non-Russian-roulette) estimator, plain
-phase functions, and <= 8 upward directions (pallas_intensity_eligible).
-Bigger column-template domains: transport/pallas_col.py.
+phase functions, and <= 8 upward directions with mu >= pallas_min_mu
+(pallas_intensity_eligible + dirs_mu_floor_ok). Bigger column-template
+domains: transport/pallas_col.py.
 """
 
 from __future__ import annotations
@@ -66,6 +69,15 @@ REC_COLS = 4
 # reference: Domain-Files/i3rcRadarCloud.f95:28-30); beyond ~16384 cells
 # the launcher shrinks block_rows to bound the gather's VMEM transient.
 MAX_CELLS = 288 * 128
+
+# Components handled in-kernel: the record gather carries the effective
+# single-scattering albedo + cumulative scattering fractions + per-component
+# phase field, and the collision selects the scattering component with
+# <= MAX_COMPONENTS - 1 compares against one uniform (the reference's
+# bisection degenerates to this at small ncomp; reference:
+# Integrators/monteCarloRadiativeTransfer.f95:759-760). Covers the
+# production broadband shape: gas absorption + cloud particles + Rayleigh.
+MAX_COMPONENTS = 3
 
 # The inverse-CDF angle table uses the cheaper march-style single-pair
 # gather ([3*hp, 128] rows), so its envelope is larger than the record
@@ -107,40 +119,68 @@ class PallasConfig:
         return self.rows * 128
 
 
+def dirs_mu_floor_ok(icfg, dirs) -> bool:
+    """Host-side validation of the in-kernel local-estimation mu floor.
+
+    The megakernel's DDA march bound (k_dda) is sized from
+    icfg.pallas_min_mu; a direction with 0 < mu < pallas_min_mu would get a
+    truncated march whose contribution is silently dropped. This check MUST
+    run on concrete (untraced) direction values -- call it before entering
+    jit and thread the result in as a static argument. Traced dirs return
+    False (refuse the in-kernel path; the XLA estimator handles any mu).
+    """
+    if icfg is None or dirs is None or isinstance(dirs, jax.core.Tracer):
+        return False
+    d = np.asarray(dirs)
+    return bool(np.all(d[2] >= max(icfg.pallas_min_mu, 1e-6)))
+
+
 def pallas_intensity_eligible(domain: OpticalDomain, surface: Surface,
                               source: illumination.Source,
                               lw_mode: bool,
                               record_scattering_orders: int,
                               use_ray_tracing: bool,
-                              icfg, dirs) -> bool:
+                              icfg, dirs,
+                              dirs_mu_ok: bool = False) -> bool:
     """True when the megakernel's in-kernel local estimation covers this
     radiance configuration exactly: the exact (non-Russian-roulette)
     estimator, plain phase functions (no hybrid), no contribution capping,
-    all directions upward-looking, on a flux-eligible domain."""
+    every direction's mu >= icfg.pallas_min_mu (validated host-side via
+    dirs_mu_floor_ok and passed in as the static ``dirs_mu_ok``), on a
+    flux-eligible domain."""
     if icfg is None or dirs is None:
         return False
-    # dirs may be traced (run_batch is jitted): check values only when
-    # concrete; the static march bound comes from icfg.pallas_min_mu and
-    # callers must keep every direction's mu >= that floor (downward
-    # directions yield zero TOA radiance either way, matching the DDA
-    # path's exit-top condition).
-    upward_ok = True
-    if not isinstance(dirs, jax.core.Tracer):
-        d = np.asarray(dirs)
-        upward_ok = bool(np.all(d[2] > 0.0))
-    return (
-        pallas_eligible(domain, surface, source, lw_mode,
-                        compute_intensity=False,
-                        record_scattering_orders=record_scattering_orders,
-                        use_ray_tracing=use_ray_tracing)
-        and domain.all_hg
-        and not icfg.use_russian_roulette
-        and not icfg.use_hybrid_phase
-        and not icfg.limit_contributions
-        and icfg.n_dirs <= 8
-        and tuple(dirs.shape) == (3, icfg.n_dirs)
-        and upward_ok
+    return not intensity_ineligibility_reasons(
+        domain, surface, source, lw_mode, record_scattering_orders,
+        use_ray_tracing, icfg, dirs, dirs_mu_ok)
+
+
+def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
+                                    record_scattering_orders,
+                                    use_ray_tracing, icfg, dirs,
+                                    dirs_mu_ok: bool) -> list:
+    """Names of every failing in-kernel local-estimation predicate
+    (empty = eligible). Used to build actionable forced-megakernel errors."""
+    reasons = ineligibility_reasons(
+        domain, surface, source, lw_mode, compute_intensity=False,
+        record_scattering_orders=record_scattering_orders,
+        use_ray_tracing=use_ray_tracing)
+    checks = (
+        ("intensity needs an all-HG domain", domain.all_hg),
+        ("lw_mode=True (in-kernel estimation is SW-only)", not lw_mode),
+        ("use_russian_roulette=True (in-kernel estimator is exact only)",
+         not icfg.use_russian_roulette),
+        ("use_hybrid_phase=True", not icfg.use_hybrid_phase),
+        ("limit_contributions=True", not icfg.limit_contributions),
+        (f"n_dirs={icfg.n_dirs} > 8", icfg.n_dirs <= 8),
+        (f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
+         tuple(dirs.shape) == (3, icfg.n_dirs)),
+        ("a direction's mu is below icfg.pallas_min_mu (or dirs were "
+         "traced; validate with concrete directions before jit)",
+         dirs_mu_ok),
     )
+    reasons.extend(name for name, ok in checks if not ok)
+    return reasons
 
 
 def pallas_eligible(domain: OpticalDomain, surface: Surface,
@@ -148,25 +188,57 @@ def pallas_eligible(domain: OpticalDomain, surface: Surface,
                     lw_mode: bool, compute_intensity: bool,
                     record_scattering_orders: int,
                     use_ray_tracing: bool) -> bool:
-    """True when the v1 megakernel covers this configuration exactly."""
+    """True when the record megakernel covers this configuration exactly."""
+    return not ineligibility_reasons(
+        domain, surface, source, lw_mode, compute_intensity,
+        record_scattering_orders, use_ray_tracing)
+
+
+def ineligibility_reasons(domain: OpticalDomain, surface: Surface,
+                          source: illumination.Source,
+                          lw_mode: bool, compute_intensity: bool,
+                          record_scattering_orders: int,
+                          use_ray_tracing: bool) -> list:
+    """Names of every failing record-megakernel predicate (empty = eligible).
+
+    Eligibility: monochromatic runs with up to MAX_COMPONENTS components on
+    a regular grid, uniform Lambertian surface,
+    directional/random-azimuth/flux sources, n_cells small enough for the
+    VMEM record table. Radiance runs additionally gate through
+    pallas_intensity_eligible; bigger column-template domains through
+    transport/pallas_col.py."""
     nx, ny, nz = domain.grid.shape
     n_cells = nx * ny * nz
     vol_base = -(-2 * nx * ny // 128) * 128
-    return (
-        (domain.all_hg or domain.tables.inverse.size <= MAX_INV_ENTRIES)
-        and domain.n_components == 1
-        and domain.grid.xy_regular and domain.grid.z_regular
-        and surface.is_uniform_lambertian
-        and source.kind in (illumination.DIRECTIONAL,
-                            illumination.RANDOM_AZIMUTH,
-                            illumination.FLUX)
-        and not lw_mode
-        and not compute_intensity
-        and record_scattering_orders == 0
-        and not use_ray_tracing
-        and n_cells <= MAX_CELLS
-        and vol_base + n_cells <= MAX_CELLS
-    )  # noqa: E501
+    checks = (
+        (f"inverse-CDF table has {domain.tables.inverse.size} entries > "
+         f"{MAX_INV_ENTRIES}",
+         domain.all_hg or domain.tables.inverse.size <= MAX_INV_ENTRIES),
+        (f"n_components={domain.n_components} > {MAX_COMPONENTS}",
+         domain.n_components <= MAX_COMPONENTS),
+        ("irregular grid spacing",
+         domain.grid.xy_regular and domain.grid.z_regular),
+        ("non-uniform or non-Lambertian surface",
+         surface.is_uniform_lambertian),
+        (f"source kind {source.kind!r} not in-kernel",
+         source.kind in (illumination.DIRECTIONAL,
+                         illumination.RANDOM_AZIMUTH,
+                         illumination.FLUX,
+                         illumination.SPOTLIGHT)
+         or (source.kind == illumination.EMISSION
+             and source.em_prob is not None)),
+        ("lw_mode without an emission source",
+         (not lw_mode) or source.kind == illumination.EMISSION),
+        ("compute_intensity outside pallas_intensity_eligible",
+         not compute_intensity),
+        ("record_scattering_orders > 0", record_scattering_orders == 0),
+        ("use_ray_tracing=True (megakernel is max-cross-section only)",
+         not use_ray_tracing),
+        (f"n_cells={n_cells} > {MAX_CELLS}", n_cells <= MAX_CELLS),
+        (f"tally span {vol_base + n_cells} > {MAX_CELLS}",
+         vol_base + n_cells <= MAX_CELLS),
+    )
+    return [name for name, ok in checks if not ok]
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +257,7 @@ def _fmix32(x):
     return x
 
 
-_N_SITES = 12  # draw sites per step (static; spare room for new sites)
+_N_SITES = 16  # draw sites per step (static; spare room for new sites)
 
 
 def _make_uniform(lane_u32, seed_u32, mode: str = "murmur", ctr_f32=None):
@@ -327,12 +399,26 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   uniform_ssa: bool = False, uniform_hg: bool = False,
                   macro_factor: int = 0, hti_pad: int = 8,
                   analytic_hg: bool = True, inv_hp: int = 8,
-                  inv_n_steps: int = 0):
+                  inv_n_steps: int = 0, n_comp: int = 1,
+                  rec_cols: int = REC_COLS, lw: bool = False,
+                  ha: int = 8):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
     one compiled kernel serves every same-shaped domain; only the cell
     COUNTS (nx, ny, nz) are static.
+
+    Multi-component domains (n_comp 2..3) use the scattering-coefficient
+    formulation: the record carries the cell's EFFECTIVE single-scattering
+    albedo (sum_c frac_c * ssa_c) and cumulative *scattering*-coefficient
+    fractions; a collision multiplies the weight by ssa_eff and selects the
+    scattering component with <= 2 compares of one uniform against the
+    gathered fractions. Identical means to the reference's
+    extinction-fraction selection + per-component ssa
+    (Integrators/monteCarloRadiativeTransfer.f95:759-771) with lower
+    variance (standard non-analog absorption identity: absorbing by the
+    mixture albedo and scattering by scattering fractions has the same
+    expectation per event).
     """
     nx, ny, nz = shape
     nxy = nx * ny
@@ -341,10 +427,15 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
     n_blocks = rows // blk
+    # comma-set semantics, parsed ONCE: "all" enables every production
+    # section; modifiers (stats/swrng/cheapu/...) never disable anything.
+    # Substring checks bit us three times -- every token is matched by set
+    # membership, never `in pcfg.debug_parts`.
+    part_set = frozenset(pcfg.debug_parts.split(","))
     # hardware PRNG has no interpret-mode lowering; CPU tests use the
     # murmur mixer ("swrng" forces it on TPU for A/B validation)
-    hw_rng = (not pcfg.interpret) and "swrng" not in pcfg.debug_parts
-    if "cheapu" in pcfg.debug_parts:
+    hw_rng = (not pcfg.interpret) and "swrng" not in part_set
+    if "cheapu" in part_set:
         hw_rng = False
     oh_dtype = jnp.bfloat16 if pcfg.bf16 else jnp.float32
 
@@ -355,7 +446,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     def kernel(scal_ref, par_ref, dirs_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
-               b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref, inv_ref,
+               b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref, inv_ref, ea_ref,
                jmod_ref, acc_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, nstat_ref):
@@ -403,8 +494,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
         iota_lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, 128), 2)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, w_cols), 2)
-        iota_w_div = iota_w // REC_COLS
-        iota_w_mod = iota_w % REC_COLS
+        iota_w_div = iota_w // rec_cols
+        iota_w_mod = iota_w % rec_cols
         lane0 = (jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 0)
                  * np.uint32(128)
                  + jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 1))
@@ -440,10 +531,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 uniform = _make_uniform(
                     lane0 + np.uint32(blk * 128) * b.astype(jnp.uint32),
                     seed_u,
-                    mode=("cheap" if "cheapu" in pcfg.debug_parts
+                    mode=("cheap" if "cheapu" in part_set
                           else "murmur"),
                     ctr_f32=ctr_i32.astype(jnp.float32)
-                    if "cheapu" in pcfg.debug_parts else None)
+                    if "cheapu" in part_set else None)
             x, y, z = x_ref[sl], y_ref[sl], z_ref[sl]
             ux, uy, uz = ux_ref[sl], uy_ref[sl], uz_ref[sl]
             w = w_ref[sl]
@@ -455,12 +546,98 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             need = (~alive) & (quota > 0)
             u0 = uniform(ctr, 0)
             u1 = uniform(ctr, 1)
-            x = jnp.where(need, x0 + u0 * lx, x)
-            y = jnp.where(need, y0 + u1 * ly, y)
-            z = jnp.where(need, z_max - z_eps, z)
+            atm_emit = None
+            birth_cell = None
+            if source_kind == illumination.EMISSION:
+                # BBEmission refill, TPU-first: the surface/atmosphere
+                # split is one uniform vs fracAtmsPower; the emitting
+                # voxel comes from a Walker ALIAS table (O(1): bin pick +
+                # accept/alias, ONE factorized table gather) instead of
+                # the reference's CDF bisection (reference:
+                # src/monteCarloIllumination.f95:431-522, :495-498).
+                atms_frac = par_ref[0, 16]
+                u_split = uniform(ctr, 10)
+                u_bin = uniform(ctr, 11)
+                u_acc = uniform(ctr, 12)
+                u_mu = uniform(ctr, 13)
+                u_zo = uniform(ctr, 2)
+                from_atm = u_split < atms_frac
+                n_cells_t = nx * ny * nz
+                jbin = jnp.minimum(
+                    (u_bin * np.float32(n_cells_t)).astype(jnp.int32),
+                    np.int32(n_cells_t - 1))
+                # gather (prob hi/lo, alias hi/lo) rows for this bin:
+                # ea_ref rows [0:ha] prob_hi, [ha:2ha] prob_lo,
+                # [2ha:3ha] alias_hi, [3ha:4ha] alias_lo -- bf16 hi/lo
+                # splits reconstruct both to f32/integer exactness
+                lo_b = jnp.bitwise_and(jbin, 127)
+                hi_b = jnp.right_shift(jbin, 7)
+                iota_sub_e = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 128, 128), 1)
+                ohs_e = (lo_b[:, None, :] == iota_sub_e).astype(oh_dtype)
+                rws_e = [jnp.dot(ea_ref[:], ohs_e[b_i3],
+                                 preferred_element_type=jnp.float32)
+                         for b_i3 in range(blk)]
+                t3e = jnp.stack(rws_e, axis=0)  # [blk, 4*ha, 128]
+                rows_e = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 4 * ha, 128), 1)
+                p_j = (jnp.sum(t3e * (rows_e == hi_b[:, None, :]), axis=1)
+                       + jnp.sum(t3e * (rows_e == (ha + hi_b)[:, None, :]),
+                                 axis=1))
+                a_j = (jnp.sum(
+                    t3e * (rows_e == (2 * ha + hi_b)[:, None, :]), axis=1)
+                    + jnp.sum(
+                        t3e * (rows_e == (3 * ha + hi_b)[:, None, :]),
+                        axis=1))
+                v_cell = jnp.where(u_acc < p_j, jbin,
+                                   (a_j + 0.5).astype(jnp.int32))
+                # decompose v = (ix*ny + iy)*nz + iz. f32-exact floored
+                # divides: (v + 0.5)/d lies strictly inside (q, q+1) and
+                # the f32 relative error (~result * 2^-23) is far below
+                # the 0.5/d margin for every in-envelope domain shape.
+                vf = v_cell.astype(jnp.float32)
+                colf = jnp.floor((vf + 0.5) * np.float32(1.0 / nz))
+                izf = vf - colf * nz
+                ixf = jnp.floor((colf + 0.5) * np.float32(1.0 / ny))
+                iyf = colf - ixf * ny
+                xa = x0 + (ixf + u0) * (lx / nx)
+                ya = y0 + (iyf + u1) * (ly / ny)
+                za = jnp.clip(z0 + (izf + u_zo) * (lz / nz),
+                              z0 + z_eps, z_max - z_eps)
+                # atmosphere: isotropic with a minimum-|mu| guard;
+                # surface: Lambertian up (reference:
+                # src/monteCarloIllumination.f95:487-509)
+                mu_a = 1.0 - 2.0 * u_mu
+                mu_a = jnp.where(jnp.abs(mu_a) < 1e-4,
+                                 jnp.sign(mu_a + _TINY) * 1e-4, mu_a)
+                mu_sfc = jnp.sqrt(jnp.maximum(u_mu, np.float32(1e-12)))
+                s_mu = jnp.where(from_atm, mu_a, mu_sfc)
+                x = jnp.where(need, jnp.where(from_atm, xa, x0 + u0 * lx),
+                              x)
+                y = jnp.where(need, jnp.where(from_atm, ya, y0 + u1 * ly),
+                              y)
+                z = jnp.where(need, jnp.where(from_atm, za, z0 + z_eps), z)
+                s_phi = 2.0 * np.pi * uniform(ctr, 9)
+                s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
+                sux = s_sin * jnp.cos(s_phi)
+                suy = s_sin * jnp.sin(s_phi)
+                birth_cell = v_cell
+                atm_emit = need & from_atm
+            else:
+                x = jnp.where(need, x0 + u0 * lx, x)
+                y = jnp.where(need, y0 + u1 * ly, y)
+                z = jnp.where(need, z_max - z_eps, z)
             if source_kind == illumination.DIRECTIONAL:
                 # the beam direction is a constant: host-precomputed
                 # cosines (params 14/15) skip per-step cos/sin/sqrt
+                s_mu = -smu
+                sux = jnp.broadcast_to(par_ref[0, 14], (blk, 128))
+                suy = jnp.broadcast_to(par_ref[0, 15], (blk, 128))
+            elif source_kind == illumination.SPOTLIGHT:
+                # fixed fractional position (params 17/18), fixed beam
+                # (reference: src/monteCarloIllumination.f95:178-216)
+                x = jnp.where(need, x0 + par_ref[0, 17] * lx, x)
+                y = jnp.where(need, y0 + par_ref[0, 18] * ly, y)
                 s_mu = -smu
                 sux = jnp.broadcast_to(par_ref[0, 14], (blk, 128))
                 suy = jnp.broadcast_to(par_ref[0, 15], (blk, 128))
@@ -470,7 +647,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
                 sux = s_sin * jnp.cos(s_phi)
                 suy = s_sin * jnp.sin(s_phi)
-            else:  # FLUX
+            elif source_kind == illumination.FLUX:
                 s_mu = -jnp.sqrt(jnp.maximum(uniform(ctr, 2),
                                              np.float32(1e-12)))
                 s_phi = 2.0 * np.pi * uniform(ctr, 9)
@@ -535,7 +712,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             collide = moved & ~clipped
 
             # boundary crossing point (for exit tallies + reflection)
-            if "nocoord" in pcfg.debug_parts:  # perf bisection only
+            if "nocoord" in part_set:  # perf bisection only
                 xe, ye = x, y
                 col_e = jnp.zeros((blk, 128), jnp.int32)
                 xc, yc = x + ux * d, y + uy * d
@@ -572,6 +749,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             u_col = uniform(ctr, 4)
             u_ang = uniform(ctr, 5)
             u_phi = uniform(ctr, 6)
+            u_cmp = uniform(ctr, 8) if n_comp > 1 else None
             phi_rot = 2.0 * np.pi * u_phi
 
             # Combined one-hot index: ONE [blk, 128, 128] lo one-hot serves
@@ -584,17 +762,25 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             oh_idx = jnp.where(exits, t_exit, cell)
 
             # ---- factorized record gather (MXU) ----
-            # comma-set semantics: "all" enables every production section;
-            # modifiers (stats/swrng/cheapu/...) never disable anything.
-            # Substring checks bit us three times -- parse properly.
-            part_set = set(pcfg.debug_parts.split(","))
-            parts = pcfg.debug_parts
 
             def en(name):
                 return "all" in part_set or name in part_set
 
             maj_dest = None
             ohs_sub = None
+            g = None
+            # record columns the gather must extract (one masked-reduce
+            # pass each over [blk, W, 128]; skip what uniform flags or the
+            # component count make unnecessary)
+            if n_comp == 1:
+                gather_fields = ((0,) + (() if uniform_ssa else (1,))
+                                 + (() if uniform_hg else (2,))
+                                 + ((3,) if macro_factor > 0 else ()))
+            else:
+                gather_fields = ((0,)
+                                 + ((1,) if macro_factor > 0 else ())
+                                 + (2, 3, 5, 6)
+                                 + ((4, 7) if n_comp == 3 else ()))
             if "g1" in part_set:  # perf bisection: one-hot + single dot only
                 oh_lo = _onehot_lo(cell, iota_lane)
                 oh2 = oh_lo.reshape(blk * 128, 128)
@@ -627,11 +813,11 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 oh_lo = None
             elif "g4" in part_set:  # full gather, single extracted column
                 oh_lo = _onehot_lo(cell, iota_lane, oh_dtype)
-                g = _gather_records(
+                g4 = _gather_records(
                     cell, oh_lo,
                     (b_hi_ref[:], b_lo_ref[:] if pcfg.bf16 else None),
                     iota_w_div, iota_w_mod, fields=(0,))
-                beta = g[0]
+                beta = g4[0]
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
@@ -643,9 +829,6 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 # costing ~46 us/step), contracted by per-sublane-row small
                 # MXU dots, with extraction by sublane-dim masked reduce
                 # (~10 us/step total vs ~97 for the transposed layout).
-                fields = ((0,) + (() if uniform_ssa else (1,))
-                          + (() if uniform_hg else (2,))
-                          + ((3,) if macro_factor > 0 else ()))
                 lo_s = jnp.bitwise_and(oh_idx, 127)
                 iota_sub = jax.lax.broadcasted_iota(
                     jnp.int32, (blk, 128, 128), 1)
@@ -665,38 +848,49 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 iota_ws = jax.lax.broadcasted_iota(
                     jnp.int32, (blk, w_cols, 128), 1)
                 hi_s = jnp.right_shift(cell, 7)
-                s3 = t3 * ((iota_ws // REC_COLS) ==
+                s3 = t3 * ((iota_ws // rec_cols) ==
                            hi_s[:, None, :]).astype(jnp.float32)
-                g = {r: jnp.sum(s3 * ((iota_ws % REC_COLS) == r), axis=1)
-                     for r in fields}
+                g = {r: jnp.sum(s3 * ((iota_ws % rec_cols) == r), axis=1)
+                     for r in gather_fields}
                 oh_lo = None  # tally may reuse ohs (sublane orientation)
                 ohs_sub = ohs
-                beta = g[0]
-                ssa = (jnp.full((blk, 128), par_ref[0, 12])
-                       if uniform_ssa else g[1])
-                g_hg = (jnp.full((blk, 128), par_ref[0, 13])
-                        if uniform_hg else g[2])
-                maj_dest = g[3] if macro_factor > 0 else None
             elif en("gather"):
-                fields = ((0,) + (() if uniform_ssa else (1,))
-                          + (() if uniform_hg else (2,))
-                          + ((3,) if macro_factor > 0 else ()))
                 oh_lo = _onehot_lo(oh_idx, iota_lane, oh_dtype)
                 g = _gather_records(
                     cell, oh_lo,
                     (b_hi_ref[:], b_lo_ref[:] if pcfg.bf16 else None),
-                    iota_w_div, iota_w_mod, fields=fields)
-                beta = g[0]
-                ssa = (jnp.full((blk, 128), par_ref[0, 12])
-                       if uniform_ssa else g[1])
-                g_hg = (jnp.full((blk, 128), par_ref[0, 13])
-                        if uniform_hg else g[2])
-                maj_dest = g[3] if macro_factor > 0 else None
+                    iota_w_div, iota_w_mod, fields=gather_fields)
             else:  # perf bisection only
                 oh_lo = None
                 beta = jnp.full((blk, 128), beta_max)
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
+
+            if g is not None:
+                # shared extraction + (multi-component) selection
+                beta = g[0]
+                if n_comp == 1:
+                    ssa = (jnp.full((blk, 128), par_ref[0, 12])
+                           if uniform_ssa else g[1])
+                    g_hg = (jnp.full((blk, 128), par_ref[0, 13])
+                            if uniform_hg else g[2])
+                    maj_dest = g[3] if macro_factor > 0 else None
+                else:
+                    # layout (rec_cols=8): [beta, maj, ssa_eff, cs0, cs1,
+                    # f2_0, f2_1, f2_2]; f2 is the HG asymmetry (analytic)
+                    # or the GLOBAL stacked phase row (tabulated) of the
+                    # component. One uniform selects the scattering
+                    # component against the cumulative scattering fractions
+                    # (reference bisection at ncomp <= 3:
+                    # Integrators/monteCarloRadiativeTransfer.f95:759-760).
+                    ssa = g[2]
+                    if n_comp == 2:
+                        g_hg = jnp.where(u_cmp >= g[3], g[6], g[5])
+                    else:
+                        g_hg = jnp.where(
+                            u_cmp >= g[4], g[7],
+                            jnp.where(u_cmp >= g[3], g[6], g[5]))
+                    maj_dest = g[1] if macro_factor > 0 else None
 
             # null-collision test against the majorant this step SAMPLED
             # with (the carried value), then carry the destination block's
@@ -724,7 +918,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
 
             # ---- HG scattering ----
             scatter = real & ~died_weight
-            if "noscat" in pcfg.debug_parts:  # perf bisection only
+            if "noscat" in part_set:  # perf bisection only
                 cos_phi = jnp.cos(phi_rot)
                 sin_phi = jnp.sin(phi_rot)
                 ux = jnp.where(scatter, ux + u_ang * np.float32(1e-9), ux)
@@ -934,8 +1128,13 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     carry_m = jax.lax.fori_loop(0, k_dda, m_body, carry_m)
                     _, _, _, tau_f, act_fi, ex_col = carry_m
                     act_f = act_fi > 0
-                    # lanes still marching after k_dda never exited: drop
-                    # (k_dda is sized to the geometry so this is empty)
+                    # lanes still marching after k_dda never exited: their
+                    # contribution is dropped. Eligibility (dirs_mu_floor_ok)
+                    # sizes k_dda so this set is empty; count any
+                    # occurrences into nstat[0,6] so truncation is
+                    # detectable rather than silent (folded into n_bad).
+                    nstat_ref[0, 6] = nstat_ref[0, 6] + jnp.sum(
+                        (ev & act_f).astype(jnp.float32))
                     hit = ev & ~act_f
                     contrib = jnp.where(
                         hit, w_ev * npf * jnp.exp(-tau_f), 0.0)
@@ -1011,7 +1210,36 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                                else _onehot_lo(oh_idx, iota_lane, oh_dtype))
                     acc_ref[:] = acc_ref[:] + _tally_contract(
                         oh_lo_t, hi_t, t_val, jmod_ref[:], pcfg.bf16, ht)
-            if "stats" in pcfg.debug_parts:  # event-profile instrumentation
+            if lw and atm_emit is not None and en("tally"):
+                # LW emission pre-credit: each atmospheric emission
+                # subtracts 1 from the volume-absorption tally at its
+                # birth voxel (flux-divergence accounting; reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:504-508).
+                # This is a lane's SECOND tally this step (it also moves),
+                # so it gets its own sublane contraction; the value -1 is
+                # bf16-exact, so a single dot per block row suffices.
+                bc = jnp.where(atm_emit, birth_cell, 0)
+                val_e = jnp.where(atm_emit, np.float32(-1.0), 0.0)
+                lo_e2 = jnp.bitwise_and(bc, 127)
+                iota_sub_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 128, 128), 1)
+                ohs_e2 = (lo_e2[:, None, :] == iota_sub_t).astype(
+                    jnp.bfloat16)
+                hi_e2 = vol_hi0 + jnp.right_shift(bc, 7)
+                ht_pad2 = -(-ht // 8) * 8
+                iota_j2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (ht_pad2, 1, 1), 0)
+                ohh_j2 = iota_j2 == hi_e2[None, :, :]
+                a_e2 = jnp.where(ohh_j2, val_e.astype(jnp.bfloat16)[
+                    None, :, :], jnp.bfloat16(0))
+                dn_e2 = (((1,), (1,)), ((), ()))
+                contrib_e = acc_ref[:]
+                for b_i4 in range(blk):
+                    contrib_e = contrib_e + jax.lax.dot_general(
+                        a_e2[:, b_i4, :], ohs_e2[b_i4], dn_e2,
+                        preferred_element_type=jnp.float32)
+                acc_ref[:] = contrib_e
+            if "stats" in part_set:  # event-profile instrumentation
                 fsum = lambda m: jnp.sum(m.astype(jnp.float32))  # noqa: E731
                 return (started, fsum(alive | exits | died_weight
                                       | died_surface),
@@ -1021,7 +1249,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
         started, s_act, s_real, s_exit, s_clip = block_step(
             b_idx, step0 + k_idx, jnp.float32(0.0))
         nstat_ref[0, 0] = nstat_ref[0, 0] + started
-        if "stats" in pcfg.debug_parts:
+        if "stats" in part_set:
             nstat_ref[0, 2] = nstat_ref[0, 2] + s_act
             nstat_ref[0, 3] = nstat_ref[0, 3] + s_real
             nstat_ref[0, 4] = nstat_ref[0, 4] + s_exit
@@ -1038,30 +1266,66 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     return kernel
 
 
-def _pack_tables(domain: OpticalDomain, h_cells: int):
+def _pack_tables(domain: OpticalDomain, h_cells: int, rec_cols: int):
     """Pack cell records into the factorized-gather B matrix [128, W].
 
-    B[lo, h*REC_COLS + r] = record r of cell (h*128 + lo); records are
-    (total extinction, ssa of component 0, HG g of component 0, 0).
+    B[lo, h*rec_cols + r] = record r of cell (h*128 + lo).
+
+    Single component (rec_cols=4): (total extinction, ssa, f2, local
+    majorant), f2 dual-use: HG asymmetry for analytic (all-HG) domains,
+    the phase-function index for tabulated (inverse-CDF) domains.
+
+    Multi-component (rec_cols=8, ncomp 2..3): (total extinction, local
+    majorant, effective ssa = sum_c frac_c*ssa_c, cumulative scattering
+    fractions cs_0 [, cs_1], f2 per component) where f2 is the component's
+    HG g (analytic) or its GLOBAL stacked phase row offsets[c]+pfi_c
+    (tabulated). See _build_kernel's scattering-coefficient formulation.
     """
     rec = domain.cell_records
     ncomp = domain.n_components
     n_cells = rec.shape[0]
-    w_cols = h_cells * REC_COLS
-    # field 2 is dual-use: HG asymmetry for analytic (all-HG) domains,
-    # the phase-function index for tabulated (inverse-CDF) domains
-    f2 = (rec[:, 2 + 3 * ncomp] if domain.all_hg
-          else rec[:, 2 + 2 * ncomp])
-    vals = jnp.stack([
-        rec[:, 0],                 # beta
-        rec[:, 2 + ncomp],         # ssa (component 0)
-        f2,                        # hg g | phase index (component 0)
-        rec[:, 1],                 # local (macro-block) majorant
-    ], axis=1)  # [n_cells, REC_COLS]
+    w_cols = h_cells * rec_cols
+    if ncomp == 1:
+        f2 = (rec[:, 2 + 3 * ncomp] if domain.all_hg
+              else rec[:, 2 + 2 * ncomp])
+        vals = jnp.stack([
+            rec[:, 0],                 # beta
+            rec[:, 2 + ncomp],         # ssa (component 0)
+            f2,                        # hg g | phase index (component 0)
+            rec[:, 1],                 # local (macro-block) majorant
+        ], axis=1)  # [n_cells, rec_cols]
+    else:
+        cumf = rec[:, 2:2 + ncomp]  # fractional cumulative extinction
+        ssa = rec[:, 2 + ncomp:2 + 2 * ncomp]
+        pfi = rec[:, 2 + 2 * ncomp:2 + 3 * ncomp]
+        gs = rec[:, 2 + 3 * ncomp:2 + 4 * ncomp]
+        frac = jnp.diff(cumf, axis=1, prepend=0.0)  # extinction fractions
+        scat = frac * ssa
+        ssa_eff = jnp.sum(scat, axis=1)  # = sum_c frac_c * ssa_c
+        cs = jnp.cumsum(scat, axis=1) / jnp.maximum(ssa_eff, 1e-30)[:, None]
+        # pure absorbers (no scattering): component choice is moot (the
+        # weight dies via ssa_eff = 0); select component 0
+        cs = jnp.where(ssa_eff[:, None] > 0, cs, 1.0)
+        if domain.all_hg:
+            f2 = gs
+        else:
+            offs = domain.tables.offsets.astype(jnp.float32)
+            f2 = pfi + offs[None, :]
+        zcol = jnp.zeros((n_cells,), jnp.float32)
+        vals = jnp.stack([
+            rec[:, 0],                               # 0: beta
+            rec[:, 1],                               # 1: local majorant
+            ssa_eff,                                 # 2: effective ssa
+            cs[:, 0],                                # 3: cs_0
+            cs[:, 1] if ncomp == 3 else zcol,        # 4: cs_1
+            f2[:, 0],                                # 5: f2 comp 0
+            f2[:, 1],                                # 6: f2 comp 1
+            f2[:, 2] if ncomp == 3 else zcol,        # 7: f2 comp 2
+        ], axis=1)
     pad = h_cells * 128 - n_cells
     vals = jnp.pad(vals, ((0, pad), (0, 0)))
-    # [h*128 + lo, r] -> B[lo, h*REC_COLS + r]
-    b = vals.reshape(h_cells, 128, REC_COLS).transpose(1, 0, 2).reshape(
+    # [h*128 + lo, r] -> B[lo, h*rec_cols + r]
+    b = vals.reshape(h_cells, 128, rec_cols).transpose(1, 0, 2).reshape(
         128, w_cols)
     return b.astype(jnp.float32), w_cols
 
@@ -1105,7 +1369,8 @@ def run_batch_pallas(domain: OpticalDomain,
                      n_photons=None,
                      use_russian_roulette: bool = True,
                      russian_roulette_weight: float = 1.0,
-                     intensity_dirs=None):
+                     intensity_dirs=None,
+                     lw_mode: bool = False):
     """Run one photon batch through the megakernel; returns raw tally parts.
 
     Returns (flux_up [nx,ny], flux_down [nx,ny], volume_absorption
@@ -1136,7 +1401,9 @@ def run_batch_pallas(domain: OpticalDomain,
     if (h_cells > 128 or inv_hp > 128) and pcfg.block_rows > 16:
         import dataclasses as _dc2
         pcfg = _dc2.replace(pcfg, block_rows=16)
-    b_tab, w_cols = _pack_tables(domain, h_cells)
+    ncomp = domain.n_components
+    rec_cols = REC_COLS if ncomp == 1 else 8
+    b_tab, w_cols = _pack_tables(domain, h_cells, rec_cols)
     if pcfg.bf16:
         # bf16 hi/lo split of the record table (B = hi + lo to ~2^-17)
         b_hi = b_tab.astype(jnp.bfloat16)
@@ -1147,16 +1414,45 @@ def run_batch_pallas(domain: OpticalDomain,
     jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
 
     n_dirs = pcfg.n_dirs
+    # Walker alias table for emission refills (bf16 hi/lo split rows:
+    # prob_hi, prob_lo, alias_hi, alias_lo -- both reconstruct exactly)
+    if source.kind == illumination.EMISSION:
+        if source.em_prob is None:
+            raise ValueError("emission source has no alias table (CDF was "
+                             "traced at construction); megakernel needs "
+                             "illumination.emission with concrete arrays")
+        if not pcfg.bf16:
+            raise ValueError("in-kernel emission requires the bf16 pipeline")
+        ha = -(-h_cells // 8) * 8
+
+        def _blockify(vec):
+            vp = jnp.pad(vec.astype(jnp.float32),
+                         (0, ha * 128 - vec.shape[0]))
+            return vp.reshape(ha, 128)
+
+        pb = _blockify(source.em_prob)
+        ab = _blockify(source.em_alias)
+        pb_hi = pb.astype(jnp.bfloat16)
+        pb_lo = (pb - pb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ab_hi = ab.astype(jnp.bfloat16)
+        ab_lo = (ab - ab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ea_packed = jnp.concatenate([pb_hi, pb_lo, ab_hi, ab_lo], axis=0)
+    else:
+        ha = 8
+        ea_packed = jnp.zeros((4 * ha, 128), jnp.bfloat16)
+    lw = bool(lw_mode) and source.kind == illumination.EMISSION
     hti_pad = -(-(-(-nxy // 128)) // 8) * 8  # ceil8(ceil(nxy / 128))
     kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
                            ht, use_russian_roulette,
-                           uniform_ssa=domain.uniform_ssa,
-                           uniform_hg=(domain.uniform_hg if analytic_hg
-                                       else
-                                       domain.tables.inverse.shape[0] == 1),
+                           uniform_ssa=ncomp == 1 and domain.uniform_ssa,
+                           uniform_hg=ncomp == 1 and (
+                               domain.uniform_hg if analytic_hg
+                               else domain.tables.inverse.shape[0] == 1),
                            macro_factor=domain.macro_factor,
                            hti_pad=hti_pad, analytic_hg=analytic_hg,
-                           inv_hp=inv_hp, inv_n_steps=inv_n_steps)
+                           inv_hp=inv_hp, inv_n_steps=inv_n_steps,
+                           n_comp=ncomp, rec_cols=rec_cols,
+                           lw=lw, ha=ha)
     hb_pad = -(-h_cells // 8) * 8
     if n_dirs > 0:
         if not pcfg.bf16:
@@ -1164,7 +1460,7 @@ def run_batch_pallas(domain: OpticalDomain,
                              "bf16 pipeline")
         dirs_a = jnp.asarray(intensity_dirs, jnp.float32)
         # march beta table [hb_pad, 128lo] (transposed, single field)
-        bm = jnp.pad(b_tab[:, 0::REC_COLS].T,
+        bm = jnp.pad(b_tab[:, 0::rec_cols].T,
                      ((0, hb_pad - h_cells), (0, 0)))
         bm_hi = bm.astype(jnp.bfloat16)
         bm_lo = (bm - bm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -1173,12 +1469,19 @@ def run_batch_pallas(domain: OpticalDomain,
         bm_hi = bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
-    if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH):
+    if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH,
+                       illumination.SPOTLIGHT):
         smu = source.solar_mu
         sphi = (source.solar_azimuth
-                if source.kind == illumination.DIRECTIONAL else 0.0)
+                if source.kind != illumination.RANDOM_AZIMUTH else 0.0)
     else:
         smu, sphi = 0.0, 0.0
+    atms_frac = (source.atms_fraction
+                 if source.kind == illumination.EMISSION else 0.0)
+    spot_x = (source.solar_x
+              if source.kind == illumination.SPOTLIGHT else 0.0)
+    spot_y = (source.solar_y
+              if source.kind == illumination.SPOTLIGHT else 0.0)
     ge = grid.x_edges, grid.y_edges, grid.z_edges
     params = jnp.stack([
         beta_max, 1.0 / beta_max,
@@ -1200,7 +1503,13 @@ def run_batch_pallas(domain: OpticalDomain,
         * jnp.cos(jnp.float32(sphi)),
         jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
         * jnp.sin(jnp.float32(sphi)),
-    ]).reshape(1, 16)
+        # emission / spotlight parameters
+        jnp.asarray(atms_frac, jnp.float32),   # 16
+        jnp.asarray(spot_x, jnp.float32),      # 17
+        jnp.asarray(spot_y, jnp.float32),      # 18
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 24)
 
     # per-lane quotas (clamped by the traced n_photons, like run_batch).
     # The quota-rebalance sums quotas in int32: the total must stay below
@@ -1247,7 +1556,7 @@ def run_batch_pallas(domain: OpticalDomain,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 5),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 6),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -1264,8 +1573,8 @@ def run_batch_pallas(domain: OpticalDomain,
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {3 + i: i for i in range(n_state)}
-    aliases[3 + n_state + 6] = n_state      # acc
-    aliases[3 + n_state + 7] = n_state + 1  # acc_i
+    aliases[3 + n_state + 7] = n_state      # acc
+    aliases[3 + n_state + 8] = n_state + 1  # acc_i
 
     call = pl.pallas_call(
         kernel,
@@ -1286,7 +1595,8 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, dirs_a, *[state[k] for k in keys],
-                    b_hi, b_lo, bm_hi, bm_lo, inv_packed, jmod, acc, acci)
+                    b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed, jmod,
+                    acc, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         acci = outs[n_state + 1]
@@ -1317,14 +1627,17 @@ def run_batch_pallas(domain: OpticalDomain,
     flux_up = flat[:nxy].reshape(nx, ny)
     flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
     vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
-    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    # n_bad: photons still alive at the step cap, plus any truncated
+    # radiance marches (stat 6; empty when dirs_mu_floor_ok held)
+    n_bad = (jnp.sum(state_f["alive"], dtype=jnp.int32)
+             + stat_acc[6].astype(jnp.int32))
     base = (flux_up, flux_down, vol, n_started, n_bad, n_calls)
     if pcfg.n_dirs > 0:
         intensity = jnp.stack(
             [acci_f[d * hti_pad:(d + 1) * hti_pad].reshape(-1)[:nxy]
              .reshape(nx, ny) for d in range(pcfg.n_dirs)], axis=-1)
         base = base + (intensity,)
-    if "stats" in pcfg.debug_parts:
+    if "stats" in frozenset(pcfg.debug_parts.split(",")):
         return base + (stat_acc,)
     return base
 
@@ -1392,7 +1705,8 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
         domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
         use_russian_roulette=config.use_russian_roulette,
         russian_roulette_weight=config.russian_roulette_weight,
-        intensity_dirs=intensity_dirs)
+        intensity_dirs=intensity_dirs,
+        lw_mode=config.lw_mode)
     fu, fd, vol, n_started, n_bad, n_calls = out[:6]
     intensity = out[6] if pcfg.n_dirs > 0 else None
     return Tallies(

@@ -131,8 +131,12 @@ class TestEligibility:
                                    **{**base, "use_ray_tracing": True})
         assert not pallas_eligible(step_cloud, sfc, src,
                                    **{**base, "compute_intensity": True})
+        # spotlight became an in-kernel source in round 3
         spot = illumination.spotlight(0.5, 0.0, 0.5, 0.5)
-        assert not pallas_eligible(step_cloud, sfc, spot, **base)
+        assert pallas_eligible(step_cloud, sfc, spot, **base)
+        assert not pallas_eligible(step_cloud, sfc, src,
+                                   **{**base,
+                                      "record_scattering_orders": 2})
 
     def test_config_for_folds_lanes(self):
         pcfg, ppl = config_for(n_lanes=1 << 17, photons_per_lane=8,
@@ -250,13 +254,26 @@ class TestMegakernelIntensity:
         import jax.numpy as jnp
         dirs = jnp.asarray([[0.0, 0.0], [0.0, 0.0], [1.0, -1.0]],
                            jnp.float32)
-        # downward dirs are rejected at eligibility (concrete check)
+        # downward dirs fail the host-side mu-floor validation, which
+        # gates the in-kernel path (traced dirs are refused outright)
+        assert not pk.dirs_mu_floor_ok(icfg, dirs)
         ok = pk.pallas_intensity_eligible(
             dom, Surface.lambertian(0.2),
             illumination.directional(0.5, 0.0), lw_mode=False,
             record_scattering_orders=0, use_ray_tracing=False,
-            icfg=icfg, dirs=dirs)
+            icfg=icfg, dirs=dirs,
+            dirs_mu_ok=pk.dirs_mu_floor_ok(icfg, dirs))
         assert not ok
+        # a shallow upward direction below pallas_min_mu is also rejected
+        # (its truncated march would silently zero its contribution)
+        import jax.numpy as jnp2
+        shallow = jnp2.asarray([[0.0, 0.0], [0.0, 0.0], [1.0, 0.05]],
+                               jnp2.float32)
+        assert not pk.dirs_mu_floor_ok(icfg, shallow)
+        # while compliant directions pass
+        good = jnp2.asarray([[0.0, 0.0], [0.0, 0.0], [1.0, 0.5]],
+                            jnp2.float32)
+        assert pk.dirs_mu_floor_ok(icfg, good)
 
 
 class TestWideDomainEnvelope:
@@ -424,3 +441,269 @@ class TestTabulatedPhaseFunctions:
             a = float(np.asarray(out[i]).sum()) / n2
             b = float(np.asarray(ref).sum()) / n
             assert a == pytest.approx(b, abs=4 * sig)
+
+
+class TestMultiComponent:
+    """Gas + cloud (+ Rayleigh) domains stay on the in-kernel fast path.
+
+    The megakernel uses the scattering-coefficient formulation (absorb by
+    the cell's effective ssa, select the scattering component by scattering
+    fractions) while the XLA path mirrors the reference's
+    extinction-fraction selection + per-component ssa
+    (reference: Integrators/monteCarloRadiativeTransfer.f95:759-771); the
+    two are identical in expectation, so pixel fluxes must agree within MC
+    noise.
+    """
+
+    @pytest.fixture(scope="class")
+    def multi3(self):
+        from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud_multi
+        return make_step_cloud_multi(ssa=0.99, n_components=3,
+                                     gas_ext=0.002, rayleigh_ext=0.001,
+                                     n_cdf_steps=201)
+
+    def test_eligible(self, multi3):
+        assert multi3.n_components == 3
+        assert pallas_eligible(
+            multi3, Surface.lambertian(0.0),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+
+    def test_four_components_ineligible(self):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        from mcbrat3d_tpu.scenes.step_cloud import step_cloud_scene
+        from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+        from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                         PhaseFunctionTable)
+        grid, comps, _ = step_cloud_scene(ssa=0.99)
+        nz = grid.shape[2]
+        tbl = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+        extra = [OpticalComponent(f"aero{i}", np.full((1, 1, nz), 1e-3),
+                                  np.full((1, 1, nz), 0.5),
+                                  np.zeros((1, 1, nz), np.int32), tbl)
+                 for i in range(3)]
+        dom4 = build_domain(grid, comps + extra, n_cdf_steps=201)
+        reasons = pk.ineligibility_reasons(
+            dom4, Surface.lambertian(0.0),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+        assert any("n_components" in r for r in reasons)
+
+    def test_energy_conservation_no_rr(self, multi3):
+        rho = 0.2
+        fu, fd, vol, n, n_bad, _ = run_batch_pallas(
+            multi3, Surface.lambertian(rho),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(3, 0), SMALL, photons_per_lane=2,
+            use_russian_roulette=False)
+        n = float(n)
+        balance = float(fu.sum() + (1 - rho) * fd.sum() + vol.sum()) / n
+        assert int(n_bad) == 0
+        assert abs(balance - 1.0) < 2e-4
+
+    def test_matches_xla_statistically(self, multi3):
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.2)
+        n_p = 0
+        fu_p = fd_p = ab_p = 0.0
+        for b in range(2):
+            fu, fd, vol, ns, nb, _ = run_batch_pallas(
+                multi3, sfc, src, rng.batch_key(0, b), SMALL,
+                photons_per_lane=8)
+            fu_p = fu_p + np.asarray(fu)
+            fd_p = fd_p + np.asarray(fd)
+            ab_p = ab_p + np.asarray(vol).sum(axis=2)
+            n_p += int(ns)
+        fu_p, fd_p, ab_p = fu_p / n_p, fd_p / n_p, ab_p / n_p
+
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=16,
+                           max_steps=6000, tail_compaction=False,
+                           use_pallas="off")
+        t = run_batch(multi3, sfc, src, rng.batch_key(1, 0), cfg)
+        n_x = int(t.n_photons)
+        fu_x = np.asarray(t.flux_up) / n_x
+        fd_x = np.asarray(t.flux_down) / n_x
+        ab_x = np.asarray(t.flux_absorbed) / n_x
+
+        for a, b_ in ((fu_p, fu_x), (fd_p, fd_x), (ab_p, ab_x)):
+            sigma = np.sqrt(a / n_p + b_ / n_x + 1e-12)
+            z = np.abs(a - b_) / np.maximum(sigma, 1e-9)
+            assert z.max() < 5.0, z.max()
+
+    def test_tabulated_multi_matches_xla(self):
+        """Two components with a true (Legendre Rayleigh) phase function:
+        the in-kernel inverse-CDF lookup must resolve the component's
+        GLOBAL stacked phase row (offsets[c] + pfi)."""
+        from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud_multi
+        dom = make_step_cloud_multi(ssa=0.99, n_components=3,
+                                    gas_ext=0.002, rayleigh_ext=0.004,
+                                    analytic=False, n_cdf_steps=201)
+        assert not dom.all_hg
+        assert pallas_eligible(
+            dom, Surface.lambertian(0.0),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.0)
+        fu, fd, vol, ns, nb, _ = run_batch_pallas(
+            dom, sfc, src, rng.batch_key(0, 0), SMALL,
+            photons_per_lane=8)
+        n_p = int(ns)
+        fu_p = np.asarray(fu) / n_p
+        fd_p = np.asarray(fd) / n_p
+
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                           max_steps=6000, tail_compaction=False,
+                           use_pallas="off")
+        t = run_batch(dom, sfc, src, rng.batch_key(1, 0), cfg)
+        n_x = int(t.n_photons)
+        fu_x = np.asarray(t.flux_up) / n_x
+        fd_x = np.asarray(t.flux_down) / n_x
+        for a, b_ in ((fu_p, fu_x), (fd_p, fd_x)):
+            sigma = np.sqrt(a / n_p + b_ / n_x + 1e-12)
+            z = np.abs(a - b_) / np.maximum(sigma, 1e-9)
+            assert z.max() < 5.0, z.max()
+
+
+class TestLWEmission:
+    """In-kernel BBEmission: Walker-alias voxel sampling, surface/atmosphere
+    split, and emission pre-credits (reference:
+    src/monteCarloIllumination.f95:431-522,
+    Integrators/monteCarloRadiativeTransfer.f95:504-508)."""
+
+    @pytest.fixture(scope="class")
+    def lw_setup(self):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                         PhaseFunctionTable)
+        from mcbrat3d_tpu.spectral.weights import (absorption_coefficient,
+                                                   emission_weighting)
+        nx, ny, nz = 8, 4, 8
+        rs = np.random.RandomState(0)
+        grid = Grid.regular(nx, ny, nz, 0.5, 0.5, 0.25)
+        tbl = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+        gas_tbl = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+        cld = rs.rand(nx, ny, nz) * 6.0
+        comp_c = OpticalComponent("cloud", cld, np.full_like(cld, 0.6),
+                                  np.zeros(cld.shape, np.int32), tbl)
+        gas = np.full((1, 1, nz), 0.5)
+        comp_g = OpticalComponent("gas", gas, np.zeros_like(gas),
+                                  np.zeros(gas.shape, np.int32), gas_tbl)
+        comps = [comp_c, comp_g]
+        temps = 250.0 + 40.0 * rs.rand(nx, ny, nz)
+        domain = build_domain(grid, comps, temps=temps, n_cdf_steps=201)
+        kabs = absorption_coefficient(comps, grid)
+        w = emission_weighting(grid, temps, kabs, 290.0, 0.95, 10.0)
+        source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                       grid.shape)
+        return domain, source
+
+    def test_eligible_and_dispatches(self, lw_setup):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        domain, source = lw_setup
+        assert pk.pallas_eligible(
+            domain, Surface.lambertian(0.05), source,
+            lw_mode=True, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+
+    def test_alias_table_distribution_exact(self):
+        """Walker alias tables reconstruct the voxel distribution to f64
+        rounding (P(v) = (prob[v] + sum_{alias[j]==v}(1-prob[j])) / n)."""
+        from mcbrat3d_tpu.sources.illumination import _walker_alias
+        rs = np.random.RandomState(1)
+        p = rs.rand(500) ** 3
+        p /= p.sum()
+        prob, alias = _walker_alias(p)
+        rec = prob.copy()
+        for j in range(p.size):
+            if alias[j] != j:
+                rec[alias[j]] += 1.0 - prob[j]
+        np.testing.assert_allclose(rec / p.size, p, atol=1e-14)
+
+    def test_emission_histogram_matches_target(self):
+        """Near-transparent domain: the volume tally is (minus) the
+        emission histogram, which must match the target distribution."""
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                         PhaseFunctionTable)
+        nx, ny, nz = 8, 4, 8
+        rs = np.random.RandomState(0)
+        grid = Grid.regular(nx, ny, nz, 0.5, 0.5, 0.25)
+        tbl = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+        ext = np.full((nx, ny, nz), 1e-6)
+        comp = OpticalComponent("thin", ext, np.ones_like(ext),
+                                np.zeros(ext.shape, np.int32), tbl)
+        domain = build_domain(grid, [comp], n_cdf_steps=201)
+        p = rs.rand(nz, ny, nx) ** 2
+        p /= p.sum()
+        cdf = np.cumsum(p.reshape(-1))
+        cdf[-1] = 1.0
+        source = illumination.emission(cdf, 1.0, grid.shape)
+        cfg = KernelConfig(n_lanes=2048, photons_per_lane=32,
+                           max_steps=8000, use_pallas="on",
+                           tail_compaction=False, lw_mode=True)
+        t = run_batch(domain, Surface.lambertian(0.0), source,
+                      rng.batch_key(0, 0), cfg)
+        n = float(t.n_photons)
+        est = -np.asarray(t.volume_absorption) / n
+        pk_ = p.transpose(2, 1, 0)
+        sig = np.sqrt(pk_ * (1 - pk_) / n) + 1e-9
+        assert np.abs((est - pk_) / sig).max() < 5.0
+        assert abs(est.sum() - 1.0) < 1e-3
+
+    def test_matches_xla_lw_statistically(self, lw_setup):
+        domain, source = lw_setup
+        sfc = Surface.lambertian(0.05)
+        cfgP = KernelConfig(n_lanes=4096, photons_per_lane=16,
+                            max_steps=6000, use_pallas="on",
+                            tail_compaction=False, lw_mode=True)
+        cfgX = KernelConfig(n_lanes=4096, photons_per_lane=16,
+                            max_steps=6000, use_pallas="off",
+                            tail_compaction=False, lw_mode=True)
+        tP = run_batch(domain, sfc, source, rng.batch_key(0, 0), cfgP)
+        tX = run_batch(domain, sfc, source, rng.batch_key(1, 0), cfgX)
+        nP, nX = float(tP.n_photons), float(tX.n_photons)
+        for aP, aX in ((tP.flux_up, tX.flux_up),
+                       (tP.flux_down, tX.flux_down)):
+            a = np.asarray(aP) / nP
+            b = np.asarray(aX) / nX
+            sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
+            assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
+        # net volume absorption (absorption minus emission pre-credits):
+        # domain-total comparison (per-cell net values straddle zero)
+        vP = float(np.asarray(tP.volume_absorption).sum()) / nP
+        vX = float(np.asarray(tX.volume_absorption).sum()) / nX
+        assert abs(vP - vX) < 0.02
+
+
+class TestSpotlightSource:
+    def test_matches_xla(self, step_cloud):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        src = illumination.spotlight(0.8, 30.0, 0.4, 0.7)
+        sfc = Surface.lambertian(0.2)
+        assert pk.pallas_eligible(
+            step_cloud, sfc, src, lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+        cfgP = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                            max_steps=6000, use_pallas="on",
+                            tail_compaction=False)
+        cfgX = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                            max_steps=6000, use_pallas="off",
+                            tail_compaction=False)
+        tP = run_batch(step_cloud, sfc, src, rng.batch_key(0, 0), cfgP)
+        tX = run_batch(step_cloud, sfc, src, rng.batch_key(1, 0), cfgX)
+        nP, nX = float(tP.n_photons), float(tX.n_photons)
+        for aP, aX in ((tP.flux_up, tX.flux_up),
+                       (tP.flux_down, tX.flux_down)):
+            a = np.asarray(aP) / nP
+            b = np.asarray(aX) / nX
+            sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
+            assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5

@@ -1,10 +1,15 @@
-"""Headline benchmark: photon throughput on the I3RC step cloud (one chip).
+"""Headline benchmarks (one chip). Prints ONE JSON line PER METRIC; the
+I3RC step-cloud headline metric is printed LAST (the round driver parses
+the final line into BENCH_r{N}.json; earlier lines are captured in the
+tail so every metric is driver-verified).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): 1e8 photons/sec/chip on the step cloud.
 
 Timing uses host value fetches -- block_until_ready is unreliable through
 the remote-TPU relay (see .claude/skills/verify/SKILL.md).
+
+Selective runs: --intensity | --landsat | --lw | --multi | --tabulated |
+--radar run just that metric; no flag runs everything.
 """
 
 import json
@@ -36,10 +41,207 @@ def wait_for_device(max_wait_s: float = 2400.0, probe_timeout: float = 90.0):
         time.sleep(30.0)
 
 
+def emit(metric, rate, **extra):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rate, 1),
+        "unit": "photons/sec/chip",
+        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
+        **extra,
+    }), flush=True)
+
+
+def measure(run_once, n_batches=3):
+    """Median per-batch photon rate; run_once(b) -> photon count."""
+    run_once(0)  # warm up / compile
+    rates = []
+    for b in range(1, 1 + n_batches):
+        t0 = time.time()
+        n = run_once(b)
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def bench_step_cloud():
+    """The headline: I3RC case-1 step cloud, single component, flux
+    megakernel (reference: Domain-Files/i3rcStepCloud.f95:26-39)."""
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    domain = make_step_cloud(ssa=0.99, macro_factor=8)
+    surface = Surface.lambertian(0.0)
+    source = illumination.directional(0.5, 0.0)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
+                          max_steps=800_000)
+
+    def once(b):
+        t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
+        return int(t.n_photons)
+
+    emit("step_cloud_photon_throughput", measure(once, 5))
+
+
+def bench_multi_component():
+    """Gas + cloud + Rayleigh step cloud: the production broadband-SW
+    component shape on the multi-component megakernel path
+    (reference: src/opticalProperties.f95:217-293)."""
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud_multi
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    domain = make_step_cloud_multi(ssa=0.99, n_components=3, macro_factor=8)
+    surface = Surface.lambertian(0.0)
+    source = illumination.directional(0.5, 0.0)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=256,
+                          max_steps=800_000, use_pallas="on")
+
+    def once(b):
+        t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
+        return int(t.n_photons)
+
+    emit("multi_component_3_step_cloud_throughput", measure(once))
+
+
+def bench_lw_emission():
+    """Broadband-LW-shaped run: thermal BBEmission source (Walker-alias
+    in-kernel sampling + emission pre-credits) on a 2-component
+    (cloud + gas) broken-cloud domain (reference:
+    src/monteCarloIllumination.f95:431-522)."""
+    import numpy as np
+
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.core.grid import Grid
+    from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+    from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                     PhaseFunctionTable)
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.spectral.weights import (absorption_coefficient,
+                                               emission_weighting)
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    nx, ny, nz = 32, 32, 24
+    rs = np.random.RandomState(0)
+    grid = Grid.regular(nx, ny, nz, 0.1, 0.1, 0.05)
+    tbl = PhaseFunctionTable(
+        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    gas_tbl = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+    cld = rs.rand(nx, ny, nz) * 30.0 * (rs.rand(nx, ny, nz) > 0.5)
+    comp_c = OpticalComponent("cloud", cld, np.full_like(cld, 0.6),
+                              np.zeros(cld.shape, np.int32), tbl)
+    gas = np.full((1, 1, nz), 1.0)
+    comp_g = OpticalComponent("gas", gas, np.zeros_like(gas),
+                              np.zeros(gas.shape, np.int32), gas_tbl)
+    comps = [comp_c, comp_g]
+    temps = 250.0 + 40.0 * rs.rand(nx, ny, nz)
+    domain = build_domain(grid, comps, temps=temps, macro_factor=8)
+    kabs = absorption_coefficient(comps, grid)
+    w = emission_weighting(grid, temps, kabs, 290.0, 0.95, 10.0)
+    source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                   grid.shape)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=256,
+                          max_steps=800_000, use_pallas="on", lw_mode=True)
+
+    def once(b):
+        t = run_batch(domain, Surface.lambertian(0.05), source,
+                      rng.batch_key(0, b), config)
+        return int(t.n_photons)
+
+    emit("lw_emission_2comp_throughput", measure(once))
+
+
+def bench_tabulated_phase():
+    """Reference-default tabulated phase functions: 9001-step inverse-CDF
+    tables with 5 entries, in-kernel angle lookup (reference:
+    src/inversePhaseFunctions.f95:26-64, nPhaseIntervals default)."""
+    import numpy as np
+
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.core.grid import Grid
+    from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+    from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                     PhaseFunctionTable)
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    nx, ny, nz = 32, 1, 32
+    grid = Grid.regular(nx, ny, nz, 500.0 / 32, 500.0, 250.0 / 32)
+    ext = np.empty((nx, ny, nz))
+    ext[:16] = 2.0 / 250.0
+    ext[16:] = 18.0 / 250.0
+    # 5 Mie-like entries: Legendre mixtures (NOT pure HG -> tabulated path)
+    pfs = []
+    for i in range(5):
+        g1 = 0.80 + 0.02 * i
+        l = np.arange(1, 129, dtype=np.float64)
+        pfs.append(PhaseFunction(coefficients=0.7 * g1**l + 0.3 * 0.3**l,
+                                 description=f"mix{i}"))
+    tbl = PhaseFunctionTable(pfs, key=list(range(5)))
+    rs = np.random.RandomState(0)
+    pfi = rs.randint(0, 5, size=ext.shape).astype(np.int32)
+    comp = OpticalComponent("mie cloud", ext, np.full_like(ext, 0.99),
+                            pfi, tbl)
+    domain = build_domain(grid, [comp], n_cdf_steps=9001, macro_factor=8)
+    source = illumination.directional(0.5, 0.0)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=128,
+                          max_steps=800_000, use_pallas="on")
+
+    def once(b):
+        t = run_batch(domain, Surface.lambertian(0.0), source,
+                      rng.batch_key(0, b), config)
+        return int(t.n_photons)
+
+    emit("tabulated_phase_9001x5_throughput", measure(once))
+
+
+def bench_radar():
+    """I3RC case-3 radar-cloud scale: 640 x 1 x 54 = 34560 cells with full
+    per-cell records and the 3D volume tally
+    (reference: Domain-Files/i3rcRadarCloud.f95:28-30)."""
+    import numpy as np
+
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.core.grid import Grid
+    from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+    from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                     PhaseFunctionTable)
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    nx, ny, nz = 640, 1, 54
+    rs = np.random.RandomState(2)
+    grid = Grid.regular(nx, ny, nz, 0.055, 35.0, 0.045)
+    ext = (rs.rand(nx, ny, nz) * 20.0
+           * (rs.rand(nx, ny, nz) > 0.4)).astype(np.float64)
+    tbl = PhaseFunctionTable(
+        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    comp = OpticalComponent("radar cloud", ext, np.full_like(ext, 0.99),
+                            np.zeros(ext.shape, np.int32), tbl)
+    domain = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=201)
+    source = illumination.directional(0.5, 0.0)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=64,
+                          max_steps=800_000, use_pallas="on")
+
+    def once(b):
+        t = run_batch(domain, Surface.lambertian(0.1), source,
+                      rng.batch_key(0, b), config)
+        return int(t.n_photons)
+
+    emit("radar_scale_photon_throughput", measure(once))
+
+
 def bench_intensity():
-    """Radiance-path throughput (local estimation, 6 directions, Iwabuchi
-    RR): the reference's dominant production cost (SURVEY.md section 3C).
-    Run with: python bench.py --intensity. Prints its own JSON line."""
+    """Radiance-path throughput (in-kernel local estimation, 6 upward
+    directions, exact estimator): the reference's dominant production cost
+    (SURVEY.md section 3C)."""
     from mcbrat3d_tpu.core import rng
     from mcbrat3d_tpu.physics.surface import Surface
     from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
@@ -63,31 +265,19 @@ def bench_intensity():
                            use_hybrid_phase=False, pallas_min_mu=0.4)
     config = KernelConfig(n_lanes=1 << 16, photons_per_lane=4,
                           max_steps=100_000)
-    t = run_batch(domain, surface, source, rng.batch_key(0, 0), config,
-                  intensity_config=icfg, intensity_dirs=dirs)
-    _ = int(t.n_photons)
-    rates = []
-    for b in range(1, 4):
-        t0 = time.time()
+
+    def once(b):
         t = run_batch(domain, surface, source, rng.batch_key(0, b), config,
                       intensity_config=icfg, intensity_dirs=dirs)
-        n = int(t.n_photons)
-        rates.append(n / (time.time() - t0))
-    rates.sort()
-    rate = rates[len(rates) // 2]
-    print(json.dumps({
-        "metric": "step_cloud_radiance_throughput_6dir",
-        "value": round(rate, 1),
-        "unit": "photons/sec/chip",
-        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
-    }))
+        return int(t.n_photons)
+
+    emit("step_cloud_radiance_throughput_6dir", measure(once))
 
 
 def bench_landsat():
     """Landsat-scale throughput: 128x128x64 broken-cloud column-template
     scene through the column megakernel (the reference's I3RC case-4
-    scale; reference: Domain-Files/i3rcLandsatCloud.f95:27-40). Run with:
-    python bench.py --landsat."""
+    scale; reference: Domain-Files/i3rcLandsatCloud.f95:27-40)."""
     import numpy as np
 
     from mcbrat3d_tpu.core import rng
@@ -125,22 +315,23 @@ def bench_landsat():
                           need_volume_absorption=False)
     source = illumination.directional(0.5, 0.0)
     surface = Surface.lambertian(0.2)
-    t = run_batch(domain, surface, source, rng.batch_key(0, 0), config)
-    _ = int(t.n_photons)
-    rates = []
-    for b in range(1, 4):
-        t0 = time.time()
+
+    def once(b):
         t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
-        n = int(t.n_photons)
-        rates.append(n / (time.time() - t0))
-    rates.sort()
-    rate = rates[len(rates) // 2]
-    print(json.dumps({
-        "metric": "landsat_scale_photon_throughput",
-        "value": round(rate, 1),
-        "unit": "photons/sec/chip",
-        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
-    }))
+        return int(t.n_photons)
+
+    emit("landsat_scale_photon_throughput", measure(once))
+
+
+SELECTIVE = {
+    "--intensity": bench_intensity,
+    "--landsat": bench_landsat,
+    "--lw": bench_lw_emission,
+    "--multi": bench_multi_component,
+    "--tabulated": bench_tabulated_phase,
+    "--radar": bench_radar,
+    "--step-cloud": bench_step_cloud,
+}
 
 
 def main():
@@ -155,48 +346,21 @@ def main():
         }))
         return
 
-    if "--intensity" in sys.argv:
-        bench_intensity()
-        return
-    if "--landsat" in sys.argv:
-        bench_landsat()
-        return
+    for flag, fn in SELECTIVE.items():
+        if flag in sys.argv:
+            fn()
+            return
 
-    import jax.numpy as jnp  # noqa: F401  (device now known reachable)
-
-    from mcbrat3d_tpu.core import rng
-    from mcbrat3d_tpu.physics.surface import Surface
-    from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
-    from mcbrat3d_tpu.sources import illumination
-    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
-    domain = make_step_cloud(ssa=0.99, macro_factor=8)
-    surface = Surface.lambertian(0.0)
-    source = illumination.directional(0.5, 0.0)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
-                          max_steps=800_000)
-
-    # Warm up / compile
-    t = run_batch(domain, surface, source, rng.batch_key(0, 0), config)
-    _ = int(t.n_photons)
-
-    # The remote-TPU relay occasionally stalls a dispatch for seconds;
-    # report the median per-batch rate so one stall doesn't skew the
-    # measurement of the kernel itself.
-    n_batches = 5
-    rates = []
-    for b in range(1, 1 + n_batches):
-        t0 = time.time()
-        t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
-        n = int(t.n_photons)  # host fetch forces completion
-        rates.append(n / (time.time() - t0))
-    rates.sort()
-    rate = rates[len(rates) // 2]
-    print(json.dumps({
-        "metric": "step_cloud_photon_throughput",
-        "value": round(rate, 1),
-        "unit": "photons/sec/chip",
-        "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
-    }))
+    # Full sweep: every metric, headline LAST (the driver parses the final
+    # line). A failing bench emits an error line and the sweep continues.
+    for fn in (bench_multi_component, bench_lw_emission,
+               bench_tabulated_phase, bench_radar, bench_landsat,
+               bench_intensity, bench_step_cloud):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - defensive
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -13,13 +13,31 @@ from __future__ import annotations
 import numpy as np
 
 
-def kahan_cumsum(x: np.ndarray) -> np.ndarray:
+def kahan_cumsum(x: np.ndarray, block: int = 65536) -> np.ndarray:
     """Compensated (Kahan-Neumaier) cumulative sum along the last axis.
 
     Neumaier's variant also survives the case where the running sum is
     smaller than the incoming term, which plain Kahan mishandles.
+
+    Long 1D inputs (production LW domains flatten ~16M voxels into one
+    emission CDF) use a blocked formulation: vectorized f64 ``np.cumsum``
+    within each block (error <= block * eps, ~1e-11 relative) plus a
+    Neumaier-compensated carry across blocks, so the global error stays at
+    the compensated level without a 16M-iteration Python loop.
     """
     x = np.asarray(x, np.float64)
+    if x.ndim == 1 and x.size > 4 * block:
+        out = np.empty_like(x)
+        s = 0.0
+        c = 0.0
+        for i0 in range(0, x.size, block):
+            seg = np.cumsum(x[i0:i0 + block])
+            out[i0:i0 + block] = (s + c) + seg
+            v = float(seg[-1])
+            t = s + v
+            c += (s - t) + v if abs(s) >= abs(v) else (v - t) + s
+            s = t
+        return out
     out = np.empty_like(x)
     s = np.zeros(x.shape[:-1], np.float64)
     c = np.zeros(x.shape[:-1], np.float64)

@@ -261,3 +261,57 @@ def broken_cloud_scene(nx: int = 128, ny: int = 128, nz: int = 64,
         phase_function_index=np.zeros(ext.shape, np.int32),
         phase_function_table=_hg_table(g, n_legendre, "broken-cloud HG"))
     return grid, [comp], None
+
+
+def lw_flagship_scene(nx: int = 325, ny: int = 325, nz: int = 150,
+                      dx: float = 0.1, dy: float = 0.1, dz: float = 0.04,
+                      cloud_base_level: int = 55, cloud_top_level: int = 85,
+                      cloud_beta_max: float = 30.0, cloud_ssa: float = 0.6,
+                      cloud_g: float = 0.85, gas_beta0: float = 0.6,
+                      gas_scale_km: float = 2.0, cloud_fraction: float = 0.7,
+                      t_surface: float = 288.0, lapse_km: float = 6.5,
+                      seed: int = 7, n_legendre: int = 64):
+    """The I3RC broadband-LW benchmark shape: a 325 x 325 x 150 domain
+    (reference: run/I3RC_bench_LW.deck:45 runs LWbench_325x325x150.nml at
+    2000 ranks in <= 1 h). The reference's actual namelist/domain files are
+    not in the repository, so this generator builds the same SHAPE with
+    synthetic content: a spatially correlated stratocumulus layer
+    (longwave single-scattering albedo ~0.6, HG g ~0.85), a horizontally
+    uniform exponentially decaying gas absorber, and a lapse-rate
+    temperature field for the Planck emission weighting.
+
+    Returns (grid, components, temps)."""
+    rs = np.random.RandomState(seed)
+    grid = Grid.regular(nx=int(nx), ny=int(ny), nz=int(nz),
+                        dx=dx, dy=dy, dz=dz)
+    # correlated cloud mask + optical-depth texture
+    f = rs.rand(nx, ny)
+    for _ in range(4):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    cloudy = f > np.quantile(f, 1.0 - cloud_fraction)
+    amp = (f - f.min()) / max(f.max() - f.min(), 1e-9)
+    n_cld = cloud_top_level - cloud_base_level
+    # vertical profile: LWC-like ramp up through the layer
+    zprof = np.linspace(0.3, 1.0, n_cld)
+    ext_cld = np.zeros((nx, ny, n_cld), np.float64)
+    ext_cld[:] = (cloud_beta_max * (amp * cloudy)[:, :, None]
+                  * zprof[None, None, :])
+    cloud = OpticalComponent(
+        name="stratocumulus (LW)", extinction=ext_cld,
+        single_scattering_albedo=np.full_like(ext_cld, cloud_ssa),
+        phase_function_index=np.zeros(ext_cld.shape, np.int32),
+        phase_function_table=_hg_table(cloud_g, n_legendre, "LW cloud HG"),
+        z_level_base=int(cloud_base_level))
+    # horizontally uniform gas absorber (water-vapor-continuum-like decay)
+    z_km = (np.arange(nz) + 0.5) * dz
+    beta_gas = gas_beta0 * np.exp(-z_km / gas_scale_km)
+    gas = OpticalComponent(
+        name="gas absorber", extinction=beta_gas.reshape(1, 1, nz),
+        single_scattering_albedo=np.zeros((1, 1, nz)),
+        phase_function_index=np.zeros((1, 1, nz), np.int32),
+        phase_function_table=PhaseFunctionTable(
+            [PhaseFunction.isotropic()], key=[1.0]))
+    temps = (t_surface - lapse_km * z_km)[None, None, :] + np.zeros(
+        (nx, ny, nz))
+    return grid, [cloud, gas], temps

@@ -58,3 +58,61 @@ def test_step_cloud_golden_fluxes(ssa, mu0):
             f"{name}: got {got:.5f}, frozen golden {want:.5f} "
             f"(ssa={ssa}, mu0={mu0}, 4.5 sigma = {4.5 * sigma:.1e})")
     assert R + T + A == pytest.approx(1.0, abs=2e-4)
+
+
+class TestAnalyticAnchors:
+    """EXTERNAL physics anchors, independent of both implementations.
+
+    The published I3RC consensus tables cannot be transcribed here (no
+    network access in this environment to verify them, and they are not
+    redistributable), so these tests pin the physics to closed-form
+    results instead: Beer-Lambert direct-beam transmission and the
+    pure-absorber limit are exact, implementation-independent oracles for
+    the same step-cloud geometry (reference:
+    Domain-Files/i3rcStepCloud.f95:16-39).
+    """
+
+    @pytest.mark.parametrize("mu0", [1.0, 0.5])
+    def test_direct_beam_transmission(self, mu0):
+        """Order-0 (unscattered) transmitted flux is exactly
+        0.5 exp(-2/mu0) + 0.5 exp(-18/mu0) (Beer-Lambert)."""
+        domain = make_step_cloud(ssa=1.0, n_cdf_steps=2001)
+        config = KernelConfig(n_lanes=1 << 13, photons_per_lane=62,
+                              max_steps=600_000,
+                              record_scattering_orders=1,
+                              use_pallas="off")
+        n_want = 500_000
+        # azimuth 90: the slant is along y (uniform + periodic), so
+        # every ray stays in its x column and the per-column
+        # Beer-Lambert formula is exact (an azimuth-0 slant crosses the
+        # step boundary mid-path, which has no closed form)
+        t = run_batch(domain, Surface.lambertian(0.0),
+                      illumination.directional(mu0, 90.0),
+                      rng.batch_key(11, 0), config, n_photons=n_want)
+        n = int(t.n_photons)
+        t_dir = float(jnp.sum(t.flux_down_by_order[:, :, 0])) / n
+        want = 0.5 * np.exp(-2.0 / mu0) + 0.5 * np.exp(-18.0 / mu0)
+        sigma = np.sqrt(want * (1 - want) / n)
+        assert t_dir == pytest.approx(want, abs=5 * sigma + 1e-5), (
+            f"direct transmission {t_dir:.6f} vs Beer-Lambert {want:.6f}")
+
+    @pytest.mark.parametrize("mu0", [1.0, 0.5])
+    def test_pure_absorber_limit(self, mu0):
+        """ssa = 0: no scattering, so R = 0 exactly, T = Beer-Lambert
+        direct transmission, A = 1 - T (closed form)."""
+        domain = make_step_cloud(ssa=0.0, n_cdf_steps=201)
+        config = KernelConfig(n_lanes=1 << 13, photons_per_lane=62,
+                              max_steps=600_000)
+        n_want = 500_000
+        t = run_batch(domain, Surface.lambertian(0.0),
+                      illumination.directional(mu0, 90.0),
+                      rng.batch_key(13, 0), config, n_photons=n_want)
+        n = int(t.n_photons)
+        R = float(jnp.sum(t.flux_up)) / n
+        T = float(jnp.sum(t.flux_down)) / n
+        A = float(jnp.sum(t.flux_absorbed)) / n
+        want_t = 0.5 * np.exp(-2.0 / mu0) + 0.5 * np.exp(-18.0 / mu0)
+        sigma = np.sqrt(want_t * (1 - want_t) / n)
+        assert R == 0.0
+        assert T == pytest.approx(want_t, abs=5 * sigma + 1e-5)
+        assert A == pytest.approx(1.0 - want_t, abs=5 * sigma + 2e-4)

@@ -8,11 +8,13 @@ Baseline target (BASELINE.md): 1e8 photons/sec/chip on the step cloud.
 Timing uses host value fetches -- block_until_ready is unreliable through
 the remote-TPU relay (see .claude/skills/verify/SKILL.md).
 
-Selective runs: --intensity | --landsat | --lw | --multi | --tabulated |
---radar run just that metric; no flag runs everything.
+Selective runs: --intensity | --landsat | --lw | --flagship | --multi |
+--tabulated | --radar | --step-cloud run just that metric; no flag runs
+the full sweep (each metric in its own subprocess + timeout).
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -274,6 +276,39 @@ def bench_intensity():
     emit("step_cloud_radiance_throughput_6dir", measure(once))
 
 
+def bench_lw_flagship():
+    """The reference's broadband-LW flagship shape: 325 x 325 x 150
+    (run/I3RC_bench_LW.deck ran it at 2,000 ranks in <= 1 h). 15.8M cells
+    exceed every VMEM megakernel envelope, so this measures the XLA wave
+    kernel (HBM record gathers + scatter tallies) with thermal emission,
+    2 components, and the macro majorant."""
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.domain.domain import build_domain
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.scenes.collection import lw_flagship_scene
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.spectral.weights import (absorption_coefficient,
+                                               emission_weighting)
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    grid, comps, temps = lw_flagship_scene()
+    domain = build_domain(grid, comps, temps=temps, macro_factor=8,
+                          n_cdf_steps=201)
+    kabs = absorption_coefficient(comps, grid)
+    w = emission_weighting(grid, temps, kabs, 290.0, 0.95, 10.0)
+    source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                   grid.shape)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=8,
+                          max_steps=200_000, lw_mode=True)
+
+    def once(b):
+        t = run_batch(domain, Surface.lambertian(0.05), source,
+                      rng.batch_key(0, b), config)
+        return int(t.n_photons)
+
+    emit("lw_flagship_325x325x150_throughput", measure(once, 2))
+
+
 def bench_landsat():
     """Landsat-scale throughput: 128x128x64 broken-cloud column-template
     scene through the column megakernel (the reference's I3RC case-4
@@ -327,6 +362,7 @@ SELECTIVE = {
     "--intensity": bench_intensity,
     "--landsat": bench_landsat,
     "--lw": bench_lw_emission,
+    "--flagship": bench_lw_flagship,
     "--multi": bench_multi_component,
     "--tabulated": bench_tabulated_phase,
     "--radar": bench_radar,
@@ -351,15 +387,30 @@ def main():
             fn()
             return
 
-    # Full sweep: every metric, headline LAST (the driver parses the final
-    # line). A failing bench emits an error line and the sweep continues.
-    for fn in (bench_multi_component, bench_lw_emission,
-               bench_tabulated_phase, bench_radar, bench_landsat,
-               bench_intensity, bench_step_cloud):
+    # Full sweep: every metric in its OWN subprocess with its own timeout
+    # (a wedged Mosaic compile must not kill the rest of the sweep; see
+    # PERF_NOTES.md "Relay hazard"), headline LAST (the driver parses the
+    # final line). A failing/timed-out bench emits an error line and the
+    # sweep continues.
+    here = os.path.abspath(__file__)
+    sweep = [("--multi", 900), ("--lw", 900), ("--tabulated", 900),
+             ("--radar", 900), ("--landsat", 900), ("--flagship", 1800),
+             ("--intensity", 900), ("--step-cloud", 900)]
+    for flag, budget in sweep:
         try:
-            fn()
-        except Exception as e:  # pragma: no cover - defensive
-            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
+            r = subprocess.run([sys.executable, here, flag],
+                               capture_output=True, timeout=budget,
+                               text=True)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(json.dumps({"metric": flag.lstrip("-"),
+                                  "error": (r.stderr or "")[-200:]}),
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": flag.lstrip("-"),
+                              "error": f"timeout after {budget}s"}),
                   flush=True)
 
 

@@ -32,11 +32,13 @@ re-uses the wave/VMEM design with:
     absorption is NOT tallied here (configurations that require it fall
     back to the XLA wave kernel).
 
-Eligibility: monochromatic flux(+profile) runs, one all-HG component with
-uniform ssa/g, column-template domains with nx*ny <= 16384 and nz <= 128,
-regular grid, uniform Lambertian surface, directional/random-azimuth/flux
-sources. Reference hot loop being replaced:
-Integrators/monteCarloRadiativeTransfer.f95:393-841.
+Eligibility: monochromatic flux(+profile) runs, one component with uniform
+ssa and either a uniform HG phase (analytic sampling) or a SINGLE-entry
+tabulated inverse-CDF phase (the reference Landsat case's one Mie phase
+function; sampled in-kernel from the paired angle table), column-template
+domains with nx*ny <= 16384 and nz <= 128, regular grid, uniform Lambertian
+surface, directional/random-azimuth/flux sources. Reference hot loop being
+replaced: Integrators/monteCarloRadiativeTransfer.f95:393-841.
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ from mcbrat3d_tpu.transport.pallas_kernel import (
     PallasConfig,
     _bf16_split,
     _make_uniform,
+    _pack_inverse_table,
 )
 
 _TINY = np.float32(1e-30)
@@ -71,11 +74,18 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
                         need_volume_absorption: bool) -> bool:
     """True when the column megakernel covers this configuration exactly."""
     nx, ny, nz = domain.grid.shape
+    # phase sampling: analytic HG with one uniform g, or a SINGLE-entry
+    # tabulated (Mie-class) inverse-CDF table sampled in-kernel (the
+    # reference Landsat case uses one Mie phase function for the whole
+    # scene; reference: Domain-Files/i3rcLandsatCloud.f95:27-40)
+    phase_ok = (domain.all_hg and domain.uniform_hg) or (
+        domain.tables.inverse.shape[0] == 1
+        and domain.tables.inverse.size <= 131072)
     return (
         bool(domain.col_template)
-        and domain.all_hg
+        and phase_ok
         and domain.n_components == 1
-        and domain.uniform_ssa and domain.uniform_hg
+        and domain.uniform_ssa
         and domain.grid.xy_regular and domain.grid.z_regular
         and surface.is_uniform_lambertian
         and source.kind in (illumination.DIRECTIONAL,
@@ -92,7 +102,9 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
 
 
 def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
-                      use_rr: bool, macro_factor: int, nbx: int, nby: int):
+                      use_rr: bool, macro_factor: int, nbx: int, nby: int,
+                      analytic_hg: bool = True, inv_hp: int = 8,
+                      inv_n_steps: int = 0):
     """Close over static shapes; returns the column-mode kernel function."""
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
@@ -103,7 +115,7 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in, blh_in,
-               mcol_ref, mblk_ref, acc_in, accz_in,
+               mcol_ref, mblk_ref, inv_ref, acc_in, accz_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref, blh_ref,
                acc_ref, accz_ref, nstat_ref):
@@ -349,14 +361,43 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                 w = jnp.where(play, jnp.where(survive, rr_w, 0.0), w)
             died_weight = real & (w <= _TINY)
 
-            # ---- HG scattering (uniform g) ----
+            # ---- scattering: analytic HG (uniform g) or single-row
+            # tabulated inverse-CDF angle lookup (Mie-class phase) ----
             scatter = real & ~died_weight
-            g_hg = g_u
-            g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
-            s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
-            ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
-            cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5, 2.0 * u_ang - 1.0,
-                                  jnp.clip(ct, -1.0, 1.0))
+            if analytic_hg:
+                g_hg = g_u
+                g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
+                s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg
+                                            + 2.0 * g_hg * u_ang)
+                ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
+                cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5,
+                                      2.0 * u_ang - 1.0,
+                                      jnp.clip(ct, -1.0, 1.0))
+            else:
+                # row 0 of the stacked inverse table; same paired
+                # (a0 hi/lo, delta) layout as the record kernel
+                # (reference: computeScatteringAngle,
+                # Integrators/monteCarloRadiativeTransfer.f95:1594-1621)
+                t_u = u_ang * np.float32(inv_n_steps - 1)
+                k_i = jnp.clip(t_u.astype(jnp.int32), 0, inv_n_steps - 2)
+                frac_i = t_u - k_i.astype(jnp.float32)
+                lo_i = jnp.bitwise_and(k_i, 127)
+                hi_i = jnp.right_shift(k_i, 7)
+                ohs_i = (lo_i[:, None, :] == iota_sub).astype(jnp.bfloat16)
+                rws_i = [jnp.dot(inv_ref[:], ohs_i[b_i2],
+                                 preferred_element_type=jnp.float32)
+                         for b_i2 in range(blk)]
+                t3i = jnp.stack(rws_i, axis=0)  # [blk, 3*hp, 128]
+                rows_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 3 * inv_hp, 128), 1)
+                a0h = jnp.sum(t3i * (rows_i == hi_i[:, None, :]), axis=1)
+                a0l = jnp.sum(
+                    t3i * (rows_i == (inv_hp + hi_i)[:, None, :]), axis=1)
+                dd = jnp.sum(
+                    t3i * (rows_i == (2 * inv_hp + hi_i)[:, None, :]),
+                    axis=1)
+                angle = (a0h + a0l) + frac_i * dd
+                cos_theta = jnp.cos(angle)
             sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
             cos_phi = jnp.cos(phi_rot)
             sin_phi = jnp.sin(phi_rot)
@@ -530,9 +571,16 @@ def run_batch_pallas_col(domain: OpticalDomain,
         raise ValueError("quota budget overflows int32; split batches")
 
     mcol, mblk, nbx, nby = _pack_col_tables(domain)
+    analytic_hg = bool(domain.all_hg)
+    if analytic_hg:
+        inv_packed = jnp.zeros((24, 128), jnp.bfloat16)
+        inv_hp, inv_n_steps = 8, 0
+    else:
+        inv_packed, inv_hp, inv_n_steps = _pack_inverse_table(domain)
     kernel = _build_kernel_col((nx, ny, nz), pcfg, source.kind,
                                use_russian_roulette, domain.macro_factor,
-                               nbx, nby)
+                               nbx, nby, analytic_hg=analytic_hg,
+                               inv_hp=inv_hp, inv_n_steps=inv_n_steps)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL,
@@ -590,7 +638,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 4),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 5),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -606,8 +654,8 @@ def run_batch_pallas_col(domain: OpticalDomain,
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 2] = n_state      # acc
-    aliases[2 + n_state + 3] = n_state + 1  # accz
+    aliases[2 + n_state + 3] = n_state      # acc
+    aliases[2 + n_state + 4] = n_state + 1  # accz
 
     call = pl.pallas_call(
         kernel,
@@ -628,7 +676,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    mcol, mblk, acc, accz)
+                    mcol, mblk, inv_packed, acc, accz)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         accz = outs[n_state + 1]
@@ -671,10 +719,8 @@ def run_batch_pallas_col_tallies(domain, surface, source, key, config,
     # the bilinear gather materializes [blk, 128, 128] f32 intermediates
     # per field; cap the block size to bound transient VMEM
     if pcfg.block_rows > 32:
-        pcfg = PallasConfig(rows=pcfg.rows, block_rows=32,
-                            steps_per_call=pcfg.steps_per_call,
-                            max_steps=pcfg.max_steps,
-                            interpret=pcfg.interpret)
+        import dataclasses as _dc
+        pcfg = _dc.replace(pcfg, block_rows=32)
     if n_photons is None:
         n_photons = config.photons_per_batch
     fu, fd, ac, az, n_started, n_bad, n_calls = run_batch_pallas_col(

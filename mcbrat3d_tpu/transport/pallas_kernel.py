@@ -109,6 +109,18 @@ class PallasConfig:
     # (reference: Integrators/monteCarloRadiativeTransfer.f95:1623-1832).
     n_dirs: int = 0
     k_dda: int = 0
+    # Iwabuchi-2006 Russian-roulette estimator: the in-kernel march is a
+    # fixed-bound fori (no early-exit win), so the RR branches are applied
+    # POST-march from the full optical depth -- statistically identical to
+    # the reference's early-stopped marches (escape <=> tau_toa below the
+    # branch cap; reference:
+    # Integrators/monteCarloRadiativeTransfer.f95:1753-1813).
+    intensity_rr: bool = False
+    zeta_min: float = 0.3
+    # Phase values for local estimation: "analytic" (HG closed form),
+    # "hybrid" (Gaussian-peak forward table) or "orig" (tabulated
+    # non-hybrid values; required for non-HG domains).
+    intensity_phase: str = "analytic"
     # perf-bisection knob: comma-set of enabled sections out of
     # {gather, tally, exits}; anything disabled is replaced by constants.
     # NOT for production use -- statistics are wrong unless "all".
@@ -165,12 +177,18 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
         domain, surface, source, lw_mode, compute_intensity=False,
         record_scattering_orders=record_scattering_orders,
         use_ray_tracing=use_ray_tracing)
+    fwd = domain.tables.forward
+    hyb_ok = (not icfg.use_hybrid_phase) or (
+        fwd.shape[1] > 1 and (not domain.all_hg or fwd.shape[0] == 1))
     checks = (
-        ("intensity needs an all-HG domain", domain.all_hg),
+        ("intensity needs phase values: an all-HG domain or computed "
+         "forward tables (build_domain(compute_intensity_tables=True))",
+         domain.all_hg or domain.tables.forward_orig.shape[1] > 1),
         ("lw_mode=True (in-kernel estimation is SW-only)", not lw_mode),
-        ("use_russian_roulette=True (in-kernel estimator is exact only)",
-         not icfg.use_russian_roulette),
-        ("use_hybrid_phase=True", not icfg.use_hybrid_phase),
+        ("use_hybrid_phase=True without usable forward tables (need "
+         "compute_intensity_tables=True and, for all-HG domains, a single "
+         "shared table row)", hyb_ok),
+        ("n_orders_orig_phase > 0", icfg.n_orders_orig_phase == 0),
         ("limit_contributions=True", not icfg.limit_contributions),
         (f"n_dirs={icfg.n_dirs} > 8", icfg.n_dirs <= 8),
         (f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
@@ -257,7 +275,7 @@ def _fmix32(x):
     return x
 
 
-_N_SITES = 16  # draw sites per step (static; spare room for new sites)
+_N_SITES = 64  # draw sites per step (16+2d..17+2d: per-direction RR)
 
 
 def _make_uniform(lane_u32, seed_u32, mode: str = "murmur", ctr_f32=None):
@@ -401,7 +419,9 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   analytic_hg: bool = True, inv_hp: int = 8,
                   inv_n_steps: int = 0, n_comp: int = 1,
                   rec_cols: int = REC_COLS, lw: bool = False,
-                  ha: int = 8):
+                  ha: int = 8, use_irr: bool = False,
+                  use_fwd_table: bool = False, fwd_hf: int = 8,
+                  fwd_n_s: int = 0, fwd_row_zero: bool = True):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -447,7 +467,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
                b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref, inv_ref, ea_ref,
-               jmod_ref, acc_in, acci_in,
+               fwd_ref, jmod_ref, acc_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
@@ -1068,9 +1088,50 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     ddy = dirs_ref[1, d_i]
                     ddz = dirs_ref[2, d_i]  # > 0 by eligibility
                     cosb = ux_in0 * ddx + uy_in0 * ddy + uz_in0 * ddz
-                    q_hg = jnp.maximum(
-                        1.0 + g_hg * g_hg - 2.0 * g_hg * cosb, 1e-12)
-                    pv = (1.0 - g_hg * g_hg) / (q_hg * jnp.sqrt(q_hg))
+                    if use_fwd_table:
+                        # tabulated (hybrid or original) phase values: the
+                        # table is resampled uniform in s = sin(theta/2)
+                        # so the index needs only a sqrt (no arccos in
+                        # Mosaic); paired (v0 hi/lo, delta) gather like
+                        # the inverse-CDF table (reference:
+                        # lookUpPhaseFuncValsFromTable,
+                        # Integrators/monteCarloRadiativeTransfer.f95:1834)
+                        s_v = jnp.sqrt(jnp.maximum(
+                            (1.0 - cosb) * 0.5, 0.0))
+                        tpos = s_v * np.float32(fwd_n_s - 1)
+                        k_f = jnp.clip(tpos.astype(jnp.int32), 0,
+                                       fwd_n_s - 2)
+                        frac_f = tpos - k_f.astype(jnp.float32)
+                        if fwd_row_zero:
+                            flat_f = k_f
+                        else:
+                            flat_f = (g_hg.astype(jnp.int32)
+                                      * np.int32(fwd_n_s) + k_f)
+                        lo_f = jnp.bitwise_and(flat_f, 127)
+                        hi_f = jnp.right_shift(flat_f, 7)
+                        ohs_f = (lo_f[:, None, :] == iota_sub_m).astype(
+                            oh_dtype)
+                        rws_f = [jnp.dot(
+                            fwd_ref[:], ohs_f[b_i2],
+                            preferred_element_type=jnp.float32)
+                            for b_i2 in range(blk)]
+                        t3f = jnp.stack(rws_f, axis=0)
+                        rows_f = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk, 3 * fwd_hf, 128), 1)
+                        v0h = jnp.sum(
+                            t3f * (rows_f == hi_f[:, None, :]), axis=1)
+                        v0l = jnp.sum(
+                            t3f * (rows_f == (fwd_hf + hi_f)[:, None, :]),
+                            axis=1)
+                        dd_f = jnp.sum(
+                            t3f * (rows_f ==
+                                   (2 * fwd_hf + hi_f)[:, None, :]),
+                            axis=1)
+                        pv = (v0h + v0l) + frac_f * dd_f
+                    else:
+                        q_hg = jnp.maximum(
+                            1.0 + g_hg * g_hg - 2.0 * g_hg * cosb, 1e-12)
+                        pv = (1.0 - g_hg * g_hg) / (q_hg * jnp.sqrt(q_hg))
                     npf = jnp.where(reflected, np.float32(1.0 / np.pi),
                                     pv / (4.0 * np.pi * ddz))
                     sdx = jnp.where(jnp.abs(ddx) > 1e-12, ddx, 1e-12)
@@ -1136,8 +1197,34 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     nstat_ref[0, 6] = nstat_ref[0, 6] + jnp.sum(
                         (ev & act_f).astype(jnp.float32))
                     hit = ev & ~act_f
-                    contrib = jnp.where(
-                        hit, w_ev * npf * jnp.exp(-tau_f), 0.0)
+                    if use_irr:
+                        # Iwabuchi Eqs 13-14 applied post-march: with the
+                        # full tau_toa known, "the capped march escaped"
+                        # is exactly "tau_toa < cap" (reference:
+                        # Integrators/monteCarloRadiativeTransfer.f95:
+                        # 1753-1813, transport.local_estimate for the XLA
+                        # twin of this logic)
+                        u_i1 = uniform(ctr, 16 + 2 * d_i)
+                        u_itf = uniform(ctr, 17 + 2 * d_i)
+                        tau_free = -jnp.log1p(-u_itf)
+                        zeta = par_ref[0, 19]
+                        npf_pi = np.float32(np.pi) * npf
+                        small_c = npf_pi <= zeta
+                        tau_max = -jnp.log(
+                            zeta / jnp.maximum(npf_pi, _TINY))
+                        w_rrc = w_ev * zeta * np.float32(1.0 / np.pi)
+                        esc_a = hit & (tau_f < tau_free)
+                        c_a = jnp.where(esc_a & (u_i1 * zeta <= npf_pi),
+                                        w_rrc, 0.0)
+                        esc_b = hit & (tau_f < tau_max)
+                        c_b = jnp.where(
+                            esc_b, w_ev * npf * jnp.exp(-tau_f),
+                            jnp.where(hit & (tau_f - tau_max < tau_free),
+                                      w_rrc, 0.0))
+                        contrib = jnp.where(small_c, c_a, c_b)
+                    else:
+                        contrib = jnp.where(
+                            hit, w_ev * npf * jnp.exp(-tau_f), 0.0)
                     ch, cl = _bf16_split(contrib)
                     lo_e = jnp.bitwise_and(ex_col, 127)
                     hi_e = jnp.right_shift(ex_col, 7)
@@ -1330,6 +1417,43 @@ def _pack_tables(domain: OpticalDomain, h_cells: int, rec_cols: int):
     return b.astype(jnp.float32), w_cols
 
 
+def _pack_forward_table(domain, use_hybrid: bool, n_s: int = 2048):
+    """Pack the forward (radiance) phase-value table for in-kernel lookup.
+
+    The stored tables are uniform in ANGLE (reference:
+    tabulateForwardPhaseFunctions, src/opticalProperties.f95:1872-1934),
+    but Mosaic has no arccos; resampling each row onto a uniform
+    s = sin(theta/2) grid makes the in-kernel index a single sqrt
+    (s = sqrt((1 - cos)/2)), with resolution near the forward peak equal
+    to the angle grid's (ds ~ dtheta/2 at theta ~ 0). Rows:
+    [0:hf] v0_hi, [hf:2hf] v0_lo, [2hf:3hf] lerp delta, each an [hf, 128]
+    (hi, lo) block of flat index row * n_s + k.
+    Returns (packed [3*hf, 128] bf16, hf, n_s).
+    """
+    table = (domain.tables.forward if use_hybrid
+             else domain.tables.forward_orig)  # [rows, n_angles]
+    n_rows, n_ang = table.shape
+    angles = jnp.linspace(0.0, np.pi, n_ang)
+    s = jnp.linspace(0.0, 1.0, n_s)
+    theta_s = 2.0 * jnp.arcsin(s)
+    res = jax.vmap(lambda row: jnp.interp(theta_s, angles, row))(table)
+    flat = res.reshape(-1)
+    nxt = jnp.concatenate([flat[1:], flat[-1:]])
+    delta = nxt - flat
+    total = flat.size
+    hf = -(-(-(-total // 128)) // 8) * 8
+
+    def block(v):
+        vp = jnp.pad(v, (0, hf * 128 - total))
+        return vp.reshape(hf, 128)
+
+    v_hi = block(flat).astype(jnp.bfloat16)
+    v_lo = block(flat - v_hi.astype(jnp.float32).reshape(-1)[:total]
+                 ).astype(jnp.bfloat16)
+    d_b = block(delta).astype(jnp.bfloat16)
+    return (jnp.concatenate([v_hi, v_lo, d_b], axis=0), hf, n_s)
+
+
 def _pack_inverse_table(domain: OpticalDomain):
     """Pack the inverse-CDF angle table for in-kernel gathers.
 
@@ -1414,6 +1538,17 @@ def run_batch_pallas(domain: OpticalDomain,
     jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
 
     n_dirs = pcfg.n_dirs
+    # forward (radiance) phase-value table for tabulated/hybrid local
+    # estimation; analytic HG needs none
+    use_fwd_table = n_dirs > 0 and pcfg.intensity_phase != "analytic"
+    if use_fwd_table:
+        fwd_packed, fwd_hf, fwd_n_s = _pack_forward_table(
+            domain, use_hybrid=pcfg.intensity_phase == "hybrid")
+        fwd_row_zero = bool(domain.all_hg)
+    else:
+        fwd_packed, fwd_hf, fwd_n_s = (
+            jnp.zeros((24, 128), jnp.bfloat16), 8, 0)
+        fwd_row_zero = True
     # Walker alias table for emission refills (bf16 hi/lo split rows:
     # prob_hi, prob_lo, alias_hi, alias_lo -- both reconstruct exactly)
     if source.kind == illumination.EMISSION:
@@ -1452,7 +1587,9 @@ def run_batch_pallas(domain: OpticalDomain,
                            hti_pad=hti_pad, analytic_hg=analytic_hg,
                            inv_hp=inv_hp, inv_n_steps=inv_n_steps,
                            n_comp=ncomp, rec_cols=rec_cols,
-                           lw=lw, ha=ha)
+                           lw=lw, ha=ha, use_irr=pcfg.intensity_rr,
+                           use_fwd_table=use_fwd_table, fwd_hf=fwd_hf,
+                           fwd_n_s=fwd_n_s, fwd_row_zero=fwd_row_zero)
     hb_pad = -(-h_cells // 8) * 8
     if n_dirs > 0:
         if not pcfg.bf16:
@@ -1503,11 +1640,12 @@ def run_batch_pallas(domain: OpticalDomain,
         * jnp.cos(jnp.float32(sphi)),
         jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
         * jnp.sin(jnp.float32(sphi)),
-        # emission / spotlight parameters
+        # emission / spotlight / intensity-RR parameters
         jnp.asarray(atms_frac, jnp.float32),   # 16
         jnp.asarray(spot_x, jnp.float32),      # 17
         jnp.asarray(spot_y, jnp.float32),      # 18
-        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(pcfg.zeta_min),            # 19
+        jnp.float32(0.0), jnp.float32(0.0),
         jnp.float32(0.0), jnp.float32(0.0),
     ]).reshape(1, 24)
 
@@ -1556,7 +1694,7 @@ def run_batch_pallas(domain: OpticalDomain,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 6),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 7),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -1573,8 +1711,8 @@ def run_batch_pallas(domain: OpticalDomain,
     ]
     # alias state + acc inputs onto outputs (in-place VMEM residency)
     aliases = {3 + i: i for i in range(n_state)}
-    aliases[3 + n_state + 7] = n_state      # acc
-    aliases[3 + n_state + 8] = n_state + 1  # acc_i
+    aliases[3 + n_state + 8] = n_state      # acc
+    aliases[3 + n_state + 9] = n_state + 1  # acc_i
 
     call = pl.pallas_call(
         kernel,
@@ -1595,8 +1733,8 @@ def run_batch_pallas(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, dirs_a, *[state[k] for k in keys],
-                    b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed, jmod,
-                    acc, acci)
+                    b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
+                    fwd_packed, jmod, acc, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         acci = outs[n_state + 1]
@@ -1694,11 +1832,16 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
         # small march blocks: the per-crossing gather unrolls block_rows
         # MXU dots inside each direction's fori body, and the remote
         # Mosaic compiler scales badly with program size
+        icfg = intensity_config
+        phase = ("hybrid" if icfg.use_hybrid_phase
+                 else ("analytic" if domain.all_hg else "orig"))
         pcfg = _dc.replace(
-            pcfg, n_dirs=intensity_config.n_dirs,
+            pcfg, n_dirs=icfg.n_dirs,
             block_rows=min(pcfg.block_rows, 16),
-            k_dda=dda_iteration_bound(domain.grid,
-                                      intensity_config.pallas_min_mu))
+            k_dda=dda_iteration_bound(domain.grid, icfg.pallas_min_mu),
+            intensity_rr=icfg.use_russian_roulette,
+            zeta_min=icfg.zeta_min,
+            intensity_phase=phase)
     if n_photons is None:
         n_photons = config.photons_per_batch
     out = run_batch_pallas(

@@ -707,3 +707,78 @@ class TestSpotlightSource:
             b = np.asarray(aX) / nX
             sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
             assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
+
+
+class TestIntensityRRHybrid:
+    """The production-default radiance configuration (Iwabuchi Russian
+    roulette + hybrid phase functions) runs in-kernel. The in-kernel march
+    is a fixed-bound fori, so the RR branches are applied POST-march from
+    the full optical depth -- statistically identical to the reference's
+    early-stopped marches (reference:
+    Integrators/monteCarloRadiativeTransfer.f95:1753-1813); hybrid phase
+    values come from a forward table resampled uniform in sin(theta/2)
+    (sqrt-only index, no arccos in Mosaic)."""
+
+    def _compare(self, dom, icfg, dirs, rel):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        ok = pk.pallas_intensity_eligible(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0), lw_mode=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            icfg=icfg, dirs=dirs,
+            dirs_mu_ok=pk.dirs_mu_floor_ok(icfg, dirs))
+        assert ok, "expected megakernel eligibility"
+        cfgX = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                            max_steps=20_000, use_pallas="off")
+        cfgP = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                            max_steps=20_000, use_pallas="on")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(4, 0), cfgX,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        t2 = run_batch(dom, Surface.lambertian(0.2),
+                       illumination.directional(0.5, 0.0),
+                       rng.batch_key(4, 1), cfgP,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        iref = np.asarray(t.intensity) / int(t.n_photons)
+        imk = np.asarray(t2.intensity) / int(t2.n_photons)
+        for d in range(icfg.n_dirs):
+            a, b = iref[:, :, d].mean(), imk[:, :, d].mean()
+            assert b == pytest.approx(a, rel=rel), f"dir {d}: {a} vs {b}"
+
+    def test_rr_hybrid_matches_xla(self):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True,
+                              hybrid_width_deg=10.0)
+        dirs = make_intensity_directions([1.0, 0.5], [0.0, 0.0])
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=True,
+                               use_hybrid_phase=True)
+        self._compare(dom, icfg, dirs, rel=0.08)
+
+    def test_tabulated_phase_intensity_matches_xla(self):
+        """Non-HG domain: in-kernel phase values from the (original)
+        forward table, row resolved through the per-cell phase field."""
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                         PhaseFunctionTable)
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        nx, ny, nz = 16, 1, 16
+        grid = Grid.regular(nx, ny, nz, 500.0 / 16, 500.0, 250.0 / 16)
+        ext = np.full((nx, ny, nz), 8.0 / 250.0)
+        l = np.arange(1, 65, dtype=np.float64)
+        pf = PhaseFunction(coefficients=0.7 * 0.8**l + 0.3 * 0.2**l)
+        tbl = PhaseFunctionTable([pf], key=[1.0])
+        comp = OpticalComponent("mix", ext, np.full_like(ext, 0.99),
+                                np.zeros(ext.shape, np.int32), tbl)
+        dom = build_domain(grid, [comp], n_cdf_steps=201,
+                           compute_intensity_tables=True)
+        assert not dom.all_hg
+        dirs = make_intensity_directions([1.0, 0.6], [0.0, 90.0])
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                               use_hybrid_phase=False)
+        self._compare(dom, icfg, dirs, rel=0.08)

@@ -191,3 +191,62 @@ def test_use_pallas_on_rejects_uncovered_config():
         run_batch(dom, Surface.lambertian(0.2),
                   illumination.directional(0.5, 0.0),
                   rng.batch_key(1, 0), cfg)
+
+
+class TestColumnTabulatedPhase:
+    """Single-entry tabulated (Mie-class) phase in the column megakernel:
+    the reference Landsat configuration's shape (one Mie phase function for
+    the whole scene; reference: Domain-Files/i3rcLandsatCloud.f95:27-40)."""
+
+    def test_matches_xla(self):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                         PhaseFunctionTable)
+        from mcbrat3d_tpu.transport import pallas_col as pc
+        nx, ny, nz = 32, 32, 16
+        rs = np.random.RandomState(1)
+        f = rs.rand(nx, ny)
+        for _ in range(2):
+            f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+                 + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+        cloudy = f > np.quantile(f, 0.5)
+        scale = rs.rand(nx, ny) * 0.06 * cloudy
+        h = np.ceil(f * nz).astype(int) * (scale > 0)
+        scale = scale * (h > 0)
+        ext = np.zeros((nx, ny, nz))
+        for k in range(nz):
+            ext[:, :, k] = np.where(k < h, scale, 0.0)
+        grid = Grid.regular(nx, ny, nz, 30.0, 30.0, 20.0)
+        l = np.arange(1, 129, dtype=np.float64)
+        mie_like = PhaseFunction(
+            coefficients=0.75 * 0.85**l + 0.25 * 0.3**l)  # not HG
+        tbl = PhaseFunctionTable([mie_like], key=[10.0])
+        comp = OpticalComponent("mie cloud", ext, np.full_like(ext, 0.99),
+                                np.zeros(ext.shape, np.int32), tbl)
+        dom = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=2001)
+        assert not dom.all_hg and dom.col_template
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.2)
+        assert pc.pallas_col_eligible(
+            dom, sfc, src, lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=False)
+        cfgP = KernelConfig(n_lanes=2048, photons_per_lane=8,
+                            max_steps=20000, use_pallas="on",
+                            tail_compaction=False,
+                            need_volume_absorption=False)
+        cfgX = KernelConfig(n_lanes=2048, photons_per_lane=8,
+                            max_steps=20000, use_pallas="off",
+                            tail_compaction=False)
+        tP = run_batch(dom, sfc, src, rng.batch_key(0, 0), cfgP)
+        tX = run_batch(dom, sfc, src, rng.batch_key(1, 0), cfgX)
+        nP, nX = float(tP.n_photons), float(tX.n_photons)
+        for aP, aX in ((tP.flux_up, tX.flux_up),
+                       (tP.flux_down, tX.flux_down),
+                       (tP.flux_absorbed, tX.flux_absorbed)):
+            a = np.asarray(aP) / nP
+            b = np.asarray(aX) / nX
+            sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
+            assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.0

@@ -389,14 +389,20 @@ def main():
 
     # Full sweep: every metric in its OWN subprocess with its own timeout
     # (a wedged Mosaic compile must not kill the rest of the sweep; see
-    # PERF_NOTES.md "Relay hazard"), headline LAST (the driver parses the
-    # final line). A failing/timed-out bench emits an error line and the
-    # sweep continues.
+    # PERF_NOTES.md "Relay hazard"). The HEADLINE runs FIRST (so a later
+    # wedge cannot cost it) and its line is re-emitted LAST (the driver
+    # parses the final line). Between benches the device is re-probed and
+    # the sweep waits out relay wedges.
     here = os.path.abspath(__file__)
-    sweep = [("--multi", 900), ("--lw", 900), ("--tabulated", 900),
-             ("--radar", 900), ("--landsat", 900), ("--flagship", 1800),
-             ("--intensity", 900), ("--step-cloud", 900)]
-    for flag, budget in sweep:
+    sweep = [("--step-cloud", 900), ("--multi", 900), ("--lw", 900),
+             ("--tabulated", 900), ("--radar", 900), ("--landsat", 900),
+             ("--intensity", 1200), ("--flagship", 1800)]
+    headline = None
+    for i, (flag, budget) in enumerate(sweep):
+        if i > 0 and not wait_for_device(max_wait_s=3600.0):
+            print(json.dumps({"metric": flag.lstrip("-"),
+                              "error": "device unreachable"}), flush=True)
+            continue
         try:
             r = subprocess.run([sys.executable, here, flag],
                                capture_output=True, timeout=budget,
@@ -404,6 +410,8 @@ def main():
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
+                    if flag == "--step-cloud":
+                        headline = line
             if r.returncode != 0:
                 print(json.dumps({"metric": flag.lstrip("-"),
                                   "error": (r.stderr or "")[-200:]}),
@@ -412,6 +420,9 @@ def main():
             print(json.dumps({"metric": flag.lstrip("-"),
                               "error": f"timeout after {budget}s"}),
                   flush=True)
+    if headline is not None:
+        # repeat the headline as the FINAL line for the driver's parser
+        print(headline, flush=True)
 
 
 if __name__ == "__main__":

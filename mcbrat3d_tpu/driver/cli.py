@@ -141,6 +141,19 @@ def main(argv=None) -> int:
     p_od.add_argument("--surface-albedo", type=float, default=0.0)
     p_od.set_defaults(fn=lambda a: _cmd_optprops(a))
 
+    p_an = sub.add_parser(
+        "analyze",
+        help="summarize results netCDF files (analysis-deck equivalent)")
+    p_an.add_argument("files", nargs="+")
+
+    def _cmd_analyze(a):
+        from mcbrat3d_tpu.tools.analyze_results import summarize
+        for f in a.files:
+            print(summarize(f))
+        return 0
+
+    p_an.set_defaults(fn=_cmd_analyze)
+
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -200,6 +200,13 @@ class TestEndToEndCLI:
             assert np.all(up >= 0)
             assert int(nc.totalPhotons) == 3 * 4096
 
+        # analysis-deck equivalent: the summary must parse the file and
+        # carry the photon count and a sane energy budget
+        from mcbrat3d_tpu.tools.analyze_results import summarize
+        rep = summarize(nc_path)
+        assert "totalPhotons" in rep and "fluxUp" in rep
+        assert "energy budget" in rep
+
 
 class TestAutoMesh:
     def test_auto_mesh_uses_all_devices(self):

@@ -68,6 +68,11 @@ def run_batch_sharded(domain: OpticalDomain,
     dispatches to the jitted sharded implementation with the result as a
     static flag."""
     from mcbrat3d_tpu.transport import pallas_kernel as _pk
+    if (intensity_config is not None
+            and domain.tables.forward_orig.shape[1] == 1):
+        raise ValueError(
+            "intensity requested but the domain has no forward phase "
+            "tables; build the domain with compute_intensity_tables=True")
     dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
     return _run_batch_sharded_impl(
         domain, surface, source, seed, global_batch, config, mesh,

@@ -271,6 +271,15 @@ def run_batch(domain: OpticalDomain,
     path is refused and the XLA estimator runs instead.
     """
     from mcbrat3d_tpu.transport import pallas_kernel as _pk
+    if (intensity_config is not None
+            and domain.tables.forward_orig.shape[1] == 1):
+        # Without tabulated forward phase functions the XLA estimator
+        # reads a zeros placeholder and silently produces ~zero radiance
+        # (the reference always tabulates them for intensity runs;
+        # reference: Integrators/monteCarloRadiativeTransfer.f95:280-285).
+        raise ValueError(
+            "intensity requested but the domain has no forward phase "
+            "tables; build the domain with compute_intensity_tables=True")
     dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
     return _run_batch_impl(domain, surface, source, key, config,
                            intensity_config, intensity_dirs, n_photons,

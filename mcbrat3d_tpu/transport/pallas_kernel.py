@@ -190,7 +190,7 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
          "shared table row)", hyb_ok),
         ("n_orders_orig_phase > 0", icfg.n_orders_orig_phase == 0),
         ("limit_contributions=True", not icfg.limit_contributions),
-        (f"n_dirs={icfg.n_dirs} > 8", icfg.n_dirs <= 8),
+        (f"n_dirs={icfg.n_dirs} > 32", icfg.n_dirs <= 32),
         (f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
          tuple(dirs.shape) == (3, icfg.n_dirs)),
         ("a direction's mu is below icfg.pallas_min_mu (or dirs were "
@@ -299,8 +299,11 @@ def _make_uniform(lane_u32, seed_u32, mode: str = "murmur", ctr_f32=None):
         return u_cheap
 
     def u(counter, site):
+        # site may be a traced int32 (direction-fori local estimation)
+        site_u = (np.uint32(site) if isinstance(site, int)
+                  else site.astype(jnp.uint32))
         c = (counter * np.uint32(_N_SITES)
-             + np.uint32(site)) * np.uint32(0x9E37_79B9)
+             + site_u) * np.uint32(0x9E37_79B9)
         x = _fmix32(lane_u32 ^ c)
         x = _fmix32(x ^ seed_u32 ^ (c * np.uint32(0x8564_9F3D)))
         # Mosaic lacks a uint32 -> f32 cast; after >> 8 the value fits in
@@ -1083,7 +1086,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 iota_je = jax.lax.broadcasted_iota(
                     jnp.int32, (hti_pad, 1, 1), 0)
                 dn_i = (((1,), (1,)), ((), ()))
-                for d_i in range(n_dirs):
+
+                def le_one_direction(d_i):
                     ddx = dirs_ref[0, d_i]
                     ddy = dirs_ref[1, d_i]
                     ddz = dirs_ref[2, d_i]  # > 0 by eligibility
@@ -1145,9 +1149,22 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         act = act_i > 0
                         pxw = x0 + jnp.mod(px - x0, lx)
                         pyw = y0 + jnp.mod(py - y0, ly)
-                        ixm = jnp.clip(((pxw - x0) * inv_dx).astype(
+                        # INDEX-SPACE directional nudge: the position
+                        # nudge (ds + nudge) rounds away in f32 at large
+                        # coordinates, landing steps exactly ON faces;
+                        # for negative-direction components the truncated
+                        # index then names the cell being LEFT and the
+                        # march stalls until k_dda (silently dropping the
+                        # contribution). Biasing the continuous index by
+                        # +-1e-4 cells along the march direction assigns
+                        # face-landings to the cell being ENTERED for
+                        # either sign.
+                        nde = np.float32(1e-4)
+                        ixm = jnp.clip(((pxw - x0) * inv_dx
+                                        + jnp.sign(ddx) * nde).astype(
                             jnp.int32), 0, nx - 1)
-                        iym = jnp.clip(((pyw - y0) * inv_dy).astype(
+                        iym = jnp.clip(((pyw - y0) * inv_dy
+                                        + jnp.sign(ddy) * nde).astype(
                             jnp.int32), 0, ny - 1)
                         izm = jnp.clip(((pz - z0) * inv_dz).astype(
                             jnp.int32), 0, nz - 1)
@@ -1244,8 +1261,22 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                                 preferred_element_type=jnp.float32))
                         iout = d_ if iout is None else iout + d_
                     r0 = d_i * hti_pad
-                    acci_ref[r0:r0 + hti_pad] = (
-                        acci_ref[r0:r0 + hti_pad] + iout)
+                    acci_ref[pl.ds(r0, hti_pad)] = (
+                        acci_ref[pl.ds(r0, hti_pad)] + iout)
+
+                if n_dirs <= 6:
+                    # unrolled: small programs compile fastest in Mosaic
+                    for d_u in range(n_dirs):
+                        le_one_direction(d_u)
+                else:
+                    # many directions: fori over a traced direction index
+                    # keeps the program size independent of n_dirs (the
+                    # unrolled form blows up remote Mosaic compiles)
+                    def _dir_body(d_t, c_t):
+                        le_one_direction(d_t)
+                        return c_t
+
+                    jax.lax.fori_loop(0, n_dirs, _dir_body, 0)
 
             x_ref[sl], y_ref[sl], z_ref[sl] = x, y, z
             ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz

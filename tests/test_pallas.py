@@ -782,3 +782,55 @@ class TestIntensityRRHybrid:
         icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
                                use_hybrid_phase=False)
         self._compare(dom, icfg, dirs, rel=0.08)
+
+
+class TestManyDirectionsAllQuadrants:
+    """Regression for the negative-direction march stall (round-3 find):
+    in-kernel local estimation must match the XLA path in EVERY azimuth
+    quadrant (the f32 position nudge used to round away on faces, stalling
+    marches for directions with negative x/y components and silently
+    dropping ~half their contributions), and n_dirs > 6 exercises the
+    fori-over-directions path."""
+
+    def test_eight_directions_match_xla(self):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True)
+        mus = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4]
+        phis = [0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]
+        dirs = make_intensity_directions(mus, phis)
+        icfg = IntensityConfig(n_dirs=8, use_russian_roulette=False,
+                               use_hybrid_phase=False, pallas_min_mu=0.4)
+        cfgX = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                            max_steps=20000, use_pallas="off")
+        cfgP = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                            max_steps=20000, use_pallas="on")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(4, 0), cfgX,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        t2 = run_batch(dom, Surface.lambertian(0.2),
+                       illumination.directional(0.5, 0.0),
+                       rng.batch_key(4, 1), cfgP,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        iref = np.asarray(t.intensity) / int(t.n_photons)
+        imk = np.asarray(t2.intensity) / int(t2.n_photons)
+        assert int(t2.n_bad) == 0  # no truncated marches
+        for d in range(8):
+            a, b = iref[:, :, d].mean(), imk[:, :, d].mean()
+            assert b == pytest.approx(a, rel=0.10), (
+                f"dir {d} (phi {phis[d]}): xla {a} vs pallas {b}")
+
+    def test_missing_forward_tables_raise(self):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, n_cdf_steps=201)  # no tables
+        dirs = make_intensity_directions([1.0], [0.0])
+        icfg = IntensityConfig(n_dirs=1)
+        cfg = KernelConfig(n_lanes=256, photons_per_lane=1, max_steps=100)
+        with pytest.raises(ValueError, match="forward phase"):
+            run_batch(dom, Surface.lambertian(0.0),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(0, 0), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)

@@ -253,18 +253,20 @@ def bench_intensity():
         IntensityConfig, make_intensity_directions)
 
     domain = make_step_cloud(ssa=0.99, macro_factor=8,
-                             compute_intensity_tables=True)
+                             compute_intensity_tables=True,
+                             hybrid_width_deg=10.0)
     surface = Surface.lambertian(0.0)
     source = illumination.directional(0.5, 0.0)
     dirs = make_intensity_directions(
         [1.0, 0.8, 0.6, 0.4, 0.6, 0.8],
         [0.0, 0.0, 0.0, 0.0, 180.0, 180.0])
-    # Exact (non-RR) estimator: megakernel-eligible, so the in-kernel
-    # DDA march per direction runs with one-hot gathers instead of the
-    # XLA path's 400-us-per-crossing gathers. All bench dirs have
-    # mu >= 0.4, which sizes the static march bound.
-    icfg = IntensityConfig(n_dirs=6, use_russian_roulette=False,
-                           use_hybrid_phase=False, pallas_min_mu=0.4)
+    # PRODUCTION-DEFAULT estimator config (Iwabuchi RR + hybrid phase) --
+    # megakernel-eligible since round 3, so the in-kernel DDA march per
+    # direction runs with one-hot gathers instead of the XLA path's
+    # 400-us-per-crossing gathers. All bench dirs have mu >= 0.4, which
+    # sizes the static march bound.
+    icfg = IntensityConfig(n_dirs=6, use_russian_roulette=True,
+                           use_hybrid_phase=True, pallas_min_mu=0.4)
     config = KernelConfig(n_lanes=1 << 16, photons_per_lane=4,
                           max_steps=100_000)
 

@@ -577,3 +577,55 @@ class TestVectorizedLWSetup:
         w = emission_weighting(common.grid, common.temps, kabs, 0.0,
                                1.0, lam_um, d_lambda=d_lambda[0])
         np.testing.assert_allclose(got[0], w.total_flux, rtol=1e-12)
+
+
+class TestBroadbandLWFastPathDispatch:
+    """The PRODUCTION broadband-LW per-bin configuration (gas absXsec +
+    particle volExt components from an SSP table, thermal emission source,
+    lw_mode) must land inside the record-megakernel envelope -- round-2's
+    lesson: assert the dispatch predicate, never assume it
+    (reference workload: Drivers/monteCarloDriver.f95:889-1129)."""
+
+    def test_per_bin_domain_is_pallas_eligible(self):
+        from mcbrat3d_tpu.domain.common import CommonDomain
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        r = np.random.RandomState(0)
+        nx, ny, nz, n_lambda = 8, 8, 6, 3
+        grid = Grid.regular(nx, ny, nz, 0.5, 0.5, 0.25)
+        temps = 250.0 + 40.0 * r.rand(nx, ny, nz)
+        num_conc = 1e24 * (1.0 + r.rand(nx, ny, nz))
+        mass = r.rand(1, nx, ny, nz)
+        reff = 5.0 + 10.0 * r.rand(1, nx, ny, nz)
+        common = CommonDomain(grid=grid, temps=temps, num_conc=num_conc,
+                              mass_conc=mass, reff=reff)
+        freq = C / (np.linspace(8.0, 12.0, n_lambda) * 1e-6)
+        key = np.array([4.0, 10.0, 16.0])
+        ext = 1.0 + r.rand(3, n_lambda)
+        ssa = 0.3 + 0.5 * r.rand(3, n_lambda)
+        starts = np.ones((3, n_lambda), np.int64)
+        lengths = np.full((3, n_lambda), 2, np.int64)
+        coeffs = 0.5 * r.rand(2, n_lambda)
+        pc = SSPComponent(name="cloud", ext_type="volExt", key=key,
+                          extinction=ext, ssa=ssa, legendre_start=starts,
+                          legendre_length=lengths, legendre_coeffs=coeffs)
+        gc = SSPComponent(name="gas", ext_type="absXsec",
+                          xsec=1e-26 * (1.0 + r.rand(nz, n_lambda)))
+        tbl = SSPTable(freq_hz=freq, surface_albedo=0.05 * np.ones(n_lambda),
+                       components=[pc, gc])
+
+        comps, albedo, lam_um = components_from_ssp(
+            common, [tbl], 1, setup=False, calc_rayleigh=False)
+        domain = build_domain(grid, comps, n_cdf_steps=501,
+                              temps=common.temps)
+        kabs = absorption_coefficient(comps, grid)
+        w = emission_weighting(grid, common.temps, kabs, 290.0,
+                               1.0 - albedo, lam_um)
+        source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                       grid.shape)
+        assert source.em_prob is not None  # alias table built eagerly
+        assert domain.n_components == 2 and not domain.all_hg
+        reasons = pk.ineligibility_reasons(
+            domain, Surface.lambertian(albedo), source,
+            lw_mode=True, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+        assert reasons == [], reasons

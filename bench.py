@@ -400,8 +400,17 @@ def main():
              ("--tabulated", 900), ("--radar", 900), ("--landsat", 900),
              ("--intensity", 1200), ("--flagship", 1800)]
     headline = None
+    sweep_deadline = time.time() + 2.5 * 3600.0  # global sweep budget
     for i, (flag, budget) in enumerate(sweep):
-        if i > 0 and not wait_for_device(max_wait_s=3600.0):
+        remaining = sweep_deadline - time.time()
+        if remaining < 120.0:
+            print(json.dumps({"metric": flag.lstrip("-"),
+                              "error": "sweep budget exhausted"}),
+                  flush=True)
+            continue
+        budget = min(budget, remaining)
+        if i > 0 and not wait_for_device(
+                max_wait_s=min(3600.0, remaining - 60.0)):
             print(json.dumps({"metric": flag.lstrip("-"),
                               "error": "device unreachable"}), flush=True)
             continue

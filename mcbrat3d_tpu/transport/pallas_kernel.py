@@ -184,7 +184,7 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
         ("intensity needs phase values: an all-HG domain or computed "
          "forward tables (build_domain(compute_intensity_tables=True))",
          domain.all_hg or domain.tables.forward_orig.shape[1] > 1),
-        ("lw_mode=True (in-kernel estimation is SW-only)", not lw_mode),
+
         ("use_hybrid_phase=True without usable forward tables (need "
          "compute_intensity_tables=True and, for all-HG domains, a single "
          "shared table row)", hyb_ok),
@@ -646,7 +646,17 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 suy = s_sin * jnp.sin(s_phi)
                 birth_cell = v_cell
                 atm_emit = need & from_atm
+                # LW radiance: freshly emitted lanes contribute their
+                # emission local estimate THIS step and start transport
+                # next step, so every lane has at most one LE march per
+                # step (reference credits emission to the radiances at
+                # photon birth: Integrators/
+                # monteCarloRadiativeTransfer.f95:510-542)
+                fresh_hold = need if (lw and n_dirs > 0) else None
+                sfc_emit = need & ~from_atm
             else:
+                fresh_hold = None
+                sfc_emit = None
                 x = jnp.where(need, x0 + u0 * lx, x)
                 y = jnp.where(need, y0 + u1 * ly, y)
                 z = jnp.where(need, z_max - z_eps, z)
@@ -733,6 +743,12 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
             exit_bot = alive & ~exit_top & (zn <= z0)
             moved = alive & ~exit_top & ~exit_bot
             collide = moved & ~clipped
+            if fresh_hold is not None:
+                # held lanes neither move nor tally this step
+                exit_top = exit_top & ~fresh_hold
+                exit_bot = exit_bot & ~fresh_hold
+                moved = moved & ~fresh_hold
+                collide = collide & ~fresh_hold
 
             # boundary crossing point (for exit tallies + reflection)
             if "nocoord" in part_set:  # perf bisection only
@@ -1051,6 +1067,12 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 sy = jnp.where(reflected, ye, yc)
                 sz = jnp.where(reflected, z0 + z_eps, zc)
                 w_ev = jnp.where(reflected, w_refl, w_int)
+                if fresh_hold is not None:
+                    ev = ev | fresh_hold
+                    sx = jnp.where(fresh_hold, x, sx)
+                    sy = jnp.where(fresh_hold, y, sy)
+                    sz = jnp.where(fresh_hold, z, sz)
+                    w_ev = jnp.where(fresh_hold, 1.0, w_ev)
                 dxc_ = lx / nx
                 dyc_ = ly / ny
                 dzc_ = lz / nz
@@ -1138,6 +1160,13 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         pv = (1.0 - g_hg * g_hg) / (q_hg * jnp.sqrt(q_hg))
                     npf = jnp.where(reflected, np.float32(1.0 / np.pi),
                                     pv / (4.0 * np.pi * ddz))
+                    if fresh_hold is not None:
+                        # emission events: isotropic 1/(4 pi mu_d) for the
+                        # atmosphere, Lambertian 1/pi for the surface
+                        npf = jnp.where(
+                            atm_emit, 1.0 / (4.0 * np.pi * ddz),
+                            jnp.where(sfc_emit,
+                                      np.float32(1.0 / np.pi), npf))
                     sdx = jnp.where(jnp.abs(ddx) > 1e-12, ddx, 1e-12)
                     sdy = jnp.where(jnp.abs(ddy) > 1e-12, ddy, 1e-12)
 

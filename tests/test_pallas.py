@@ -834,3 +834,60 @@ class TestManyDirectionsAllQuadrants:
                       illumination.directional(0.5, 0.0),
                       rng.batch_key(0, 0), cfg,
                       intensity_config=icfg, intensity_dirs=dirs)
+
+
+class TestLWIntensityInKernel:
+    """LW radiance in-kernel: freshly emitted lanes contribute their
+    emission local estimate on a held first step (one LE march per lane
+    per step), then transport normally. Anchored to the exact isothermal
+    blackbody result: an optically thick isothermal atmosphere over a
+    black surface at the same temperature radiates B_lambda(T) into every
+    upward direction (reference physics:
+    Integrators/monteCarloRadiativeTransfer.f95:504-542, 1688-1696)."""
+
+    def test_isothermal_blackbody_radiance(self):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.core.planck import planck_radiance
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                         PhaseFunctionTable)
+        from mcbrat3d_tpu.spectral.weights import (absorption_coefficient,
+                                                   emission_weighting)
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        T, lam = 288.0, 10.0
+        nx, ny, nz = 4, 4, 8
+        grid = Grid.regular(nx, ny, nz, 0.25, 0.25, 0.25)
+        temps = np.full((nx, ny, nz), T)
+        ext = np.full((nx, ny, nz), 6.0)  # tau 12: effectively black
+        tbl = PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0])
+        comp = OpticalComponent("abs", ext, np.zeros_like(ext),
+                                np.zeros(ext.shape, np.int32), tbl)
+        domain = build_domain(grid, [comp], temps=temps, n_cdf_steps=101,
+                              compute_intensity_tables=True)
+        kabs = absorption_coefficient([comp], grid)
+        w = emission_weighting(grid, temps, kabs, T, 1.0, lam)
+        source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                       grid.shape)
+        dirs = make_intensity_directions([1.0, 0.6], [0.0, 90.0])
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                               use_hybrid_phase=False, pallas_min_mu=0.5)
+        assert pk.pallas_intensity_eligible(
+            domain, Surface.lambertian(0.0), source, lw_mode=True,
+            record_scattering_orders=0, use_ray_tracing=False,
+            icfg=icfg, dirs=dirs,
+            dirs_mu_ok=pk.dirs_mu_floor_ok(icfg, dirs))
+        cfg = KernelConfig(n_lanes=1 << 13, photons_per_lane=8,
+                           max_steps=4000, use_pallas="on",
+                           tail_compaction=False, lw_mode=True)
+        t = run_batch(domain, Surface.lambertian(0.0), source,
+                      rng.batch_key(0, 0), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        tn = t.normalized(domain.grid)
+        B = planck_radiance(lam, T)
+        assert int(t.n_bad) == 0
+        for d in range(2):
+            L = float(np.asarray(tn.intensity)[:, :, d].mean()) * w.flux
+            assert L == pytest.approx(B, rel=0.05), (d, L, B)

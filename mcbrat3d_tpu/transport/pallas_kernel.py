@@ -121,6 +121,13 @@ class PallasConfig:
     # "hybrid" (Gaussian-peak forward table) or "orig" (tabulated
     # non-hybrid values; required for non-HG domains).
     intensity_phase: str = "analytic"
+    # Early-exit radiance march: lax.while_loop over crossings (stops when
+    # every lane in the block finished) instead of a fixed k_dda fori.
+    # Identical results; expected 2-4x on march cost (most marches finish
+    # far below the worst-case bound). Off by default until the Mosaic
+    # compile path is validated on hardware (round-1 saw while_loop
+    # compile hangs; see PERF_NOTES "Relay hazard").
+    march_while: bool = False
     # perf-bisection knob: comma-set of enabled sections out of
     # {gather, tally, exits}; anything disabled is replaced by constants.
     # NOT for production use -- statistics are wrong unless "all".
@@ -1232,7 +1239,20 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     i32z = jnp.zeros((blk, 128), jnp.int32)
                     carry_m = (sx, sy, sz, z32,
                                ev.astype(jnp.int32), i32z)
-                    carry_m = jax.lax.fori_loop(0, k_dda, m_body, carry_m)
+                    if pcfg.march_while:
+                        # early-exit variant: stop as soon as every lane
+                        # in the block exited (capped at k_dda crossings)
+                        def w_cond(c):
+                            return (jnp.sum(c[1][4]) > 0) & (c[0] < k_dda)
+
+                        def w_body(c):
+                            return (c[0] + 1, m_body(c[0], c[1]))
+
+                        _, carry_m = jax.lax.while_loop(
+                            w_cond, w_body, (jnp.int32(0), carry_m))
+                    else:
+                        carry_m = jax.lax.fori_loop(0, k_dda, m_body,
+                                                    carry_m)
                     _, _, _, tau_f, act_fi, ex_col = carry_m
                     act_f = act_fi > 0
                     # lanes still marching after k_dda never exited: their

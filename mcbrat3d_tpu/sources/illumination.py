@@ -67,6 +67,9 @@ class Source:
     # traced (then only the XLA searchsorted path is available).
     em_prob: jax.Array = None
     em_alias: jax.Array = None
+    # [n_vox, 2] stack of (em_prob, em_alias) so the XLA sampling path
+    # fetches both with ONE row gather (HBM gathers cost per row index).
+    em_packed: jax.Array = None
 
 
 def directional(solar_mu: float, solar_azimuth_deg: float) -> Source:
@@ -121,11 +124,15 @@ def emission(voxel_cdf, atms_fraction, grid_shape) -> Source:
         prob, alias = _walker_alias(pk)
         em_prob = jnp.asarray(prob, jnp.float32)
         em_alias = jnp.asarray(alias, jnp.float32)  # f32-exact (< 2^24)
+        em_packed = jnp.stack([em_prob, em_alias], axis=1)  # one gather
+    else:
+        em_packed = None
     return Source(kind=EMISSION,
                   voxel_cdf=jnp.asarray(voxel_cdf, jnp.float32),
                   atms_fraction=jnp.float32(atms_fraction),
                   grid_shape=(int(nx), int(ny), int(nz)),
-                  em_prob=em_prob, em_alias=em_alias)
+                  em_prob=em_prob, em_alias=em_alias,
+                  em_packed=em_packed)
 
 
 def _load_alias_native():
@@ -229,26 +236,50 @@ def sample(source: Source, key: jax.Array, n: int):
                 jnp.full((n,), -source.solar_mu),
                 jnp.full((n,), source.solar_azimuth))
     if source.kind == EMISSION:
-        return _sample_emission(source, [u(i) for i in range(7)], n)
+        return _sample_emission(source, [u(i) for i in range(7)], n, key)
     raise ValueError(f"unknown source kind {source.kind!r}")
 
 
-def _sample_emission(source: Source, u, n: int):
-    """BBEmission: atmosphere-vs-surface split, voxel CDF bisection,
-    uniform position within the voxel, isotropic (atm) / Lambertian-up
-    (surface) directions (reference: src/monteCarloIllumination.f95:431-522).
+def _sample_emission(source: Source, u, n: int, key=None):
+    """BBEmission: atmosphere-vs-surface split, voxel sampling, uniform
+    position within the voxel, isotropic (atm) / Lambertian-up (surface)
+    directions (reference: src/monteCarloIllumination.f95:431-522).
+
+    Voxel sampling uses the Walker alias table when one exists (two HBM
+    gathers) and falls back to CDF bisection (log2(n_vox) sequential
+    gathers -- at flagship scale, 24 x ~400 us PER STEP, which alone
+    capped the 325x325x150 LW run near 5e4 photons/s). Both sample the
+    exact same voxel PMF; the reference's level/col/voxel scans are
+    collapsed the same way (src/monteCarloIllumination.f95:495-498).
     """
     nx, ny, nz = source.grid_shape
     from_atm = u[0] < source.atms_fraction
+    n_vox = nx * ny * nz
 
-    # --- atmospheric photons: one deviate bisected through the voxel CDF
-    # (the reference collapses level/col/voxel scans into one search;
-    #  reference: src/monteCarloIllumination.f95:495-498) ---
-    flat = jnp.searchsorted(source.voxel_cdf, u[1]).astype(jnp.int32)
-    flat = jnp.clip(flat, 0, nx * ny * nz - 1)
-    ik = flat // (ny * nx)
-    ij = (flat // nx) % ny
-    ii = flat % nx
+    if source.em_packed is not None and key is not None:
+        # Walker alias: uniform bin + accept-or-redirect. ONE packed
+        # [n_vox, 2] row gather (HBM gathers cost per row index, not per
+        # byte). Dedicated streams 7/8: reusing u[1]'s fractional part
+        # would leave no entropy at n_vox ~ 2^24. NOTE the alias table is
+        # in KERNEL flat order (ix*ny + iy)*nz + iz, unlike the CDF.
+        bin_ = jax.random.randint(jax.random.fold_in(key, 7), (n,),
+                                  0, n_vox, dtype=jnp.int32)
+        acc = jax.random.uniform(jax.random.fold_in(key, 8), (n,),
+                                 dtype=jnp.float32)
+        row = jnp.take(source.em_packed, bin_, axis=0)  # [n, 2]
+        flat = jnp.where(acc < row[:, 0], bin_,
+                         row[:, 1].astype(jnp.int32))
+        flat = jnp.clip(flat, 0, n_vox - 1)
+        ii = flat // (ny * nz)
+        ij = (flat // nz) % ny
+        ik = flat % nz
+    else:
+        # CDF bisection fallback, [nz, ny, nx] C-order
+        flat = jnp.searchsorted(source.voxel_cdf, u[1]).astype(jnp.int32)
+        flat = jnp.clip(flat, 0, n_vox - 1)
+        ik = flat // (ny * nx)
+        ij = (flat // nx) % ny
+        ii = flat % nx
     # Uniform position within the voxel, in fractional coordinates
     xf_a = (ii.astype(jnp.float32) + u[2]) / nx
     yf_a = (ij.astype(jnp.float32) + u[3]) / ny

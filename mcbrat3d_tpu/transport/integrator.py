@@ -281,15 +281,26 @@ def run_batch(domain: OpticalDomain,
             "intensity requested but the domain has no forward phase "
             "tables; build the domain with compute_intensity_tables=True")
     dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
+    # per-direction march plan (formulation + static bound) from the
+    # concrete direction cosines -- inside the jitted impl the dirs are
+    # tracers and the megakernel would fall back to loose global bounds
+    march_plan = None
+    try:
+        march_plan = _pk.plan_march(domain.grid, intensity_config,
+                                    intensity_dirs)
+    except (TypeError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass
     return _run_batch_impl(domain, surface, source, key, config,
                            intensity_config, intensity_dirs, n_photons,
-                           debug_state=debug_state, dirs_mu_ok=dirs_mu_ok)
+                           debug_state=debug_state, dirs_mu_ok=dirs_mu_ok,
+                           march_plan=march_plan)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "intensity_config", "debug_state",
-                     "dirs_mu_ok"),
+                     "dirs_mu_ok", "march_plan"),
 )
 def _run_batch_impl(domain: OpticalDomain,
                     surface: Surface,
@@ -300,7 +311,8 @@ def _run_batch_impl(domain: OpticalDomain,
                     intensity_dirs: Optional[jax.Array] = None,
                     n_photons: Optional[jax.Array] = None,
                     debug_state: bool = False,
-                    dirs_mu_ok: bool = False) -> Tallies:
+                    dirs_mu_ok: bool = False,
+                    march_plan=None) -> Tallies:
     cfg = config
 
     # ---- TPU fast path: VMEM-resident Pallas megakernel ----
@@ -320,7 +332,8 @@ def _run_batch_impl(domain: OpticalDomain,
                     domain, surface, source, key, cfg, n_photons,
                     interpret=not on_tpu,
                     intensity_config=intensity_config,
-                    intensity_dirs=intensity_dirs)
+                    intensity_dirs=intensity_dirs,
+                    march_plan=march_plan)
         else:
             eligible = _pk.pallas_eligible(
                 domain, surface, source,

@@ -53,6 +53,14 @@ class IntensityConfig:
     # lowering this value (longer marches) or are handled there anyway
     # when other eligibility conditions fail.
     pallas_min_mu: float = 0.15
+    # Megakernel march formulation: "auto" (default) picks PER DIRECTION
+    # between "colct" (per-column cumulative-tau tables, one gather per
+    # COLUMN crossing -- exact, few but costlier iterations; wins for
+    # steep directions) and "cell" (per-cell-face DDA -- cheap per
+    # iteration; wins for shallow directions) using a crossing-count x
+    # per-iteration cost model on the concrete direction cosines. See
+    # transport.pallas_kernel.PallasConfig.march_mode/march_dirs.
+    pallas_march: str = "auto"
 
 
 def make_intensity_directions(mus, phis_deg) -> jax.Array:

@@ -128,6 +128,28 @@ class PallasConfig:
     # compile path is validated on hardware (round-1 saw while_loop
     # compile hangs; see PERF_NOTES "Relay hazard").
     march_while: bool = False
+    # Radiance march formulation (global fallback; see march_dirs):
+    #   "colct": per-COLUMN cumulative-optical-depth tables. Within one
+    #     column, integral(beta dl) over a slant segment is exactly
+    #     (CT(z_in) - CT(z_out)) / mu with CT the piecewise-linear
+    #     cumulative vertical optical depth to TOA, so the march needs
+    #     ONE one-hot gather per horizontal (column) crossing instead of
+    #     one per cell face -- z-crossings cost nothing. Fewer, but
+    #     individually costlier, iterations (taller table + the 4-row
+    #     interpolation-weight reduce).
+    #   "cell" (default): per-cell-face DDA with a beta gather per
+    #     crossing (reference-shaped; cheap per iteration).
+    march_mode: str = "cell"
+    # per-direction march formulation ("cell"/"colct", unrolled
+    # n_dirs <= 6 path): steep directions cross few columns and want
+    # colct; shallow ones want cell. Chosen host-side by the crossing
+    # x cost model in run_batch_pallas_tallies. Empty = march_mode.
+    march_dirs: tuple = ()
+    # per-direction static march bounds (unrolled n_dirs <= 6 path): a
+    # nadir direction crosses ~1 column while the shallowest crosses
+    # dozens, so bounding each direction separately cuts total march
+    # iterations several-fold. Empty = use k_dda for every direction.
+    k_dda_dirs: tuple = ()
     # perf-bisection knob: comma-set of enabled sections out of
     # {gather, tally, exits}; anything disabled is replaced by constants.
     # NOT for production use -- statistics are wrong unless "all".
@@ -431,7 +453,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   rec_cols: int = REC_COLS, lw: bool = False,
                   ha: int = 8, use_irr: bool = False,
                   use_fwd_table: bool = False, fwd_hf: int = 8,
-                  fwd_n_s: int = 0, fwd_row_zero: bool = True):
+                  fwd_n_s: int = 0, fwd_row_zero: bool = True,
+                  hm_ct: int = 0, hb_cell: int = 0, nzp: int = 0):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -470,8 +493,13 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     oh_dtype = jnp.bfloat16 if pcfg.bf16 else jnp.float32
 
     n_dirs, k_dda = pcfg.n_dirs, pcfg.k_dda
-
-    hb_pad = -(-h_cells // 8) * 8  # march beta-table rows (8-padded)
+    # per-direction march formulation ("cell"/"colct"): the combined
+    # march table in bm_hi packs the colct 3-split block (rows
+    # [0, 3*hm_ct)) followed by the cell hi/lo block (rows
+    # [3*hm_ct, 3*hm_ct + 2*hb_cell)); each gather dots only its block
+    march_dirs = (pcfg.march_dirs if len(pcfg.march_dirs) == n_dirs
+                  else (pcfg.march_mode,) * n_dirs)
+    c0_cell = 3 * hm_ct
 
     def kernel(scal_ref, par_ref, dirs_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
@@ -1086,37 +1114,64 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 nudge = 1e-6 * jnp.minimum(dzc_, jnp.minimum(dxc_, dyc_))
                 iota_sub_m = jax.lax.broadcasted_iota(
                     jnp.int32, (blk, 128, 128), 1)
-                iota_hb_m = jax.lax.broadcasted_iota(
-                    jnp.int32, (blk, hb_pad, 128), 1)
+                any_cell_m = any(m != "colct" for m in march_dirs)
+                any_ct_m = any(m == "colct" for m in march_dirs)
+                iota_cell_m = (jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, hb_cell, 128), 1)
+                    if any_cell_m else None)
+                iota_ct_m = (jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, hm_ct, 128), 1)
+                    if any_ct_m else None)
+
+                def gather_t3(idx_lo):
+                    # cell march table: hi/lo bf16 splits stacked in the
+                    # cell block of the combined table -- ONE
+                    # [2*hb_cell, 128] dot per block row, folded (the
+                    # round-2 form dotted hi and lo separately: 2x the
+                    # MXU instructions for the same MACs)
+                    ohs_m = (idx_lo[:, None, :] == iota_sub_m).astype(
+                        oh_dtype)
+                    tab = bm_hi_ref[c0_cell:c0_cell + 2 * hb_cell]
+                    rws = []
+                    for b_i2 in range(blk):
+                        tb = jnp.dot(tab, ohs_m[b_i2],
+                                     preferred_element_type=jnp.float32)
+                        rws.append(tb[:hb_cell] + tb[hb_cell:2 * hb_cell])
+                    return jnp.stack(rws, axis=0)  # [blk, hb_cell, 128]
+
+                def gather_ct3(idx_lo):
+                    # colct march table: THREE stacked bf16 splits of the
+                    # per-column cumulative optical depth (CT magnitudes
+                    # reach the column total tau, so a 2-way split's
+                    # ~2^-17 * CT absolute error would leak ~1e-3 into
+                    # small segment DIFFERENCES; 3 splits reconstruct to
+                    # ~2^-27 * CT). One taller dot per block row, folded
+                    # IMMEDIATELY so the live transient is [hm_ct, 128]
+                    # per row, not a [blk, 3*hm_ct, 128] f32 stack.
+                    ohs_m = (idx_lo[:, None, :] == iota_sub_m).astype(
+                        oh_dtype)
+                    tab = bm_hi_ref[0:3 * hm_ct]
+                    rws = []
+                    for b_i2 in range(blk):
+                        tb = jnp.dot(tab, ohs_m[b_i2],
+                                     preferred_element_type=jnp.float32)
+                        rws.append(tb[:hm_ct] + tb[hm_ct:2 * hm_ct]
+                                   + tb[2 * hm_ct:3 * hm_ct])
+                    return jnp.stack(rws, axis=0)  # [blk, hm_ct, 128]
 
                 def gather_beta(cellm):
-                    # dedicated single-field table [hb_pad, 128lo]: the
+                    # dedicated single-field table [hb_cell, 128lo]: the
                     # march needs only extinction, so the dot and the
                     # sublane extraction are ~REC_COLS*h/hb narrower than
                     # the full record gather
-                    lo_m = jnp.bitwise_and(cellm, 127)
-                    ohs_m = (lo_m[:, None, :] == iota_sub_m).astype(
-                        oh_dtype)
-                    rws = []
-                    for b_i2 in range(blk):
-                        tb = jnp.dot(bm_hi_ref[:], ohs_m[b_i2],
-                                     preferred_element_type=jnp.float32)
-                        if pcfg.bf16:
-                            tb = tb + jnp.dot(
-                                bm_lo_ref[:], ohs_m[b_i2],
-                                preferred_element_type=jnp.float32)
-                        rws.append(tb)
-                    t3m = jnp.stack(rws, axis=0)  # [blk, hb_pad, 128]
+                    t3m = gather_t3(jnp.bitwise_and(cellm, 127))
                     hi_m = jnp.right_shift(cellm, 7)
-                    s3m = t3m * (iota_hb_m ==
+                    s3m = t3m * (iota_cell_m ==
                                  hi_m[:, None, :]).astype(jnp.float32)
                     return jnp.sum(s3m, axis=1)
 
-                iota_je = jax.lax.broadcasted_iota(
-                    jnp.int32, (hti_pad, 1, 1), 0)
-                dn_i = (((1,), (1,)), ((), ()))
-
-                def le_one_direction(d_i):
+                def le_one_direction(d_i, k_this=k_dda,
+                                     mode_this=pcfg.march_mode):
                     ddx = dirs_ref[0, d_i]
                     ddy = dirs_ref[1, d_i]
                     ddz = dirs_ref[2, d_i]  # > 0 by eligibility
@@ -1148,18 +1203,23 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                             fwd_ref[:], ohs_f[b_i2],
                             preferred_element_type=jnp.float32)
                             for b_i2 in range(blk)]
+                        # one shared fwd_hf-row hi mask, applied to the
+                        # three stacked fields (v0 hi, v0 lo, delta) as
+                        # SLICED views: they share the hi row index, so
+                        # each reduce runs over fwd_hf rows instead of
+                        # 3*fwd_hf -- the previous three full-height
+                        # reduces were 3x the VPU work and showed up as
+                        # per-direction fixed cost
                         t3f = jnp.stack(rws_f, axis=0)
                         rows_f = jax.lax.broadcasted_iota(
-                            jnp.int32, (blk, 3 * fwd_hf, 128), 1)
-                        v0h = jnp.sum(
-                            t3f * (rows_f == hi_f[:, None, :]), axis=1)
+                            jnp.int32, (blk, fwd_hf, 128), 1)
+                        m3 = (rows_f == hi_f[:, None, :]).astype(
+                            jnp.float32)
+                        v0h = jnp.sum(t3f[:, :fwd_hf] * m3, axis=1)
                         v0l = jnp.sum(
-                            t3f * (rows_f == (fwd_hf + hi_f)[:, None, :]),
-                            axis=1)
+                            t3f[:, fwd_hf:2 * fwd_hf] * m3, axis=1)
                         dd_f = jnp.sum(
-                            t3f * (rows_f ==
-                                   (2 * fwd_hf + hi_f)[:, None, :]),
-                            axis=1)
+                            t3f[:, 2 * fwd_hf:3 * fwd_hf] * m3, axis=1)
                         pv = (v0h + v0l) + frac_f * dd_f
                     else:
                         q_hg = jnp.maximum(
@@ -1235,23 +1295,119 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         return (pxw + ddx * ds, pyw + ddy * ds, pz2,
                                 tau, act.astype(jnp.int32), ex_col)
 
+                    nzf = np.float32(nz)
+
+                    def m_body_ct(it, carry, sdx=sdx, sdy=sdy, ddx=ddx,
+                                  ddy=ddy, ddz=ddz):
+                        # Column-crossing march: one gather per COLUMN
+                        # crossed. Within a column the slant-path optical
+                        # depth is exact from the per-column cumulative
+                        # vertical optical depth CT (piecewise linear in
+                        # z): integral(beta dl) = (CT(z_in)-CT(z_out))/mu
+                        # (beta is cellwise constant, dl = dz/mu). z-face
+                        # crossings therefore cost nothing; only
+                        # horizontal (x/y face) crossings take an MXU
+                        # gather -- typically ~5x fewer than cell faces.
+                        px, py, pz, tau, act_i, ex_col = carry
+                        act = act_i > 0
+                        pxw = x0 + jnp.mod(px - x0, lx)
+                        pyw = y0 + jnp.mod(py - y0, ly)
+                        # index-space directional nudge, as in the cell
+                        # march: face landings must name the column being
+                        # ENTERED for either direction sign
+                        nde = np.float32(1e-4)
+                        ixm = jnp.clip(((pxw - x0) * inv_dx
+                                        + jnp.sign(ddx) * nde).astype(
+                            jnp.int32), 0, nx - 1)
+                        iym = jnp.clip(((pyw - y0) * inv_dy
+                                        + jnp.sign(ddy) * nde).astype(
+                            jnp.int32), 0, ny - 1)
+                        col = ixm * ny + iym
+                        t3m = gather_ct3(jnp.bitwise_and(col, 127))
+                        hi_m = jnp.right_shift(col, 7)
+                        fx = jnp.where(ddx >= 0, ixm + 1, ixm).astype(
+                            jnp.float32) * dxc_ + x0
+                        fy = jnp.where(ddy >= 0, iym + 1, iym).astype(
+                            jnp.float32) * dyc_ + y0
+                        # singleton axes never change the column (the
+                        # wrap re-enters the same column), so their faces
+                        # need no crossings at all
+                        if nx == 1:
+                            tx = _BIG_F
+                        else:
+                            tx = jnp.where(jnp.abs(ddx) > 1e-12,
+                                           (fx - pxw) / sdx, _BIG_F)
+                        if ny == 1:
+                            ty = _BIG_F
+                        else:
+                            ty = jnp.where(jnp.abs(ddy) > 1e-12,
+                                           (fy - pyw) / sdy, _BIG_F)
+                        # distance nudge: at a wrap seam the truncated
+                        # index can name the column whose face is AT the
+                        # current position (tx = 0), so a bare max(.., 0)
+                        # stalls forever -- same hazard the cell march
+                        # covers with ds + nudge
+                        th = jnp.maximum(jnp.minimum(tx, ty), 0.0) + nudge
+                        tt = (z_max - pz) / ddz
+                        top = tt <= th
+                        z_exit = jnp.where(top, z_max, pz + ddz * th)
+                        # CT rows: base + k selects level k of THIS
+                        # column; linear interpolation in the continuous
+                        # level u is exact (CT piecewise linear). The
+                        # (r+1) weights vanish exactly when u hits the
+                        # top level, so they never leak into the next
+                        # column's row block.
+                        u_in = jnp.clip((pz - z0) * inv_dz, 0.0, nzf)
+                        u_out = jnp.clip((z_exit - z0) * inv_dz, 0.0, nzf)
+                        k_in = jnp.clip(u_in.astype(jnp.int32), 0, nz - 1)
+                        f_in = u_in - k_in.astype(jnp.float32)
+                        k_out = jnp.clip(u_out.astype(jnp.int32), 0, nz)
+                        f_out = u_out - k_out.astype(jnp.float32)
+                        base = hi_m * np.int32(nzp)
+                        r_in = base + k_in
+                        r_out = base + k_out
+                        z3 = np.float32(0.0)
+                        w3 = (jnp.where(iota_ct_m == r_in[:, None, :],
+                                        (1.0 - f_in)[:, None, :], z3)
+                              + jnp.where(
+                                  iota_ct_m == (r_in + 1)[:, None, :],
+                                  f_in[:, None, :], z3)
+                              - jnp.where(
+                                  iota_ct_m == r_out[:, None, :],
+                                  (1.0 - f_out)[:, None, :], z3)
+                              - jnp.where(
+                                  iota_ct_m == (r_out + 1)[:, None, :],
+                                  f_out[:, None, :], z3))
+                        seg = jnp.sum(t3m * w3, axis=1)  # CT_in - CT_out
+                        tau = jnp.where(act, tau + seg / ddz, tau)
+                        newly = act & top
+                        # the final segment stays within one column, so
+                        # the TOA exit column IS the current column
+                        ex_col = jnp.where(newly, col, ex_col)
+                        act = act & ~top
+                        return (pxw + ddx * th, pyw + ddy * th,
+                                pz + ddz * th, tau,
+                                act.astype(jnp.int32), ex_col)
+
+                    march_body = (m_body_ct if mode_this == "colct"
+                                  else m_body)
                     z32 = jnp.zeros((blk, 128), jnp.float32)
                     i32z = jnp.zeros((blk, 128), jnp.int32)
                     carry_m = (sx, sy, sz, z32,
                                ev.astype(jnp.int32), i32z)
                     if pcfg.march_while:
                         # early-exit variant: stop as soon as every lane
-                        # in the block exited (capped at k_dda crossings)
+                        # in the block exited (capped at k_this crossings)
                         def w_cond(c):
-                            return (jnp.sum(c[1][4]) > 0) & (c[0] < k_dda)
+                            return (jnp.sum(c[1][4]) > 0) & (c[0] < k_this)
 
                         def w_body(c):
-                            return (c[0] + 1, m_body(c[0], c[1]))
+                            return (c[0] + 1, march_body(c[0], c[1]))
 
                         _, carry_m = jax.lax.while_loop(
                             w_cond, w_body, (jnp.int32(0), carry_m))
                     else:
-                        carry_m = jax.lax.fori_loop(0, k_dda, m_body,
+                        carry_m = jax.lax.fori_loop(0, k_this, march_body,
                                                     carry_m)
                     _, _, _, tau_f, act_fi, ex_col = carry_m
                     act_f = act_fi > 0
@@ -1291,38 +1447,53 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     else:
                         contrib = jnp.where(
                             hit, w_ev * npf * jnp.exp(-tau_f), 0.0)
-                    ch, cl = _bf16_split(contrib)
-                    lo_e = jnp.bitwise_and(ex_col, 127)
+                    if "noletally" in part_set:
+                        # perf-bisection: skip the per-direction tally
+                        # contraction (statistics wrong; timing only)
+                        return
+                    # K-merged factorized scatter (same structure as the
+                    # flux tally): ONE [hti_pad, blk*128] x [blk*128, 128]
+                    # dot pair for the whole block. The round-2 form
+                    # looped `for b in range(blk)` over per-row skinny
+                    # dots with mid-dim slices (a[:, b, :]) -- each slice
+                    # relayouts, and the 2*blk dots per DIRECTION per
+                    # program cost ~92 us/dir, 66x the whole flux step.
                     hi_e = jnp.right_shift(ex_col, 7)
-                    ohs_e = (lo_e[:, None, :] == iota_sub_m).astype(
+                    # [blk, LANE, lo] orientation (matches _onehot_lo):
+                    # _tally_contract's K-merge reshapes (blk, lane) into
+                    # the contraction dim and keeps lo as the output
+                    lo_e = jnp.bitwise_and(ex_col, 127)
+                    iota_lane_e = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 128, 128), 2)
+                    ohs_e = (lo_e[:, :, None] == iota_lane_e).astype(
                         jnp.bfloat16)
-                    ohh_e = iota_je == hi_e[None, :, :]
-                    zb = jnp.bfloat16(0)
-                    a_he = jnp.where(ohh_e, ch[None, :, :], zb)
-                    a_le = jnp.where(ohh_e, cl[None, :, :], zb)
-                    iout = None
-                    for b_i2 in range(blk):
-                        d_ = (jax.lax.dot_general(
-                            a_he[:, b_i2, :], ohs_e[b_i2], dn_i,
-                            preferred_element_type=jnp.float32)
-                            + jax.lax.dot_general(
-                                a_le[:, b_i2, :], ohs_e[b_i2], dn_i,
-                                preferred_element_type=jnp.float32))
-                        iout = d_ if iout is None else iout + d_
+                    iout = _tally_contract(ohs_e, hi_e, contrib, None,
+                                           True, ht=hti_pad)
                     r0 = d_i * hti_pad
                     acci_ref[pl.ds(r0, hti_pad)] = (
                         acci_ref[pl.ds(r0, hti_pad)] + iout)
 
                 if n_dirs <= 6:
-                    # unrolled: small programs compile fastest in Mosaic
+                    # unrolled: small programs compile fastest in Mosaic,
+                    # and each direction gets its own (much tighter)
+                    # static march bound AND march formulation (steep
+                    # directions cross few columns -> colct; shallow ones
+                    # cross many -> the cheaper-per-iteration cell DDA)
                     for d_u in range(n_dirs):
-                        le_one_direction(d_u)
+                        if len(pcfg.k_dda_dirs) == n_dirs:
+                            le_one_direction(d_u, pcfg.k_dda_dirs[d_u],
+                                             march_dirs[d_u])
+                        else:
+                            le_one_direction(d_u,
+                                             mode_this=march_dirs[d_u])
                 else:
                     # many directions: fori over a traced direction index
                     # keeps the program size independent of n_dirs (the
-                    # unrolled form blows up remote Mosaic compiles)
+                    # unrolled form blows up remote Mosaic compiles); one
+                    # march formulation for all directions
                     def _dir_body(d_t, c_t):
-                        le_one_direction(d_t)
+                        le_one_direction(d_t,
+                                         mode_this=march_dirs[0])
                         return c_t
 
                     jax.lax.fori_loop(0, n_dirs, _dir_body, 0)
@@ -1564,6 +1735,27 @@ def _pack_inverse_table(domain: OpticalDomain):
     return (jnp.concatenate([a_hi, a_lo, d_b], axis=0), hp, n_steps)
 
 
+def _obj_cache(obj, key, build):
+    """Per-object memo for packed device tables.
+
+    The packed tables (records, inverse CDF, forward phase, alias,
+    march/CT) depend only on the domain/source arrays and a few static
+    knobs -- NOT on the batch key -- yet the launcher used to rebuild
+    them EAGERLY on every run_batch call. Through the axon relay each
+    eager dispatch costs ~100 ms of latency, so a radiance batch paid
+    more for table prep than for the kernel (measured: 1.4-2.9 s/batch
+    of launcher overhead; the colct CT build alone was ~1.5 s/batch).
+    Frozen dataclasses still carry __dict__, so object.__setattr__
+    installs the memo without thawing them."""
+    c = getattr(obj, "_pallas_table_cache", None)
+    if c is None:
+        c = {}
+        object.__setattr__(obj, "_pallas_table_cache", c)
+    if key not in c:
+        c[key] = build()
+    return c[key]
+
+
 def run_batch_pallas(domain: OpticalDomain,
                      surface: Surface,
                      source: illumination.Source,
@@ -1599,7 +1791,8 @@ def run_batch_pallas(domain: OpticalDomain,
         inv_packed = jnp.zeros((24, 128), jnp.bfloat16)
         inv_hp, inv_n_steps = 8, 0
     else:
-        inv_packed, inv_hp, inv_n_steps = _pack_inverse_table(domain)
+        inv_packed, inv_hp, inv_n_steps = _obj_cache(
+            domain, ("inv",), lambda: _pack_inverse_table(domain))
     # wide tables: shrink the block so the sublane gathers'
     # [blk, rows, 128] f32 transients stay a few MB
     if (h_cells > 128 or inv_hp > 128) and pcfg.block_rows > 16:
@@ -1607,23 +1800,27 @@ def run_batch_pallas(domain: OpticalDomain,
         pcfg = _dc2.replace(pcfg, block_rows=16)
     ncomp = domain.n_components
     rec_cols = REC_COLS if ncomp == 1 else 8
-    b_tab, w_cols = _pack_tables(domain, h_cells, rec_cols)
-    if pcfg.bf16:
-        # bf16 hi/lo split of the record table (B = hi + lo to ~2^-17)
-        b_hi = b_tab.astype(jnp.bfloat16)
-        b_lo = (b_tab - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    else:
-        b_hi, b_lo = b_tab, jnp.zeros_like(b_tab)
-    # tiled-hi table for the tally contraction: jmod[j] = j % ht
-    jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
+    def _build_b():
+        b_tab, w_cols = _pack_tables(domain, h_cells, rec_cols)
+        if pcfg.bf16:
+            # bf16 hi/lo split of the record table (B = hi+lo to ~2^-17)
+            b_hi = b_tab.astype(jnp.bfloat16)
+            b_lo = (b_tab - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        else:
+            b_hi, b_lo = b_tab, jnp.zeros_like(b_tab)
+        return b_tab, b_hi, b_lo, w_cols
 
+    b_tab, b_hi, b_lo, w_cols = _obj_cache(
+        domain, ("btab", rec_cols, pcfg.bf16), _build_b)
     n_dirs = pcfg.n_dirs
     # forward (radiance) phase-value table for tabulated/hybrid local
     # estimation; analytic HG needs none
     use_fwd_table = n_dirs > 0 and pcfg.intensity_phase != "analytic"
     if use_fwd_table:
-        fwd_packed, fwd_hf, fwd_n_s = _pack_forward_table(
-            domain, use_hybrid=pcfg.intensity_phase == "hybrid")
+        _hyb = pcfg.intensity_phase == "hybrid"
+        fwd_packed, fwd_hf, fwd_n_s = _obj_cache(
+            domain, ("fwd", _hyb),
+            lambda: _pack_forward_table(domain, use_hybrid=_hyb))
         fwd_row_zero = bool(domain.all_hg)
     else:
         fwd_packed, fwd_hf, fwd_n_s = (
@@ -1640,52 +1837,101 @@ def run_batch_pallas(domain: OpticalDomain,
             raise ValueError("in-kernel emission requires the bf16 pipeline")
         ha = -(-h_cells // 8) * 8
 
-        def _blockify(vec):
-            vp = jnp.pad(vec.astype(jnp.float32),
-                         (0, ha * 128 - vec.shape[0]))
-            return vp.reshape(ha, 128)
+        def _build_ea():
+            def _blockify(vec):
+                vp = jnp.pad(vec.astype(jnp.float32),
+                             (0, ha * 128 - vec.shape[0]))
+                return vp.reshape(ha, 128)
 
-        pb = _blockify(source.em_prob)
-        ab = _blockify(source.em_alias)
-        pb_hi = pb.astype(jnp.bfloat16)
-        pb_lo = (pb - pb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ab_hi = ab.astype(jnp.bfloat16)
-        ab_lo = (ab - ab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ea_packed = jnp.concatenate([pb_hi, pb_lo, ab_hi, ab_lo], axis=0)
+            pb = _blockify(source.em_prob)
+            ab = _blockify(source.em_alias)
+            pb_hi = pb.astype(jnp.bfloat16)
+            pb_lo = (pb - pb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ab_hi = ab.astype(jnp.bfloat16)
+            ab_lo = (ab - ab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.concatenate([pb_hi, pb_lo, ab_hi, ab_lo], axis=0)
+
+        ea_packed = _obj_cache(source, ("ea", ha), _build_ea)
     else:
         ha = 8
         ea_packed = jnp.zeros((4 * ha, 128), jnp.bfloat16)
     lw = bool(lw_mode) and source.kind == illumination.EMISSION
     hti_pad = -(-(-(-nxy // 128)) // 8) * 8  # ceil8(ceil(nxy / 128))
-    kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols, h_cells,
-                           ht, use_russian_roulette,
-                           uniform_ssa=ncomp == 1 and domain.uniform_ssa,
-                           uniform_hg=ncomp == 1 and (
-                               domain.uniform_hg if analytic_hg
-                               else domain.tables.inverse.shape[0] == 1),
-                           macro_factor=domain.macro_factor,
-                           hti_pad=hti_pad, analytic_hg=analytic_hg,
-                           inv_hp=inv_hp, inv_n_steps=inv_n_steps,
-                           n_comp=ncomp, rec_cols=rec_cols,
-                           lw=lw, ha=ha, use_irr=pcfg.intensity_rr,
-                           use_fwd_table=use_fwd_table, fwd_hf=fwd_hf,
-                           fwd_n_s=fwd_n_s, fwd_row_zero=fwd_row_zero)
-    hb_pad = -(-h_cells // 8) * 8
+    # march table for in-kernel local estimation (bm_hi/bm_lo slots):
+    # "colct" packs per-COLUMN cumulative vertical optical depth
+    # CT[col, k] = sum_{j >= k} beta[col, j] * dz (row = col_hi*nzp + k,
+    # lane = col_lo); "cell" packs per-cell beta (row = cell_hi)
+    nzp = nz + 1
+    if n_dirs > 0:
+        m_dirs = (pcfg.march_dirs if len(pcfg.march_dirs) == n_dirs
+                  else (pcfg.march_mode,) * n_dirs)
+        need_ct = any(m == "colct" for m in m_dirs)
+        need_cell = any(m != "colct" for m in m_dirs)
+    else:
+        m_dirs = ()
+        need_ct = need_cell = False
+
+    def _build_march():
+        # Combined march table: colct 3-split block (rows [0, 3*hm_ct))
+        # followed by the cell hi/lo block (rows
+        # [3*hm_ct, 3*hm_ct + 2*hb_cell)); each in-kernel gather dots
+        # only its own block, so unused rows cost VMEM, not MXU time.
+        parts = []
+        hm_ct_b = hb_cell_b = 0
+        if need_ct:
+            hc_col = -(-nxy // 128)
+            dz_v = (grid.z_edges[-1] - grid.z_edges[0]) / nz
+            b2 = domain.cell_records[:, 0].reshape(nxy, nz)
+            ct = jnp.concatenate(
+                [jnp.cumsum(b2[:, ::-1], axis=1)[:, ::-1]
+                 * jnp.asarray(dz_v, jnp.float32),
+                 jnp.zeros((nxy, 1), jnp.float32)], axis=1)  # [nxy, nz+1]
+            ctp = jnp.pad(ct, ((0, hc_col * 128 - nxy), (0, 0)))
+            ct_tab = (ctp.reshape(hc_col, 128, nzp).transpose(0, 2, 1)
+                      .reshape(hc_col * nzp, 128))
+            hm_ct_b = -(-hc_col * nzp // 8) * 8
+            ct_pad = jnp.pad(ct_tab,
+                             ((0, hm_ct_b - hc_col * nzp), (0, 0)))
+            # THREE stacked bf16 splits (CT magnitudes reach the column
+            # total tau; segment differences need absolute accuracy
+            # ~2^-27 * CT, beyond a 2-way split)
+            s1 = ct_pad.astype(jnp.bfloat16)
+            r1 = ct_pad - s1.astype(jnp.float32)
+            s2 = r1.astype(jnp.bfloat16)
+            s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts += [s1, s2, s3]
+        if need_cell:
+            hb_cell_b = -(-h_cells // 8) * 8
+            # march beta table [hb, 128lo] (transposed, single field),
+            # hi/lo bf16 splits stacked for a single folded dot
+            bm_t = jnp.pad(b_tab[:, 0::rec_cols].T,
+                           ((0, hb_cell_b - h_cells), (0, 0)))
+            mh_c = bm_t.astype(jnp.bfloat16)
+            parts += [mh_c,
+                      (bm_t - mh_c.astype(jnp.float32)).astype(
+                          jnp.bfloat16)]
+        return jnp.concatenate(parts, axis=0), hm_ct_b, hb_cell_b
+
     if n_dirs > 0:
         if not pcfg.bf16:
             raise ValueError("in-kernel local estimation requires the "
                              "bf16 pipeline")
         dirs_a = jnp.asarray(intensity_dirs, jnp.float32)
-        # march beta table [hb_pad, 128lo] (transposed, single field)
-        bm = jnp.pad(b_tab[:, 0::rec_cols].T,
-                     ((0, hb_pad - h_cells), (0, 0)))
-        bm_hi = bm.astype(jnp.bfloat16)
-        bm_lo = (bm - bm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bm_hi, hm_ct, hb_cell = _obj_cache(
+            domain, ("march", need_ct, need_cell, rec_cols), _build_march)
+        bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
     else:
         dirs_a = jnp.zeros((3, 1), jnp.float32)
         bm_hi = bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
+        hm_ct = hb_cell = 0
 
-    beta_max = jnp.maximum(domain.max_extinction, _TINY)
+    # The quota-rebalance sums quotas in int32: the total must stay below
+    # 2^31 or the sum wraps and zeroes every quota mid-run.
+    if n_lanes * photons_per_lane >= 2 ** 31:
+        raise ValueError(
+            f"n_lanes*photons_per_lane = {n_lanes * photons_per_lane} "
+            f"overflows the int32 quota budget; split into more batches")
+
     if source.kind in (illumination.DIRECTIONAL, illumination.RANDOM_AZIMUTH,
                        illumination.SPOTLIGHT):
         smu = source.solar_mu
@@ -1699,165 +1945,230 @@ def run_batch_pallas(domain: OpticalDomain,
               if source.kind == illumination.SPOTLIGHT else 0.0)
     spot_y = (source.solar_y
               if source.kind == illumination.SPOTLIGHT else 0.0)
-    ge = grid.x_edges, grid.y_edges, grid.z_edges
-    params = jnp.stack([
-        beta_max, 1.0 / beta_max,
-        surface.params.reshape(-1)[0],
-        jnp.asarray(smu, jnp.float32), jnp.asarray(sphi, jnp.float32),
-        jnp.float32(russian_roulette_weight),
-        ge[0][0], ge[0][-1] - ge[0][0],
-        ge[1][0], ge[1][-1] - ge[1][0],
-        ge[2][0], ge[2][-1] - ge[2][0],
-        # uniform-ssa / uniform-field2 scalars (field 2 = HG g for
-        # analytic domains, phase index for tabulated ones)
-        domain.cell_records[0, 2 + domain.n_components],
-        (domain.cell_records[0, 2 + 3 * domain.n_components]
-         if domain.all_hg
-         else domain.cell_records[0, 2 + 2 * domain.n_components]),
-        # DIRECTIONAL beam horizontal cosines (constants; refill reads
-        # them instead of recomputing cos/sin/sqrt every step)
-        jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
-        * jnp.cos(jnp.float32(sphi)),
-        jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
-        * jnp.sin(jnp.float32(sphi)),
-        # emission / spotlight / intensity-RR parameters
-        jnp.asarray(atms_frac, jnp.float32),   # 16
-        jnp.asarray(spot_x, jnp.float32),      # 17
-        jnp.asarray(spot_y, jnp.float32),      # 18
-        jnp.float32(pcfg.zeta_min),            # 19
-        jnp.float32(0.0), jnp.float32(0.0),
-        jnp.float32(0.0), jnp.float32(0.0),
-    ]).reshape(1, 24)
 
-    # per-lane quotas (clamped by the traced n_photons, like run_batch).
-    # The quota-rebalance sums quotas in int32: the total must stay below
-    # 2^31 or the sum wraps and zeroes every quota mid-run.
-    if n_lanes * photons_per_lane >= 2 ** 31:
-        raise ValueError(
-            f"n_lanes*photons_per_lane = {n_lanes * photons_per_lane} "
-            f"overflows the int32 quota budget; split into more batches")
-    if n_photons is None:
-        quota0 = jnp.full((rows, 128), photons_per_lane, jnp.int32)
-    else:
-        cap = n_lanes * photons_per_lane
-        n_ph = jnp.minimum(jnp.asarray(n_photons, jnp.int32), cap)
-        lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
-                  + jnp.arange(128, dtype=jnp.int32)[None, :])
-        quota0 = (n_ph // n_lanes) + (lane_i < (n_ph % n_lanes)).astype(
-            jnp.int32)
+    kb_kwargs = dict(
+        uniform_ssa=bool(ncomp == 1 and domain.uniform_ssa),
+        uniform_hg=bool(ncomp == 1 and (
+            domain.uniform_hg if analytic_hg
+            else domain.tables.inverse.shape[0] == 1)),
+        macro_factor=int(domain.macro_factor),
+        hti_pad=hti_pad, analytic_hg=analytic_hg,
+        inv_hp=inv_hp, inv_n_steps=inv_n_steps,
+        n_comp=ncomp, rec_cols=rec_cols,
+        lw=lw, ha=ha, use_irr=pcfg.intensity_rr,
+        use_fwd_table=use_fwd_table, fwd_hf=fwd_hf,
+        fwd_n_s=fwd_n_s, fwd_row_zero=fwd_row_zero,
+        hm_ct=hm_ct, hb_cell=hb_cell, nzp=nzp)
+    # One jitted launch per static configuration: the kernel is a fresh
+    # closure every _build_kernel call, so an uncached launch re-traces
+    # the whole megakernel (plus the outer while_loop) EVERY batch --
+    # measured 1.4-2.9 s of pure Python tracing per radiance batch, which
+    # dwarfed the kernel runtime and was march-length-insensitive.
+    lkey = ((nx, ny, nz), dataclasses.astuple(pcfg), source.kind,
+            w_cols, h_cells, ht, bool(use_russian_roulette),
+            tuple(sorted(kb_kwargs.items())), bool(domain.all_hg),
+            n_photons is not None, photons_per_lane)
+    launch = _LAUNCH_CACHE.get(lkey)
+    if launch is None:
+        kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols,
+                               h_cells, ht, use_russian_roulette,
+                               **kb_kwargs)
+        launch = jax.jit(_make_launch(
+            kernel, pcfg, (nx, ny, nz), ht, hti_pad, photons_per_lane,
+            n_photons is not None,
+            idx_ssa=2 + ncomp,
+            idx_f2=(2 + 3 * ncomp if domain.all_hg else 2 + 2 * ncomp)))
+        _LAUNCH_CACHE[lkey] = launch
 
-    # in-kernel seed: fold the batch key down to one uint32
-    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
-    seed = (kd[0] * np.uint32(0x9E37_79B9) ^ kd[-1]).astype(jnp.int32)
+    n_ph_arg = 0 if n_photons is None else n_photons
+    return launch(grid.x_edges, grid.y_edges, grid.z_edges,
+                  domain.cell_records, surface.params,
+                  domain.max_extinction, smu, sphi,
+                  russian_roulette_weight, atms_frac, spot_x, spot_y,
+                  dirs_a, b_hi, b_lo, bm_hi, bm_lo, inv_packed,
+                  ea_packed, fwd_packed, key, n_ph_arg)
 
-    f32z = jnp.zeros((rows, 128), jnp.float32)
-    state0 = dict(
-        x=f32z, y=f32z, z=f32z, ux=f32z, uy=f32z,
-        uz=jnp.ones((rows, 128), jnp.float32), w=f32z,
-        quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
-        beta_loc=jnp.full((rows, 128), jnp.float32(beta_max)),
-    )
+
+_LAUNCH_CACHE: dict = {}
+
+
+def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
+                 photons_per_lane: int, has_quota: bool,
+                 idx_ssa: int, idx_f2: int):
+    """Build the whole-launch function run_batch_pallas jits and caches.
+
+    Everything from params assembly through the relaunch while_loop and
+    tally post-processing lives under ONE jit so a batch costs one
+    dispatch. All device data arrives as arguments (tables come from the
+    per-object cache, so the buffers -- and therefore the jit cache keys
+    -- are stable across batches)."""
+    nx, ny, nz = shape
+    nxy, nxyz = nx * ny, nx * ny * nz
+    rows, n_lanes, n_dirs = pcfg.rows, pcfg.n_lanes, pcfg.n_dirs
+    vol_base = -(-2 * nxy // 128) * 128
     # [j, lo]: bf16 pipeline uses exactly ht rows (8-padded, j == hi);
     # the f32 pipeline tiles hi mod ht over 128 rows (legacy layout)
     ht_pad = (-(-ht // 8) * 8) if pcfg.bf16 else 128
-    acc0 = jnp.zeros((ht_pad, 128), jnp.float32)
-    acci0 = jnp.zeros((max(8, n_dirs * hti_pad), 128), jnp.float32)
-
+    want_stats = "stats" in frozenset(pcfg.debug_parts.split(","))
     keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
             "beta_loc")
     n_state = len(keys)
-    # grid = (steps, blocks): the kernel body is one block-step; every
-    # buffer is a full array (constant index), so it is fetched into VMEM
-    # once, stays resident across all grid steps, and is written back once.
-    grid_spec = pl.GridSpec(
-        grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 7),
-        out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
-    )
-    state_shapes = [
-        jax.ShapeDtypeStruct((rows, 128),
-                             jnp.int32 if k in ("quota", "alive")
-                             else jnp.float32)
-        for k in keys]
-    out_shape = state_shapes + [
-        jax.ShapeDtypeStruct((ht_pad, 128), jnp.float32),
-        jax.ShapeDtypeStruct(acci0.shape, jnp.float32),
-        jax.ShapeDtypeStruct((1, 8), jnp.float32),
-    ]
-    # alias state + acc inputs onto outputs (in-place VMEM residency)
-    aliases = {3 + i: i for i in range(n_state)}
-    aliases[3 + n_state + 8] = n_state      # acc
-    aliases[3 + n_state + 9] = n_state + 1  # acc_i
 
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=pcfg.interpret,
-    )
+    def launch(xe, ye, ze, records, surf_params, max_ext, smu, sphi,
+               rr_weight, atms_frac, spot_x, spot_y, dirs_a,
+               b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
+               fwd_packed, key, n_ph_in):
+        beta_max = jnp.maximum(jnp.asarray(max_ext, jnp.float32), _TINY)
+        smu_f = jnp.asarray(smu, jnp.float32)
+        sphi_f = jnp.asarray(sphi, jnp.float32)
+        # DIRECTIONAL beam horizontal cosines (constants; refill reads
+        # them instead of recomputing cos/sin/sqrt every step)
+        sth = jnp.sqrt(jnp.maximum(0.0, 1.0 - smu_f ** 2))
+        params = jnp.stack([
+            beta_max, 1.0 / beta_max,
+            surf_params.reshape(-1)[0].astype(jnp.float32),
+            smu_f, sphi_f,
+            jnp.asarray(rr_weight, jnp.float32),
+            xe[0], xe[-1] - xe[0],
+            ye[0], ye[-1] - ye[0],
+            ze[0], ze[-1] - ze[0],
+            # uniform-ssa / uniform-field2 scalars (field 2 = HG g for
+            # analytic domains, phase index for tabulated ones)
+            records[0, idx_ssa],
+            records[0, idx_f2],
+            sth * jnp.cos(sphi_f), sth * jnp.sin(sphi_f),
+            # emission / spotlight / intensity-RR parameters
+            jnp.asarray(atms_frac, jnp.float32),   # 16
+            jnp.asarray(spot_x, jnp.float32),      # 17
+            jnp.asarray(spot_y, jnp.float32),      # 18
+            jnp.float32(pcfg.zeta_min),            # 19
+            jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.0),
+        ]).reshape(1, 24)
+        jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)
 
-    def cond(carry):
-        state, acc, acci, n_started, n_calls, work, stat_acc = carry
-        return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
+        # per-lane quotas (clamped by the traced n_photons, like
+        # run_batch)
+        if has_quota:
+            cap = n_lanes * photons_per_lane
+            n_ph = jnp.minimum(jnp.asarray(n_ph_in, jnp.int32), cap)
+            lane_i0 = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
+                       + jnp.arange(128, dtype=jnp.int32)[None, :])
+            quota0 = (n_ph // n_lanes) + (
+                lane_i0 < (n_ph % n_lanes)).astype(jnp.int32)
+        else:
+            quota0 = jnp.full((rows, 128), photons_per_lane, jnp.int32)
 
-    def body(carry):
-        state, acc, acci, n_started, n_calls, work, stat_acc = carry
-        scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
-            jnp.int32)
-        outs = call(scal, params, dirs_a, *[state[k] for k in keys],
-                    b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
-                    fwd_packed, jmod, acc, acci)
-        new_state = dict(zip(keys, outs[:n_state]))
-        acc = outs[n_state]
-        acci = outs[n_state + 1]
-        stats = outs[n_state + 2]
-        n_started = n_started + stats[0, 0].astype(jnp.int32)
-        work = stats[0, 1] > 0
-        # Rebalance unspent quota evenly across lanes between launches:
-        # lanes that finish their photons early would otherwise idle while
-        # stragglers' lanes hold unstarted work. Any lane may run any
-        # photon (RNG streams are keyed by (lane, step), so moving a
-        # photon to another lane just selects a different, equally
-        # independent stream); the total photon count is preserved.
-        q = new_state["quota"]
-        total_q = jnp.sum(q)
-        lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
-                  + jnp.arange(128, dtype=jnp.int32)[None, :])
-        new_state["quota"] = (total_q // n_lanes) + (
-            lane_i < (total_q % n_lanes)).astype(jnp.int32)
-        return (new_state, acc, acci, n_started, n_calls + 1, work,
-                stat_acc + stats[0])
+        # in-kernel seed: fold the batch key down to one uint32
+        kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+        seed = (kd[0] * np.uint32(0x9E37_79B9) ^ kd[-1]).astype(jnp.int32)
 
-    carry = (state0, acc0, acci0, jnp.int32(0), jnp.int32(0),
-             jnp.bool_(True), jnp.zeros((8,), jnp.float32))
-    (state_f, acc_f, acci_f, n_started, n_calls, _,
-     stat_acc) = jax.lax.while_loop(cond, body, carry)
+        f32z = jnp.zeros((rows, 128), jnp.float32)
+        state0 = dict(
+            x=f32z, y=f32z, z=f32z, ux=f32z, uy=f32z,
+            uz=jnp.ones((rows, 128), jnp.float32), w=f32z,
+            quota=quota0, alive=jnp.zeros((rows, 128), jnp.int32),
+            beta_loc=jnp.full((rows, 128), jnp.float32(1.0)) * beta_max,
+        )
+        acc0 = jnp.zeros((ht_pad, 128), jnp.float32)
+        acci0 = jnp.zeros((max(8, n_dirs * hti_pad), 128), jnp.float32)
 
-    flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]; t = h*128 + lo
-    flux_up = flat[:nxy].reshape(nx, ny)
-    flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
-    vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
-    # n_bad: photons still alive at the step cap, plus any truncated
-    # radiance marches (stat 6; empty when dirs_mu_floor_ok held)
-    n_bad = (jnp.sum(state_f["alive"], dtype=jnp.int32)
-             + stat_acc[6].astype(jnp.int32))
-    base = (flux_up, flux_down, vol, n_started, n_bad, n_calls)
-    if pcfg.n_dirs > 0:
-        intensity = jnp.stack(
-            [acci_f[d * hti_pad:(d + 1) * hti_pad].reshape(-1)[:nxy]
-             .reshape(nx, ny) for d in range(pcfg.n_dirs)], axis=-1)
-        base = base + (intensity,)
-    if "stats" in frozenset(pcfg.debug_parts.split(",")):
-        return base + (stat_acc,)
-    return base
+        # grid = (steps, blocks): the kernel body is one block-step;
+        # every buffer is a full array (constant index), so it is fetched
+        # into VMEM once, stays resident across all grid steps, and is
+        # written back once.
+        grid_spec = pl.GridSpec(
+            grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 7),
+            out_specs=(
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        )
+        state_shapes = [
+            jax.ShapeDtypeStruct((rows, 128),
+                                 jnp.int32 if k in ("quota", "alive")
+                                 else jnp.float32)
+            for k in keys]
+        out_shape = state_shapes + [
+            jax.ShapeDtypeStruct((ht_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct(acci0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ]
+        # alias state + acc inputs onto outputs (in-place VMEM residency)
+        aliases = {3 + i: i for i in range(n_state)}
+        aliases[3 + n_state + 8] = n_state      # acc
+        aliases[3 + n_state + 9] = n_state + 1  # acc_i
+
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=pcfg.interpret,
+        )
+
+        def cond(carry):
+            state, acc, acci, n_started, n_calls, work, stat_acc = carry
+            return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
+
+        def body(carry):
+            state, acc, acci, n_started, n_calls, work, stat_acc = carry
+            scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
+                jnp.int32)
+            outs = call(scal, params, dirs_a, *[state[k] for k in keys],
+                        b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
+                        fwd_packed, jmod, acc, acci)
+            new_state = dict(zip(keys, outs[:n_state]))
+            acc = outs[n_state]
+            acci = outs[n_state + 1]
+            stats = outs[n_state + 2]
+            n_started = n_started + stats[0, 0].astype(jnp.int32)
+            work = stats[0, 1] > 0
+            # Rebalance unspent quota evenly across lanes between
+            # launches: lanes that finish their photons early would
+            # otherwise idle while stragglers' lanes hold unstarted work.
+            # Any lane may run any photon (RNG streams are keyed by
+            # (lane, step), so moving a photon to another lane just
+            # selects a different, equally independent stream); the total
+            # photon count is preserved.
+            q = new_state["quota"]
+            total_q = jnp.sum(q)
+            lane_i = (jnp.arange(rows, dtype=jnp.int32)[:, None] * 128
+                      + jnp.arange(128, dtype=jnp.int32)[None, :])
+            new_state["quota"] = (total_q // n_lanes) + (
+                lane_i < (total_q % n_lanes)).astype(jnp.int32)
+            return (new_state, acc, acci, n_started, n_calls + 1, work,
+                    stat_acc + stats[0])
+
+        carry = (state0, acc0, acci0, jnp.int32(0), jnp.int32(0),
+                 jnp.bool_(True), jnp.zeros((8,), jnp.float32))
+        (state_f, acc_f, acci_f, n_started, n_calls, _,
+         stat_acc) = jax.lax.while_loop(cond, body, carry)
+
+        flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]
+        flux_up = flat[:nxy].reshape(nx, ny)
+        flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
+        vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
+        # n_bad: photons still alive at the step cap, plus any truncated
+        # radiance marches (stat 6; empty when dirs_mu_floor_ok held)
+        n_bad = (jnp.sum(state_f["alive"], dtype=jnp.int32)
+                 + stat_acc[6].astype(jnp.int32))
+        base = (flux_up, flux_down, vol, n_started, n_bad, n_calls)
+        if n_dirs > 0:
+            intensity = jnp.stack(
+                [acci_f[d * hti_pad:(d + 1) * hti_pad].reshape(-1)[:nxy]
+                 .reshape(nx, ny) for d in range(n_dirs)], axis=-1)
+            base = base + (intensity,)
+        if want_stats:
+            return base + (stat_acc,)
+        return base
+
+    return launch
 
 
 def config_for(n_lanes: int, photons_per_lane: int, max_steps: int,
@@ -1898,10 +2209,109 @@ def dda_iteration_bound(grid, min_mu: float) -> int:
         return int(np.ceil(nz * (1.0 + sin_max / mu))) + 8
 
 
+def colct_iteration_bound(grid, min_mu: float) -> int:
+    """Static march bound for the "colct" (column-crossing) march: only
+    horizontal face crossings take an iteration, so the bound is the
+    horizontal extent of the shallowest admissible path (mu >= min_mu)
+    in cells, plus the final in-column segment and margin."""
+    nx, ny, nz = grid.shape
+    mu = max(min_mu, 1e-3)
+    sin_max = float(np.sqrt(max(0.0, 1.0 - mu * mu)))
+    try:
+        lz = float(grid.z_edges[-1] - grid.z_edges[0])
+        dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
+        dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+        horiz = lz / mu * sin_max
+        return int(np.ceil(horiz / dxc) + np.ceil(horiz / dyc)) + 6
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        # dz <= dx assumption as above: horizontal extent <= nz*sin/mu
+        # cells per axis
+        return 2 * int(np.ceil(nz * sin_max / mu)) + 6
+
+
+def march_bound_for_dir(grid, ux, uy, uz, mode: str) -> int:
+    """Exact static march bound for ONE concrete direction: crossings it
+    can actually make, per axis, skipping singleton axes (whose wrap
+    re-enters the same column)."""
+    nx, ny, nz = grid.shape
+    uzf = max(float(uz), 1e-3)
+    lz = float(grid.z_edges[-1] - grid.z_edges[0])
+    dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
+    dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+    cx = int(np.ceil(lz * abs(float(ux)) / uzf / dxc)) + 1
+    cy = int(np.ceil(lz * abs(float(uy)) / uzf / dyc)) + 1
+    if mode == "colct":
+        # singleton axes are skipped by the colct march (the wrap
+        # re-enters the same column); the cell march still crosses them
+        return (cx if nx > 1 else 0) + (cy if ny > 1 else 0) + 4
+    return nz + cx + cy + 6
+
+
+def plan_march(grid, icfg, dirs):
+    """Host-side march plan: per-direction formulation + static bound.
+
+    MUST be called OUTSIDE jit on concrete grid edges and direction
+    cosines (run_batch does this next to the dirs_mu floor check and
+    threads the result through as a static argument -- inside the jitted
+    impl the dirs are tracers and nothing per-direction can be decided).
+    Returns ((mode, ...), (k, ...), k_max) or None when anything is
+    traced; callers fall back to the reference-shaped "cell" march with
+    the loose min-mu bound.
+    """
+    if icfg is None or dirs is None:
+        return None
+    march_req = getattr(icfg, "pallas_march", "auto")
+    nx_, ny_, nz_ = grid.shape
+    # per-iteration cost model (TPU-measured on the step cloud:
+    # ~1.4 + 0.04*rows in relative units): the colct iteration pays a
+    # taller dot + the 4-row interpolation reduce over
+    # hm_ct ~ ceil(nxy/128)*(nz+1) rows; the cell iteration reduces over
+    # hb_cell ~ ceil(nxyz/128) rows
+    hm_rows = -(- (-(-nx_ * ny_ // 128)) * (nz_ + 1) // 8) * 8
+    hb_rows = -(-(-(-nx_ * ny_ * nz_ // 128)) // 8) * 8
+    w_ct = 1.4 + 0.04 * hm_rows
+    w_cell = 1.4 + 0.04 * hb_rows
+
+    def _pick(kc, kct):
+        if march_req != "auto":
+            return march_req
+        return "colct" if kct * w_ct < kc * w_cell else "cell"
+
+    try:
+        d_np = np.asarray(dirs)
+        kb = [(march_bound_for_dir(grid, d_np[0, i], d_np[1, i],
+                                   d_np[2, i], "cell"),
+               march_bound_for_dir(grid, d_np[0, i], d_np[1, i],
+                                   d_np[2, i], "colct"))
+              for i in range(icfg.n_dirs)]
+    except (TypeError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return None
+    if icfg.n_dirs <= 6:
+        m_list = tuple(_pick(kc, kct) for kc, kct in kb)
+    else:
+        # fori path: one formulation for every direction -- minimize the
+        # modeled total march cost
+        tot_cell = sum(kc for kc, _ in kb) * w_cell
+        tot_ct = sum(kct for _, kct in kb) * w_ct
+        one = (march_req if march_req != "auto"
+               else ("colct" if tot_ct < tot_cell else "cell"))
+        m_list = (one,) * icfg.n_dirs
+    k_list = tuple((kct if m == "colct" else kc)
+                   for (kc, kct), m in zip(kb, m_list))
+    return m_list, k_list, max(k_list)
+
+
 def run_batch_pallas_tallies(domain, surface, source, key, config,
                              n_photons=None, interpret: bool = False,
-                             intensity_config=None, intensity_dirs=None):
-    """run_batch-compatible entry: returns a transport.integrator.Tallies."""
+                             intensity_config=None, intensity_dirs=None,
+                             march_plan=None):
+    """run_batch-compatible entry: returns a transport.integrator.Tallies.
+
+    ``march_plan`` is plan_march's output, computed pre-jit by run_batch;
+    direct callers with concrete dirs may omit it (recomputed here).
+    """
     import dataclasses as _dc
 
     from mcbrat3d_tpu.transport.integrator import Tallies
@@ -1915,10 +2325,25 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
         icfg = intensity_config
         phase = ("hybrid" if icfg.use_hybrid_phase
                  else ("analytic" if domain.all_hg else "orig"))
+        if march_plan is None:
+            march_plan = plan_march(domain.grid, icfg, intensity_dirs)
+        if march_plan is not None:
+            m_list, k_list, k_max = march_plan
+        else:
+            # traced dirs: fall back to the reference-shaped cell march
+            # with the loose min-mu bound (auto needs concrete cosines)
+            march_req = getattr(icfg, "pallas_march", "auto")
+            one = march_req if march_req != "auto" else "cell"
+            m_list = (one,) * icfg.n_dirs
+            bound = (colct_iteration_bound if one == "colct"
+                     else dda_iteration_bound)
+            k_list = ()
+            k_max = bound(domain.grid, icfg.pallas_min_mu)
         pcfg = _dc.replace(
             pcfg, n_dirs=icfg.n_dirs,
             block_rows=min(pcfg.block_rows, 16),
-            k_dda=dda_iteration_bound(domain.grid, icfg.pallas_min_mu),
+            k_dda=k_max, k_dda_dirs=k_list,
+            march_mode=m_list[0], march_dirs=m_list,
             intensity_rr=icfg.use_russian_roulette,
             zeta_min=icfg.zeta_min,
             intensity_phase=phase)

@@ -891,3 +891,62 @@ class TestLWIntensityInKernel:
         for d in range(2):
             L = float(np.asarray(tn.intensity)[:, :, d].mean()) * w.flux
             assert L == pytest.approx(B, rel=0.05), (d, L, B)
+
+
+class TestColumnCTMarch:
+    """The "colct" march (per-column cumulative-tau tables, one gather per
+    COLUMN crossing) must agree with the "cell" march (per-cell-face DDA)
+    to floating-point rounding: with the SAME key both modes trace the
+    same photon histories (the march consumes no extra RNG), and the
+    per-event tau integrals are mathematically identical -- integral of
+    beta over a slant segment within a column equals
+    (CT(z_in) - CT(z_out)) / mu for the piecewise-linear cumulative
+    vertical optical depth CT (reference march being reformulated:
+    Integrators/monteCarloRadiativeTransfer.f95:1623-1752). "auto" picks
+    a formulation per direction and must agree with both."""
+
+    def _run(self, march, key_b=0, rr=False):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True)
+        # steep + shallow + all azimuth quadrants (the round-3
+        # negative-direction stall was invisible at phi = 0)
+        mus = [1.0, 0.6, 0.45, 0.45]
+        phis = [0.0, 135.0, 225.0, 315.0]
+        dirs = make_intensity_directions(mus, phis)
+        icfg = IntensityConfig(n_dirs=4, use_russian_roulette=rr,
+                               use_hybrid_phase=False, pallas_min_mu=0.4,
+                               pallas_march=march)
+        cfg = KernelConfig(n_lanes=1 << 9, photons_per_lane=4,
+                           max_steps=6000, use_pallas="on")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(9, key_b), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        assert int(t.n_bad) == 0
+        return np.asarray(t.intensity) / int(t.n_photons)
+
+    def test_same_key_pixelwise_agreement(self):
+        i_cell = self._run("cell")
+        i_ct = self._run("colct")
+        i_auto = self._run("auto")
+        assert i_ct.shape == i_cell.shape
+        # same histories, same estimator: per-pixel agreement to fp
+        # rounding of the tau accumulation order
+        scale = float(np.max(i_cell))
+        np.testing.assert_allclose(i_ct, i_cell, rtol=5e-3,
+                                   atol=2e-4 * scale)
+        # auto must reproduce whichever formulation it picked per
+        # direction -- i.e. land within the same rounding envelope
+        np.testing.assert_allclose(i_auto, i_cell, rtol=5e-3,
+                                   atol=2e-4 * scale)
+
+    def test_rr_same_key_agreement(self):
+        # with Iwabuchi RR the tau rounding can flip rare branch
+        # decisions (the tau comparisons against tau_free/tau_max), so
+        # same-key runs differ on a handful of pixels; the mean must
+        # stay tight
+        a = self._run("cell", key_b=1, rr=True)
+        b = self._run("colct", key_b=1, rr=True)
+        assert np.mean(b) == pytest.approx(np.mean(a), rel=0.02)

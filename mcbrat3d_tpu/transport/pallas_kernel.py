@@ -150,6 +150,13 @@ class PallasConfig:
     # dozens, so bounding each direction separately cuts total march
     # iterations several-fold. Empty = use k_dda for every direction.
     k_dda_dirs: tuple = ()
+    # > 6 directions (fori path): (mode, k_bound, start, count) groups
+    # over the PERMUTED direction order (dir_perm); each group gets its
+    # own fori with a static bound + formulation, so shallow directions
+    # don't impose their march length on steep ones. Empty = one fori
+    # over all directions at k_dda.
+    dir_groups: tuple = ()
+    dir_perm: tuple = ()
     # perf-bisection knob: comma-set of enabled sections out of
     # {gather, tally, exits}; anything disabled is replaced by constants.
     # NOT for production use -- statistics are wrong unless "all".
@@ -1236,6 +1243,27 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                                       np.float32(1.0 / np.pi), npf))
                     sdx = jnp.where(jnp.abs(ddx) > 1e-12, ddx, 1e-12)
                     sdy = jnp.where(jnp.abs(ddy) > 1e-12, ddy, 1e-12)
+                    if use_irr:
+                        # Iwabuchi RR thresholds are known BEFORE the
+                        # march (that is the estimator's whole point:
+                        # Integrators/monteCarloRadiativeTransfer.f95:
+                        # 1753-1813) -- a lane whose tau passes tau_stop
+                        # contributes 0 in every branch below, so the
+                        # march can drop it immediately and the
+                        # early-exit while loop ends as soon as the last
+                        # active lane stops.
+                        u_i1 = uniform(ctr, 16 + 2 * d_i)
+                        u_itf = uniform(ctr, 17 + 2 * d_i)
+                        tau_free = -jnp.log1p(-u_itf)
+                        zeta = par_ref[0, 19]
+                        npf_pi = np.float32(np.pi) * npf
+                        small_c = npf_pi <= zeta
+                        tau_max = -jnp.log(
+                            zeta / jnp.maximum(npf_pi, _TINY))
+                        tau_stop = jnp.where(small_c, tau_free,
+                                             tau_max + tau_free)
+                    else:
+                        tau_stop = None
 
                     def m_body(it, carry, sdx=sdx, sdy=sdy, ddx=ddx,
                                ddy=ddy, ddz=ddz):
@@ -1292,6 +1320,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                                 jnp.int32), 0, ny - 1))
                         ex_col = jnp.where(newly, exc, ex_col)
                         act = act & ~top
+                        if tau_stop is not None:
+                            act = act & (tau < tau_stop)
                         return (pxw + ddx * ds, pyw + ddy * ds, pz2,
                                 tau, act.astype(jnp.int32), ex_col)
 
@@ -1385,6 +1415,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         # the TOA exit column IS the current column
                         ex_col = jnp.where(newly, col, ex_col)
                         act = act & ~top
+                        if tau_stop is not None:
+                            act = act & (tau < tau_stop)
                         return (pxw + ddx * th, pyw + ddy * th,
                                 pz + ddz * th, tau,
                                 act.astype(jnp.int32), ex_col)
@@ -1420,20 +1452,15 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         (ev & act_f).astype(jnp.float32))
                     hit = ev & ~act_f
                     if use_irr:
-                        # Iwabuchi Eqs 13-14 applied post-march: with the
-                        # full tau_toa known, "the capped march escaped"
-                        # is exactly "tau_toa < cap" (reference:
-                        # Integrators/monteCarloRadiativeTransfer.f95:
-                        # 1753-1813, transport.local_estimate for the XLA
-                        # twin of this logic)
-                        u_i1 = uniform(ctr, 16 + 2 * d_i)
-                        u_itf = uniform(ctr, 17 + 2 * d_i)
-                        tau_free = -jnp.log1p(-u_itf)
-                        zeta = par_ref[0, 19]
-                        npf_pi = np.float32(np.pi) * npf
-                        small_c = npf_pi <= zeta
-                        tau_max = -jnp.log(
-                            zeta / jnp.maximum(npf_pi, _TINY))
+                        # Iwabuchi Eqs 13-14 on the marched tau: lanes
+                        # the in-march tau_stop dropped have
+                        # tau_f >= tau_stop, which zeroes every branch
+                        # below, so the early exit changes nothing
+                        # (reference: Integrators/
+                        # monteCarloRadiativeTransfer.f95:1753-1813,
+                        # transport.local_estimate for the XLA twin).
+                        # u_i1/u_itf/tau_free/tau_max/small_c were drawn
+                        # pre-march to size tau_stop.
                         w_rrc = w_ev * zeta * np.float32(1.0 / np.pi)
                         esc_a = hit & (tau_f < tau_free)
                         c_a = jnp.where(esc_a & (u_i1 * zeta <= npf_pi),
@@ -1489,14 +1516,19 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 else:
                     # many directions: fori over a traced direction index
                     # keeps the program size independent of n_dirs (the
-                    # unrolled form blows up remote Mosaic compiles); one
-                    # march formulation for all directions
-                    def _dir_body(d_t, c_t):
-                        le_one_direction(d_t,
-                                         mode_this=march_dirs[0])
-                        return c_t
+                    # unrolled form blows up remote Mosaic compiles).
+                    # Directions are pre-sorted into <= 4 groups, each
+                    # with its own static bound + formulation, so shallow
+                    # directions don't impose their march length on steep
+                    # ones.
+                    grps = (pcfg.dir_groups if pcfg.dir_groups
+                            else ((march_dirs[0], k_dda, 0, n_dirs),))
+                    for mode_g, k_g, s_g, c_g in grps:
+                        def _dir_body(d_t, c_t, k_g=k_g, mode_g=mode_g):
+                            le_one_direction(d_t, k_g, mode_g)
+                            return c_t
 
-                    jax.lax.fori_loop(0, n_dirs, _dir_body, 0)
+                        jax.lax.fori_loop(s_g, s_g + c_g, _dir_body, 0)
 
             x_ref[sl], y_ref[sl], z_ref[sl] = x, y, z
             ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz
@@ -1917,6 +1949,10 @@ def run_batch_pallas(domain: OpticalDomain,
             raise ValueError("in-kernel local estimation requires the "
                              "bf16 pipeline")
         dirs_a = jnp.asarray(intensity_dirs, jnp.float32)
+        if len(pcfg.dir_perm) == n_dirs:
+            # grouped fori path: the kernel marches directions in the
+            # sorted order; the launch un-permutes the intensity output
+            dirs_a = dirs_a[:, list(pcfg.dir_perm)]
         bm_hi, hm_ct, hb_cell = _obj_cache(
             domain, ("march", need_ct, need_cell, rec_cols), _build_march)
         bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
@@ -2160,9 +2196,18 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
                  + stat_acc[6].astype(jnp.int32))
         base = (flux_up, flux_down, vol, n_started, n_bad, n_calls)
         if n_dirs > 0:
+            # un-permute back to the caller's direction order when the
+            # grouped fori path sorted the directions (dir_perm[j] is the
+            # ORIGINAL index marched as sorted index j)
+            if len(pcfg.dir_perm) == n_dirs:
+                order = [0] * n_dirs
+                for j, orig in enumerate(pcfg.dir_perm):
+                    order[orig] = j
+            else:
+                order = range(n_dirs)
             intensity = jnp.stack(
                 [acci_f[d * hti_pad:(d + 1) * hti_pad].reshape(-1)[:nxy]
-                 .reshape(nx, ny) for d in range(n_dirs)], axis=-1)
+                 .reshape(nx, ny) for d in order], axis=-1)
             base = base + (intensity,)
         if want_stats:
             return base + (stat_acc,)
@@ -2290,17 +2335,44 @@ def plan_march(grid, icfg, dirs):
         return None
     if icfg.n_dirs <= 6:
         m_list = tuple(_pick(kc, kct) for kc, kct in kb)
-    else:
-        # fori path: one formulation for every direction -- minimize the
-        # modeled total march cost
-        tot_cell = sum(kc for kc, _ in kb) * w_cell
-        tot_ct = sum(kct for _, kct in kb) * w_ct
-        one = (march_req if march_req != "auto"
-               else ("colct" if tot_ct < tot_cell else "cell"))
-        m_list = (one,) * icfg.n_dirs
-    k_list = tuple((kct if m == "colct" else kc)
-                   for (kc, kct), m in zip(kb, m_list))
-    return m_list, k_list, max(k_list)
+        k_list = tuple((kct if m == "colct" else kc)
+                       for (kc, kct), m in zip(kb, m_list))
+        return m_list, k_list, max(k_list), (), ()
+    # fori path (> 6 directions): the march bound and formulation must be
+    # STATIC inside each fori, so a single loop would pay the worst
+    # direction's bound for every direction. Instead sort directions by
+    # modeled cost, split into <= 4 contiguous GROUPS, and give each
+    # group its own (formulation, bound) fori. The launcher permutes the
+    # direction array and un-permutes the intensity output.
+    m_all = tuple(_pick(kc, kct) for kc, kct in kb)
+    cost = [(kct * w_ct if m == "colct" else kc * w_cell)
+            for (kc, kct), m in zip(kb, m_all)]
+    perm = tuple(sorted(range(icfg.n_dirs),
+                        key=lambda i: (m_all[i], cost[i])))
+    m_sorted = [m_all[i] for i in perm]
+    k_sorted = [(kb[i][1] if m_all[i] == "colct" else kb[i][0])
+                for i in perm]
+    groups = []
+    start = 0
+    n_groups = 4
+    # greedy split: new group at formulation changes, then at the
+    # largest bound jumps (each group runs at its max bound)
+    splits = [i for i in range(1, icfg.n_dirs)
+              if m_sorted[i] != m_sorted[i - 1]]
+    jumps = sorted((k_sorted[i] - k_sorted[i - 1], i)
+                   for i in range(1, icfg.n_dirs)
+                   if i not in splits)
+    for _, i in reversed(jumps):
+        if len(splits) >= n_groups - 1:
+            break
+        splits.append(i)
+    for end in sorted(splits) + [icfg.n_dirs]:
+        groups.append((m_sorted[start], max(k_sorted[start:end]),
+                       start, end - start))
+        start = end
+    m_list = tuple(m_sorted)
+    k_list = tuple(k_sorted)
+    return m_list, k_list, max(k_list), tuple(groups), perm
 
 
 def run_batch_pallas_tallies(domain, surface, source, key, config,
@@ -2328,7 +2400,7 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
         if march_plan is None:
             march_plan = plan_march(domain.grid, icfg, intensity_dirs)
         if march_plan is not None:
-            m_list, k_list, k_max = march_plan
+            m_list, k_list, k_max, groups, perm = march_plan
         else:
             # traced dirs: fall back to the reference-shaped cell march
             # with the loose min-mu bound (auto needs concrete cosines)
@@ -2339,12 +2411,19 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
                      else dda_iteration_bound)
             k_list = ()
             k_max = bound(domain.grid, icfg.pallas_min_mu)
+            groups = perm = ()
         pcfg = _dc.replace(
             pcfg, n_dirs=icfg.n_dirs,
             block_rows=min(pcfg.block_rows, 16),
             k_dda=k_max, k_dda_dirs=k_list,
             march_mode=m_list[0], march_dirs=m_list,
+            dir_groups=groups, dir_perm=perm,
             intensity_rr=icfg.use_russian_roulette,
+            # Iwabuchi RR stops most marches within a few optical depths
+            # (in-march tau_stop), so the block-level early-exit while
+            # loop pays for itself; the exact estimator always needs the
+            # full tau and keeps the static fori
+            march_while=bool(icfg.use_russian_roulette),
             zeta_min=icfg.zeta_min,
             intensity_phase=phase)
     if n_photons is None:

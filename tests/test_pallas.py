@@ -950,3 +950,54 @@ class TestColumnCTMarch:
         a = self._run("cell", key_b=1, rr=True)
         b = self._run("colct", key_b=1, rr=True)
         assert np.mean(b) == pytest.approx(np.mean(a), rel=0.02)
+
+
+class TestGroupedDirections:
+    """> 6 directions run through per-group fori loops over a SORTED
+    direction order (plan_march packs <= 4 (formulation, bound) groups
+    and the launcher un-permutes the output). With the same key an 8-dir
+    grouped run must reproduce two 4-dir unrolled runs pixelwise: local
+    estimation is passive (consumes no step RNG), so the photon
+    histories are identical (reference direction loop:
+    Drivers/monteCarloDriver.f95:61, Integrators/
+    monteCarloRadiativeTransfer.f95:1623-1640)."""
+
+    def _run(self, mus, phis):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True)
+        dirs = make_intensity_directions(mus, phis)
+        icfg = IntensityConfig(n_dirs=len(mus), use_russian_roulette=False,
+                               use_hybrid_phase=False, pallas_min_mu=0.4,
+                               pallas_march="auto")
+        cfg = KernelConfig(n_lanes=1 << 9, photons_per_lane=4,
+                           max_steps=6000, use_pallas="on")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(9, 0), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        assert int(t.n_bad) == 0
+        return np.asarray(t.intensity) / int(t.n_photons)
+
+    def test_grouped_matches_unrolled_split(self):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        mus = [1.0, 0.45, 0.8, 0.5, 0.9, 0.6, 0.45, 1.0]
+        phis = [0, 135, 45, 225, 90, 315, 180, 270]
+        # the plan must actually sort + group (guards against the
+        # grouped path silently running ungrouped)
+        dom = make_step_cloud(ssa=0.99, compute_intensity_tables=True)
+        icfg = IntensityConfig(n_dirs=8, pallas_march="auto")
+        plan = pk.plan_march(
+            dom.grid, icfg, make_intensity_directions(mus, phis))
+        assert plan[3] and plan[4] != tuple(range(8))
+        a = self._run(mus[:4], phis[:4])
+        b = self._run(mus[4:], phis[4:])
+        c = self._run(mus, phis)
+        sc = max(float(a.max()), float(b.max()))
+        np.testing.assert_allclose(c[:, :, :4], a, rtol=5e-3,
+                                   atol=2e-4 * sc)
+        np.testing.assert_allclose(c[:, :, 4:], b, rtol=5e-3,
+                                   atol=2e-4 * sc)

@@ -242,8 +242,8 @@ def bench_radar():
 
 def bench_intensity():
     """Radiance-path throughput (in-kernel local estimation, 6 upward
-    directions, exact estimator): the reference's dominant production cost
-    (SURVEY.md section 3C)."""
+    directions, production-default Iwabuchi-RR + hybrid-phase estimator):
+    the reference's dominant production cost (SURVEY.md section 3C)."""
     from mcbrat3d_tpu.core import rng
     from mcbrat3d_tpu.physics.surface import Surface
     from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud

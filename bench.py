@@ -20,9 +20,22 @@ import sys
 import time
 
 BASELINE_PHOTONS_PER_SEC = 1e8
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_partial.json")
 
 
-def wait_for_device(max_wait_s: float = 2400.0, probe_timeout: float = 90.0):
+def _append_partial(line: str):
+    """Every metric line is also appended to BENCH_partial.json on disk the
+    moment it exists, so a driver timeout can never erase the round's
+    numbers (round 3 lost its entire sweep to rc=124 with an empty tail)."""
+    try:
+        with open(PARTIAL_PATH, "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def wait_for_device(max_wait_s: float = 240.0, probe_timeout: float = 75.0):
     """The remote-TPU relay in this environment wedges for tens of minutes
     at a time (every in-process jax op blocks unkillably). Probe with a
     trivial op in a subprocess and wait for recovery before importing jax
@@ -44,13 +57,15 @@ def wait_for_device(max_wait_s: float = 2400.0, probe_timeout: float = 90.0):
 
 
 def emit(metric, rate, **extra):
-    print(json.dumps({
+    line = json.dumps({
         "metric": metric,
         "value": round(rate, 1),
         "unit": "photons/sec/chip",
         "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
         **extra,
-    }), flush=True)
+    })
+    print(line, flush=True)
+    _append_partial(line)
 
 
 def measure(run_once, n_batches=3):
@@ -360,7 +375,84 @@ def bench_landsat():
     emit("landsat_scale_photon_throughput", measure(once))
 
 
+def bench_broadband(n_lam=16, n_phase=9001, ppb=1 << 18, n_batches=16,
+                    nxyz=32, emit_metric=True):
+    """End-to-end broadband SW: 16 lambda-bins with per-bin domain rebuild
+    (SSP interpolation + inverse-CDF tables at the reference-default 9001
+    intervals), transport, and moment accumulation -- the reference's unit
+    of work (reference: Drivers/monteCarloDriver.f95:889-1129). Rate is
+    total photons / total wall-clock INCLUDING all setup."""
+    import tempfile
+
+    import numpy as np
+
+    from mcbrat3d_tpu.core.grid import Grid
+    from mcbrat3d_tpu.domain.common import CommonDomain
+    from mcbrat3d_tpu.domain.ssp import SSPComponent, SSPTable
+    from mcbrat3d_tpu.driver.config import SimulationConfig
+    from mcbrat3d_tpu.spectral import solar as solar_io
+    from mcbrat3d_tpu.spectral.broadband import run_broadband
+
+    C = 2.99792458e8
+    n_reff = 5
+    lambdas = np.linspace(0.4, 1.0, n_lam)
+    rs = np.random.RandomState(7)
+    # Mie-like entries: 128-term Legendre mixtures per (Reff, lambda)
+    starts = np.zeros((n_reff, n_lam))
+    lengths = np.zeros((n_reff, n_lam))
+    cmat = np.zeros((n_reff * 128, n_lam))
+    for li in range(n_lam):
+        pos = 1
+        for e in range(n_reff):
+            g1 = 0.78 + 0.03 * e + 0.005 * li
+            l = np.arange(1, 129, dtype=np.float64)
+            cmat[pos - 1:pos + 127, li] = 0.7 * g1**l + 0.3 * 0.3**l
+            starts[e, li] = pos
+            lengths[e, li] = 128
+            pos += 128
+    comp = SSPComponent(
+        name="cloud water", ext_type="volExt",
+        key=np.linspace(5.0, 25.0, n_reff),
+        extinction=2.0 + 0.5 * rs.rand(n_reff, n_lam),
+        ssa=np.full((n_reff, n_lam), 0.99),
+        legendre_start=starts, legendre_length=lengths,
+        legendre_coeffs=cmat)
+    tbl = SSPTable(freq_hz=C * 1e6 / lambdas,
+                   surface_albedo=np.zeros(n_lam), components=[comp])
+
+    nx, ny, nz = nxyz, nxyz, nxyz
+    grid = Grid.regular(nx, ny, nz, 0.5 / nx, 0.5 / max(1, ny), 0.25 / nz)
+    mass = np.zeros((1, nx, ny, nz))
+    mass[0, :, :, :nz // 2] = 1.0  # step cloud: thin lower / thick upper
+    mass[0, :, :, nz // 2:] = 9.0
+    reff = np.full((1, nx, ny, nz), 10.0 + 8.0 * rs.rand(nx, ny, nz))
+    common = CommonDomain(grid=grid, temps=np.full((nx, ny, nz), 280.0),
+                          rho=np.full((nx, ny, nz), 1.2),
+                          num_conc=np.full((nx, ny, nz), 2.55e25),
+                          mass_conc=mass, reff=reff)
+
+    with tempfile.TemporaryDirectory() as td:
+        solar_path = os.path.join(td, "solar.nc")
+        solar_io.write_solar_source(
+            solar_path, lambdas.tolist(),
+            (1000.0 * np.exp(-((lambdas - 0.55) / 0.3) ** 2)).tolist())
+        cfg = SimulationConfig(
+            solar_mu=0.5, num_lambda=n_lam, lw_flag=-1.0,
+            calc_rayleigh=True,
+            num_photons_per_batch=ppb, num_batches=n_batches, iseed=11,
+            n_phase_intervals=n_phase, n_lanes=1 << 16, max_steps=800_000,
+            solar_source_file=solar_path)
+        t0 = time.time()
+        res = run_broadband(cfg, common=common, ssp_tables=[tbl])
+        dt = time.time() - t0
+    if emit_metric:
+        emit(f"broadband_sw_{n_lam}bin_end_to_end_throughput",
+             res.total_photons / dt, setup_included=True)
+    return res, dt
+
+
 SELECTIVE = {
+    "--broadband": bench_broadband,
     "--intensity": bench_intensity,
     "--landsat": bench_landsat,
     "--lw": bench_lw_emission,
@@ -372,47 +464,65 @@ SELECTIVE = {
 }
 
 
+def _emit_raw(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    _append_partial(line)
+    return line
+
+
 def main():
-    if not wait_for_device():
-        print(json.dumps({
-            "metric": "step_cloud_photon_throughput",
-            "value": 0.0,
-            "unit": "photons/sec/chip",
-            "vs_baseline": 0.0,
-            "note": "device unreachable: the TPU relay stayed wedged for "
-                    "40 minutes; see PERF_NOTES.md 'Relay hazard'",
-        }))
-        return
-
-    for flag, fn in SELECTIVE.items():
-        if flag in sys.argv:
-            fn()
+    if any(flag in sys.argv for flag in SELECTIVE):
+        # Selective (subprocess) mode: a short device wait only -- the
+        # parent sweep already gated on device health.
+        if not wait_for_device(max_wait_s=180.0):
+            _emit_raw({"metric": "device", "error": "unreachable"})
             return
+        for flag, fn in SELECTIVE.items():
+            if flag in sys.argv:
+                fn()
+                return
 
-    # Full sweep: every metric in its OWN subprocess with its own timeout
-    # (a wedged Mosaic compile must not kill the rest of the sweep; see
-    # PERF_NOTES.md "Relay hazard"). The HEADLINE runs FIRST (so a later
-    # wedge cannot cost it) and its line is re-emitted LAST (the driver
-    # parses the final line). Between benches the device is re-probed and
-    # the sweep waits out relay wedges.
+    # Full sweep. Hard lessons from round 3 (BENCH_r03.json was rc=124
+    # with an EMPTY tail): the driver enforces its own timeout, so
+    # (a) print a heartbeat line immediately, before any device wait;
+    # (b) run the HEADLINE first under a tight budget and print its line
+    #     the moment it exists;
+    # (c) append every line to BENCH_partial.json on disk as it happens;
+    # (d) cap the whole sweep well under an hour -- a relay wedge costs
+    #     one metric (an error line), never the sweep.
+    t_start = time.time()
+    try:  # fresh partial file per sweep
+        if os.path.exists(PARTIAL_PATH):
+            os.remove(PARTIAL_PATH)
+    except OSError:
+        pass
+    _emit_raw({"metric": "bench_heartbeat", "value": 1, "unit": "alive",
+               "vs_baseline": 0.0})
+
     here = os.path.abspath(__file__)
-    sweep = [("--step-cloud", 900), ("--multi", 900), ("--lw", 900),
-             ("--tabulated", 900), ("--radar", 900), ("--landsat", 900),
-             ("--intensity", 1200), ("--flagship", 1800)]
+    sweep = [("--step-cloud", 360), ("--multi", 300), ("--lw", 300),
+             ("--tabulated", 300), ("--radar", 300), ("--landsat", 300),
+             ("--intensity", 420), ("--broadband", 420), ("--flagship", 420)]
     headline = None
-    sweep_deadline = time.time() + 2.5 * 3600.0  # global sweep budget
+    sweep_deadline = t_start + 35 * 60.0  # global sweep budget: 35 min
+    if not wait_for_device(max_wait_s=240.0):
+        _emit_raw({"metric": "step_cloud_photon_throughput", "value": 0.0,
+                   "unit": "photons/sec/chip", "vs_baseline": 0.0,
+                   "note": "device unreachable (relay wedge, see "
+                           "PERF_NOTES.md 'Relay hazard')"})
+        return
     for i, (flag, budget) in enumerate(sweep):
         remaining = sweep_deadline - time.time()
-        if remaining < 120.0:
-            print(json.dumps({"metric": flag.lstrip("-"),
-                              "error": "sweep budget exhausted"}),
-                  flush=True)
+        if remaining < 90.0:
+            _emit_raw({"metric": flag.lstrip("-"),
+                       "error": "sweep budget exhausted"})
             continue
         budget = min(budget, remaining)
         if i > 0 and not wait_for_device(
-                max_wait_s=min(3600.0, remaining - 60.0)):
-            print(json.dumps({"metric": flag.lstrip("-"),
-                              "error": "device unreachable"}), flush=True)
+                max_wait_s=min(240.0, remaining - 60.0)):
+            _emit_raw({"metric": flag.lstrip("-"),
+                       "error": "device unreachable"})
             continue
         try:
             r = subprocess.run([sys.executable, here, flag],
@@ -421,16 +531,15 @@ def main():
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
-                    if flag == "--step-cloud":
+                    _append_partial(line)
+                    if flag == "--step-cloud" and "error" not in line:
                         headline = line
             if r.returncode != 0:
-                print(json.dumps({"metric": flag.lstrip("-"),
-                                  "error": (r.stderr or "")[-200:]}),
-                      flush=True)
+                _emit_raw({"metric": flag.lstrip("-"),
+                           "error": (r.stderr or "")[-200:]})
         except subprocess.TimeoutExpired:
-            print(json.dumps({"metric": flag.lstrip("-"),
-                              "error": f"timeout after {budget}s"}),
-                  flush=True)
+            _emit_raw({"metric": flag.lstrip("-"),
+                       "error": f"timeout after {budget:.0f}s"})
     if headline is not None:
         # repeat the headline as the FINAL line for the driver's parser
         print(headline, flush=True)

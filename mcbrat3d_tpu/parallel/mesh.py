@@ -69,20 +69,34 @@ def run_batch_sharded(domain: OpticalDomain,
     static flag."""
     from mcbrat3d_tpu.transport import pallas_kernel as _pk
     if (intensity_config is not None
-            and domain.tables.forward_orig.shape[1] == 1):
+            and domain.tables.forward_orig.shape[1] == 1
+            and not domain.all_hg):
+        # all-HG domains evaluate the phase function analytically (see
+        # transport.local_estimate._phase_value)
         raise ValueError(
             "intensity requested but the domain has no forward phase "
             "tables; build the domain with compute_intensity_tables=True")
     dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
+    # Per-direction march plan from CONCRETE direction cosines: inside the
+    # jitted sharded impl the dirs are tracers and plan_march would return
+    # None, silently losing the per-direction bound optimization on
+    # exactly the multi-chip runs it was built for.
+    march_plan = None
+    try:
+        march_plan = _pk.plan_march(domain.grid, intensity_config,
+                                    intensity_dirs)
+    except (TypeError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass
     return _run_batch_sharded_impl(
         domain, surface, source, seed, global_batch, config, mesh,
         intensity_config, intensity_dirs, n_photons,
-        dirs_mu_ok=dirs_mu_ok)
+        dirs_mu_ok=dirs_mu_ok, march_plan=march_plan)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "intensity_config", "mesh",
-                                    "dirs_mu_ok"))
+                                    "dirs_mu_ok", "march_plan"))
 def _run_batch_sharded_impl(domain: OpticalDomain,
                       surface: Surface,
                       source: illumination.Source,
@@ -93,7 +107,8 @@ def _run_batch_sharded_impl(domain: OpticalDomain,
                       intensity_config: Optional[IntensityConfig] = None,
                       intensity_dirs: Optional[jax.Array] = None,
                       n_photons=None,
-                      dirs_mu_ok: bool = False) -> Tallies:
+                      dirs_mu_ok: bool = False,
+                      march_plan=None) -> Tallies:
     """One *global* photon batch across the mesh.
 
     Each device traces ``config.photons_per_batch`` photons (or its share of
@@ -120,7 +135,8 @@ def _run_batch_sharded_impl(domain: OpticalDomain,
             n_local = n_glob // n_dev + (d < n_glob % n_dev).astype(jnp.int32)
         t = _run_batch_impl(domain, surface, source, key, config,
                             intensity_config, intensity_dirs,
-                            n_photons=n_local, dirs_mu_ok=dirs_mu_ok)
+                            n_photons=n_local, dirs_mu_ok=dirs_mu_ok,
+                            march_plan=march_plan)
         return jax.tree.map(
             lambda x: jax.lax.psum(x, PHOTON_AXIS) if x is not None else None,
             t)

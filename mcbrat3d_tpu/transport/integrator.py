@@ -272,11 +272,14 @@ def run_batch(domain: OpticalDomain,
     """
     from mcbrat3d_tpu.transport import pallas_kernel as _pk
     if (intensity_config is not None
-            and domain.tables.forward_orig.shape[1] == 1):
+            and domain.tables.forward_orig.shape[1] == 1
+            and not domain.all_hg):
         # Without tabulated forward phase functions the XLA estimator
         # reads a zeros placeholder and silently produces ~zero radiance
         # (the reference always tabulates them for intensity runs;
         # reference: Integrators/monteCarloRadiativeTransfer.f95:280-285).
+        # All-HG domains are exempt: both the megakernel and the XLA
+        # estimator evaluate the HG phase function analytically.
         raise ValueError(
             "intensity requested but the domain has no forward phase "
             "tables; build the domain with compute_intensity_tables=True")

@@ -87,6 +87,15 @@ def _phase_value(domain, cell, comp, cos_scat, orig: bool):
     Integrators/monteCarloRadiativeTransfer.f95:1834-1873)."""
     table = domain.tables.forward_orig if orig else domain.tables.forward
     n_angles = table.shape[1]
+    if n_angles == 1 and domain.all_hg:
+        # All-HG domain without tabulated forward tables: evaluate the
+        # Henyey-Greenstein phase function analytically from the cell
+        # record's per-component asymmetry (the megakernel does the same;
+        # tabulation is only required for non-HG entries).
+        nc = domain.n_components
+        g = domain.cell_records[cell, 2 + 3 * nc + comp]
+        c = jnp.clip(cos_scat, -1.0, 1.0)
+        return (1.0 - g * g) * (1.0 + g * g - 2.0 * g * c) ** -1.5
     flat = table.reshape(-1)
     ncomp = domain.n_components
     pfi = domain.phase_index.reshape(-1)[cell * ncomp + comp]

@@ -40,6 +40,7 @@ domains: transport/pallas_col.py.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -227,8 +228,9 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
         ("n_orders_orig_phase > 0", icfg.n_orders_orig_phase == 0),
         ("limit_contributions=True", not icfg.limit_contributions),
         (f"n_dirs={icfg.n_dirs} > 32", icfg.n_dirs <= 32),
-        (f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
-         tuple(dirs.shape) == (3, icfg.n_dirs)),
+        ("intensity_dirs is None" if dirs is None else
+         f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
+         dirs is not None and tuple(dirs.shape) == (3, icfg.n_dirs)),
         ("a direction's mu is below icfg.pallas_min_mu (or dirs were "
          "traced; validate with concrete directions before jit)",
          dirs_mu_ok),
@@ -311,7 +313,11 @@ def _fmix32(x):
     return x
 
 
-_N_SITES = 64  # draw sites per step (16+2d..17+2d: per-direction RR)
+# Draw sites per step. Sites 16+2d..17+2d serve per-direction Iwabuchi RR;
+# with n_dirs up to 32 the largest site is 16 + 2*31 + 1 = 79, so 128 keeps
+# (ctr, site) streams collision-free (at 64, direction >= 24 aliased the
+# next step's transport draws on the software-RNG path).
+_N_SITES = 128
 
 
 def _make_uniform(lane_u32, seed_u32, mode: str = "murmur", ctr_f32=None):
@@ -2005,7 +2011,9 @@ def run_batch_pallas(domain: OpticalDomain,
             tuple(sorted(kb_kwargs.items())), bool(domain.all_hg),
             n_photons is not None, photons_per_lane)
     launch = _LAUNCH_CACHE.get(lkey)
-    if launch is None:
+    if launch is not None:
+        _LAUNCH_CACHE.move_to_end(lkey)
+    else:
         kernel = _build_kernel((nx, ny, nz), pcfg, source.kind, w_cols,
                                h_cells, ht, use_russian_roulette,
                                **kb_kwargs)
@@ -2015,6 +2023,8 @@ def run_batch_pallas(domain: OpticalDomain,
             idx_ssa=2 + ncomp,
             idx_f2=(2 + 3 * ncomp if domain.all_hg else 2 + 2 * ncomp)))
         _LAUNCH_CACHE[lkey] = launch
+        while len(_LAUNCH_CACHE) > _LAUNCH_CACHE_MAX:
+            _LAUNCH_CACHE.popitem(last=False)
 
     n_ph_arg = 0 if n_photons is None else n_photons
     return launch(grid.x_edges, grid.y_edges, grid.z_edges,
@@ -2025,7 +2035,14 @@ def run_batch_pallas(domain: OpticalDomain,
                   ea_packed, fwd_packed, key, n_ph_arg)
 
 
-_LAUNCH_CACHE: dict = {}
+# Bounded LRU of jitted launches, keyed by the full static configuration
+# (a long-lived process sweeping many domains/direction sets would
+# otherwise accumulate compiled launches without eviction). Device TABLES
+# are memoized separately on the domain/source objects themselves
+# (object.__setattr__), so their lifetime is the object's own -- dropping
+# the domain frees its packed device buffers.
+_LAUNCH_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_LAUNCH_CACHE_MAX = 48
 
 
 def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,

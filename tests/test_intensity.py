@@ -87,6 +87,62 @@ class TestSingleScatteringOracle:
                                    rtol=0.25)
 
 
+class TestAllHGWithoutTables:
+    def test_analytic_hg_radiance_without_forward_tables(self):
+        """All-HG domains need no tabulated forward tables: the estimator
+        evaluates HG analytically. Same seed => identical photon paths, so
+        the only difference vs the tabulated domain is table interpolation
+        error (tight tolerance)."""
+        kw = dict(tau=0.5, ssa=1.0, nx=2, ny=2, nz=4, n_cdf_steps=501,
+                  phase=PhaseFunction.henyey_greenstein(0.7, 64))
+        dom_nt = make_slab(**kw)  # no intensity tables
+        dom_t = make_slab(compute_intensity_tables=True, **kw)
+        assert dom_nt.all_hg
+        assert dom_nt.tables.forward_orig.shape[1] == 1
+        dirs = make_intensity_directions([0.8], [30.0])
+        icfg = IntensityConfig(n_dirs=1, use_russian_roulette=False)
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=2000, use_pallas="off")
+        src = illumination.directional(0.5, 0.0)
+        t_nt = run_intensity(dom_nt, src, Surface.lambertian(0.0), icfg,
+                             dirs, cfg)
+        t_t = run_intensity(dom_t, src, Surface.lambertian(0.0), icfg,
+                            dirs, cfg)
+        rad_nt = np.asarray(t_nt.intensity)
+        assert float(rad_nt.mean()) > 0
+        np.testing.assert_allclose(rad_nt, np.asarray(t_t.intensity),
+                                   rtol=5e-3, atol=1e-7)
+
+    def test_sharded_all_hg_without_tables_runs(self):
+        """run_batch_sharded applies the same all-HG exemption."""
+        import jax
+
+        from mcbrat3d_tpu.parallel.mesh import make_mesh, run_batch_sharded
+        dom = make_slab(tau=0.2, ssa=1.0, nx=2, ny=2, nz=4, n_cdf_steps=201,
+                        phase=PhaseFunction.henyey_greenstein(0.5, 32))
+        dirs = make_intensity_directions([1.0], [0.0])
+        icfg = IntensityConfig(n_dirs=1, use_russian_roulette=False)
+        cfg = KernelConfig(n_lanes=1 << 8, photons_per_lane=2,
+                           max_steps=1000, use_pallas="off")
+        t = run_batch_sharded(dom, Surface.lambertian(0.0),
+                              illumination.directional(1.0, 0.0),
+                              seed=0, global_batch=0, config=cfg,
+                              mesh=make_mesh(), intensity_config=icfg,
+                              intensity_dirs=dirs)
+        assert float(np.asarray(t.intensity).sum()) > 0
+
+    def test_ineligibility_reasons_with_none_dirs(self):
+        """The forced-megakernel diagnostic must name a missing-dirs reason,
+        not crash with AttributeError on dirs.shape."""
+        from mcbrat3d_tpu.transport import pallas_kernel as _pk
+        dom = make_slab(tau=0.2, ssa=1.0, nx=2, ny=2, nz=4, n_cdf_steps=201)
+        icfg = IntensityConfig(n_dirs=1, use_russian_roulette=False)
+        reasons = _pk.intensity_ineligibility_reasons(
+            dom, Surface.lambertian(0.0), illumination.directional(1.0, 0.0),
+            False, 0, False, icfg, None, False)
+        assert any("intensity_dirs is None" in r for r in reasons)
+
+
 class TestSurfaceRadiance:
     def test_lambertian_surface_radiance(self):
         """tau ~ 0: TOA radiance = albedo * mu0 * F / pi in all directions."""

@@ -823,9 +823,18 @@ class TestManyDirectionsAllQuadrants:
                 f"dir {d} (phi {phis[d]}): xla {a} vs pallas {b}")
 
     def test_missing_forward_tables_raise(self):
+        """Non-HG (tabulated-phase) domains still require forward tables
+        for intensity; all-HG domains are exempt (analytic phase values)."""
+        from mcbrat3d_tpu.physics.phase_function import PhaseFunction
+        from mcbrat3d_tpu.scenes.plane_parallel import make_slab
         from mcbrat3d_tpu.transport.local_estimate import (
             IntensityConfig, make_intensity_directions)
-        dom = make_step_cloud(ssa=0.99, n_cdf_steps=201)  # no tables
+        mix = PhaseFunction(
+            coefficients=0.7 * 0.8 ** np.arange(1, 33)
+            + 0.3 * 0.3 ** np.arange(1, 33), description="mix")
+        dom = make_slab(tau=1.0, ssa=0.9, nx=2, ny=2, nz=4, n_cdf_steps=201,
+                        phase=mix)  # tabulated phase, no intensity tables
+        assert not dom.all_hg
         dirs = make_intensity_directions([1.0], [0.0])
         icfg = IntensityConfig(n_dirs=1)
         cfg = KernelConfig(n_lanes=256, photons_per_lane=1, max_steps=100)
@@ -834,6 +843,14 @@ class TestManyDirectionsAllQuadrants:
                       illumination.directional(0.5, 0.0),
                       rng.batch_key(0, 0), cfg,
                       intensity_config=icfg, intensity_dirs=dirs)
+        # the all-HG equivalent runs (analytic HG estimator, no tables)
+        dom_hg = make_step_cloud(ssa=0.99, n_cdf_steps=201)
+        assert dom_hg.all_hg
+        t = run_batch(dom_hg, Surface.lambertian(0.0),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(0, 0), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        assert float(np.asarray(t.intensity).sum()) >= 0
 
 
 class TestLWIntensityInKernel:

@@ -62,6 +62,34 @@ def test_sharded_conservation():
     np.testing.assert_allclose(total, n, rtol=1e-5)
 
 
+def test_sharded_megakernel_composes():
+    """The production multi-chip configuration -- a pallas_call inside
+    shard_map with a psum tally reduce -- compiles and executes
+    (interpret-mode on the virtual CPU mesh) and matches the per-device
+    serial megakernel sub-batches exactly."""
+    dom = make_step_cloud(ssa=0.99, macro_factor=8)
+    sfc = Surface.lambertian(0.0)
+    src = illumination.directional(0.5, 0.0)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    cfg = KernelConfig(n_lanes=1 << 8, photons_per_lane=2, max_steps=4000,
+                       use_pallas="on")
+
+    t_shard = run_batch_sharded(dom, sfc, src, seed=7, global_batch=1,
+                                config=cfg, mesh=mesh)
+
+    flux_up = np.zeros_like(np.asarray(t_shard.flux_up))
+    n_tot = 0
+    for d in range(n_dev):
+        t = run_batch(dom, sfc, src, rng.batch_key(7, n_dev + d), cfg)
+        flux_up += np.asarray(t.flux_up)
+        n_tot += int(t.n_photons)
+
+    assert int(t_shard.n_photons) == n_tot == n_dev * cfg.photons_per_batch
+    np.testing.assert_allclose(np.asarray(t_shard.flux_up), flux_up,
+                               rtol=1e-6)
+
+
 def test_sharded_n_photons_exact():
     """Traced global photon count splits exactly across devices."""
     from mcbrat3d_tpu.scenes.plane_parallel import make_slab

@@ -296,9 +296,10 @@ def bench_intensity():
 def bench_lw_flagship():
     """The reference's broadband-LW flagship shape: 325 x 325 x 150
     (run/I3RC_bench_LW.deck ran it at 2,000 ranks in <= 1 h). 15.8M cells
-    exceed every VMEM megakernel envelope, so this measures the XLA wave
-    kernel (HBM record gathers + scatter tallies) with thermal emission,
-    2 components, and the macro majorant."""
+    exceed every per-cell VMEM envelope; the domain is SEPARABLE
+    (beta = a[col]*p[z] + q[z]), so this runs the separable-template
+    megakernel (transport/pallas_sep.py) with in-kernel factorized
+    BBEmission sampling -- use_pallas='on' asserts the fast path."""
     from mcbrat3d_tpu.core import rng
     from mcbrat3d_tpu.domain.domain import build_domain
     from mcbrat3d_tpu.physics.surface import Surface
@@ -310,13 +311,15 @@ def bench_lw_flagship():
 
     grid, comps, temps = lw_flagship_scene()
     domain = build_domain(grid, comps, temps=temps, macro_factor=8,
-                          n_cdf_steps=201)
+                          n_cdf_steps=201, lambda_um=10.0)
     kabs = absorption_coefficient(comps, grid)
-    w = emission_weighting(grid, temps, kabs, 290.0, 0.95, 10.0)
+    w = emission_weighting(grid, temps, kabs, 288.0, 0.95, 10.0)
     source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
                                    grid.shape)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=8,
-                          max_steps=200_000, lw_mode=True)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=32,
+                          max_steps=200_000, lw_mode=True,
+                          use_pallas="on",
+                          need_volume_absorption=False)
 
     def once(b):
         t = run_batch(domain, Surface.lambertian(0.05), source,

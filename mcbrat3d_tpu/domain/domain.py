@@ -146,6 +146,50 @@ class OpticalDomain:
     macro_table: Optional[jax.Array] = None  # [nbx*nby*nbz] f32 majorants
     col_template: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
+    # Separable-template structure (flagship-scale megakernel fast path;
+    # detected at build time): total extinction decomposes EXACTLY (to f32
+    # rounding) as
+    #   beta(x, y, z) = sep_amp[ix*ny+iy] * sep_pz[iz] + sep_qz[iz],
+    # the shape of stratocumulus-over-gas longwave scenes (a rank-1
+    # "cloud" component times a vertical profile, plus a horizontally
+    # uniform absorber). This generalizes col_template (p = indicator,
+    # q = 0) and covers the reference's 325x325x150 broadband-LW
+    # benchmark domain (reference: run/I3RC_bench_LW.deck:45) whose 15.8M
+    # cells exceed every per-cell VMEM envelope: the kernel gathers ONE
+    # per-column amplitude and reads tiny per-z profile tables instead of
+    # per-cell records (transport/pallas_sep.py).
+    sep_amp: Optional[jax.Array] = None      # [nx*ny] f32
+    sep_pz: Optional[jax.Array] = None       # [nz] f32 (cloud profile)
+    sep_qz: Optional[jax.Array] = None       # [nz] f32 (uniform absorber)
+    sep_block: Optional[jax.Array] = None    # [nbx*nby] f32 block max amp
+    sep_tz: Optional[jax.Array] = None       # [nz] f32 temps (z-uniform)
+    # [ssa_cloud, g_cloud, qmax_below, qmax_above, ceil_in_max, amp_max]
+    sep_scalars: Optional[jax.Array] = None  # [6] f32
+    sep_template: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
+    sep_zb: int = dataclasses.field(metadata=dict(static=True), default=0)
+    sep_zt: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # cloud scattering: analytic HG (sep_scalars[1]) vs the single
+    # tabulated inverse-CDF row sep_inv_row of tables.inverse
+    sep_analytic_hg: bool = dataclasses.field(metadata=dict(static=True),
+                                              default=False)
+    sep_inv_row: int = dataclasses.field(metadata=dict(static=True),
+                                         default=0)
+    # temps are horizontally uniform (LW emission factorizes over z)
+    sep_tz_uniform: bool = dataclasses.field(metadata=dict(static=True),
+                                             default=False)
+    # Separable BBEmission sampling tables, built HERE (host side, the
+    # Walker alias construction is sequential -- native/alias.cpp) so the
+    # in-trace kernel packing stays pure jnp. The emission density
+    # factorizes (z-uniform temps): kabs * B(T(z)) = a[col]*P1[z] + Q1[z]
+    # with P1 = p*(1-ssa_cloud)*B(T), Q1 = q*B(T). Branch "cloud" samples
+    # the column from a's alias and z from P1's; branch "gas" samples the
+    # column uniformly and z from Q1's. Only built when sep_template,
+    # sep_tz_uniform and lambda_um > 0.
+    sep_em_prob: Optional[jax.Array] = None   # [nx*ny] f32 column alias P
+    sep_em_alias: Optional[jax.Array] = None  # [nx*ny] f32 column targets
+    sep_em_zpa: Optional[jax.Array] = None    # [4, nz] cloudP,cloudA,gasP,gasA
+    sep_em_pb: Optional[jax.Array] = None     # [1] f32 P(cloud branch)
 
     @property
     def n_components(self) -> int:
@@ -154,6 +198,174 @@ class OpticalDomain:
     @property
     def max_extinction(self):
         return jnp.max(self.total_ext)
+
+
+_SEP_NONE = dict(sep_amp=None, sep_pz=None, sep_qz=None, sep_block=None,
+                 sep_tz=None, sep_scalars=None, sep_template=False,
+                 sep_zb=0, sep_zt=0, sep_analytic_hg=False, sep_inv_row=0,
+                 sep_tz_uniform=False, sep_em_prob=None, sep_em_alias=None,
+                 sep_em_zpa=None, sep_em_pb=None)
+
+
+def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz):
+    """Host-side separable BBEmission aliases (see OpticalDomain.sep_em_*).
+
+    Reference sampling being replaced: the 3-level CDF scan of
+    src/monteCarloIllumination.f95:495-498 over 15.8M voxels becomes one
+    column alias + two z aliases (O(1) draws, ~1 MB instead of 250 MB)."""
+    from mcbrat3d_tpu.core.planck import planck_radiance
+    from mcbrat3d_tpu.sources.illumination import _walker_alias
+
+    b = np.where(tz > 0, planck_radiance(lambda_um, np.maximum(tz, 1.0)),
+                 0.0)
+    p1 = p * (1.0 - ssa_cloud) * b
+    q1 = q * b
+    w_cloud = float(a.sum() * p1.sum())
+    w_gas = float(nxy * q1.sum())
+    tot = w_cloud + w_gas
+    pb = w_cloud / tot if tot > 0 else 0.0
+    asum = a.sum()
+    prob_c, alias_c = _walker_alias(
+        a / asum if asum > 0 else np.full(nxy, 1.0 / nxy))
+
+    def z_alias(dens):
+        s = dens.sum()
+        return _walker_alias(dens / s if s > 0 else np.full(nz, 1.0 / nz))
+
+    zp_c, za_c = z_alias(p1)
+    zp_g, za_g = z_alias(q1)
+    return dict(
+        sep_em_prob=jnp.asarray(prob_c, jnp.float32),
+        sep_em_alias=jnp.asarray(alias_c, jnp.float32),
+        sep_em_zpa=jnp.asarray(
+            np.stack([zp_c, za_c, zp_g, za_g]), jnp.float32),
+        sep_em_pb=jnp.asarray([pb], jnp.float32))
+
+
+def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
+                      macro_factor, temps, col_template, lambda_um=0.0):
+    """Detect beta = a[x,y] * p[z] + q[z] (see OpticalDomain.sep_* docs).
+
+    Requirements beyond the algebraic shape: the rank-1 "cloud" component
+    has ONE phase entry and a uniform ssa over occupied cells; the
+    horizontally uniform "gas" component (if present) is a pure absorber
+    (ssa == 0, so scattering is always the cloud's phase function). Up to
+    131072 columns (bf16 hi/lo alias splits stay integer-exact) and 256
+    z-levels.
+    """
+    nx, ny, nz = grid.shape
+    ncomp = len(components)
+    if (col_template or ncomp > 2 or nz > 256 or nx * ny > 131072
+            or not (grid.xy_regular and grid.z_regular)):
+        return dict(_SEP_NONE)
+    uniform = [bool(np.all(ext[:, :, :, c] == ext[:1, :1, :, c]))
+               for c in range(ncomp)]
+    if ncomp == 2:
+        if uniform[0] == uniform[1]:
+            return dict(_SEP_NONE)
+        cloud_c, gas_c = (1, 0) if uniform[0] else (0, 1)
+    else:
+        if uniform[0]:
+            return dict(_SEP_NONE)
+        cloud_c, gas_c = 0, None
+
+    e_c = np.asarray(ext[:, :, :, cloud_c], np.float32)
+    occ_c = e_c > 0
+    if not occ_c.any():
+        return dict(_SEP_NONE)
+    # gas must be a pure absorber (else the scattering component would
+    # depend on position and the single-phase kernel would be biased)
+    if gas_c is not None:
+        q = np.asarray(ext[0, 0, :, gas_c], np.float32)
+        occ_g = ext[:, :, :, gas_c] > 0
+        if occ_g.any() and float(np.abs(ssa[:, :, :, gas_c][occ_g]).max()) > 0:
+            return dict(_SEP_NONE)
+    else:
+        q = np.zeros(nz, np.float32)
+
+    # rank-1 factorization from the strongest column
+    ij = np.unravel_index(np.argmax(e_c.sum(axis=2)), (nx, ny))
+    p = e_c[ij[0], ij[1], :].astype(np.float32)
+    zref = int(np.argmax(p))
+    if p[zref] <= 0:
+        return dict(_SEP_NONE)
+    a = (e_c[:, :, zref] / p[zref]).astype(np.float32)
+    # columns with zero amplitude at zref must be empty columns
+    if bool(np.any(occ_c.any(axis=2) & (a <= 0))):
+        return dict(_SEP_NONE)
+    approx = a[:, :, None] * p[None, None, :]
+    tol = 4e-6 * float(e_c.max())
+    if not bool(np.all(np.abs(e_c - approx) <= tol + 4e-6 * approx)):
+        return dict(_SEP_NONE)
+
+    # cloud uniformity: one ssa, one phase entry over occupied cells
+    ssa_c_vals = ssa[:, :, :, cloud_c][occ_c]
+    pfi_c_vals = pfi[:, :, :, cloud_c][occ_c]
+    if (not bool(np.all(ssa_c_vals == ssa_c_vals.flat[0]))
+            or not bool(np.all(pfi_c_vals == pfi_c_vals.flat[0]))):
+        return dict(_SEP_NONE)
+    ssa_cloud = float(ssa_c_vals.flat[0])
+    entry = int(pfi_c_vals.flat[0])
+    tbl = components[cloud_c].phase_function_table
+    g_cloud = tbl.phase_functions[entry].hg_g
+    analytic = g_cloud is not None
+    offset = sum(components[c].phase_function_table.n_entries
+                 for c in range(cloud_c))
+    inv_row = offset + entry
+
+    # slab bounds + region ceilings
+    nzp = np.nonzero(p > 0)[0]
+    zb, zt = int(nzp[0]), int(nzp[-1]) + 1
+    qmax_below = float(q[:zb].max()) if zb > 0 else 0.0
+    qmax_above = float(q[zt:].max()) if zt < nz else 0.0
+    qmax_slab = float(q[zb:zt].max())
+    pmax = float(p.max())
+
+    # per-xy-block in-slab ceilings (bumped UP so the bound survives the
+    # kernel's bf16 table; same scheme as the column-template table)
+    f = macro_factor if macro_factor > 0 else max(nx, ny)
+    nbx, nby = -(-nx // f), -(-ny // f)
+    a2 = np.zeros((nbx * f, nby * f), np.float32)
+    a2[:nx, :ny] = a
+    bceil = (a2.reshape(nbx, f, nby, f).max(axis=(1, 3)) * pmax
+             + qmax_slab)
+    import ml_dtypes
+    b16 = bceil.astype(ml_dtypes.bfloat16).astype(np.float32)
+    bump = (bceil * (1.0 + 2.0 ** -6)).astype(
+        ml_dtypes.bfloat16).astype(np.float32)
+    bceil16 = np.where(b16 < bceil, bump, b16)
+    ceil_in_max = float(bceil16.max())
+
+    tz_uniform = False
+    tz = np.zeros(nz, np.float32)
+    if temps is not None:
+        t = np.asarray(temps)
+        tz_uniform = bool(np.all(t == t[0:1, 0:1, :]))
+        if tz_uniform:
+            tz = t[0, 0, :].astype(np.float32)
+
+    em = dict(sep_em_prob=None, sep_em_alias=None, sep_em_zpa=None,
+              sep_em_pb=None)
+    if tz_uniform and lambda_um > 0.0:
+        em = _sep_emission_tables(
+            a.reshape(-1).astype(np.float64), p.astype(np.float64),
+            q.astype(np.float64), tz.astype(np.float64), ssa_cloud,
+            float(lambda_um), nx * ny, nz)
+
+    return dict(
+        **em,
+        sep_amp=jnp.asarray(a.reshape(-1), jnp.float32),
+        sep_pz=jnp.asarray(p, jnp.float32),
+        sep_qz=jnp.asarray(q, jnp.float32),
+        sep_block=jnp.asarray(bceil16.reshape(-1), jnp.float32),
+        sep_tz=jnp.asarray(tz, jnp.float32),
+        sep_scalars=jnp.asarray(
+            [ssa_cloud, float(g_cloud) if analytic else 0.0,
+             qmax_below, qmax_above, ceil_in_max, float(a.max())],
+            jnp.float32),
+        sep_template=True, sep_zb=zb, sep_zt=zt,
+        sep_analytic_hg=bool(analytic), sep_inv_row=inv_row,
+        sep_tz_uniform=tz_uniform)
 
 
 def build_domain(grid: Grid, components: Sequence[OpticalComponent],
@@ -326,9 +538,18 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                         np.stack([bump.reshape(-1), bh.reshape(-1)], 1),
                         jnp.float32)  # [nbx*nby, 2]
 
+    # --- separable-template detection (flagship LW scenes) ---
+    # beta = a[x,y] * p[z] + q[z]: one rank-1 "cloud" component plus at
+    # most one horizontally uniform component with ssa == 0. See the
+    # OpticalDomain.sep_* field docs; kernel: transport/pallas_sep.py.
+    sep = _detect_separable(grid, components, ext, ssa, pfi, all_hg,
+                            macro_factor, temps, col_template,
+                            lambda_um=float(lambda_um))
+
     return OpticalDomain(
         grid=grid,
         total_ext=jnp.asarray(total, jnp.float32),
+        **sep,
         cum_ext=jnp.asarray(cum_frac, jnp.float32),
         ssa=jnp.asarray(ssa, jnp.float32),
         phase_index=jnp.asarray(pfi),

@@ -363,6 +363,19 @@ def _run_batch_impl(domain: OpticalDomain,
             return _pc.run_batch_pallas_col_tallies(
                 domain, surface, source, key, cfg, n_photons,
                 interpret=not on_tpu)
+        # ---- flagship-scale separable-template megakernel ----
+        from mcbrat3d_tpu.transport import pallas_sep as _psep
+        sep_eligible = _psep.pallas_sep_eligible(
+            domain, surface, source,
+            lw_mode=cfg.lw_mode,
+            compute_intensity=intensity_config is not None,
+            record_scattering_orders=cfg.record_scattering_orders,
+            use_ray_tracing=cfg.use_ray_tracing,
+            need_volume_absorption=cfg.need_volume_absorption)
+        if sep_eligible and (on_tpu or cfg.use_pallas == "on"):
+            return _psep.run_batch_pallas_sep_tallies(
+                domain, surface, source, key, cfg, n_photons,
+                interpret=not on_tpu)
         if cfg.use_pallas == "on":
             reasons = _pk.ineligibility_reasons(
                 domain, surface, source, lw_mode=cfg.lw_mode,

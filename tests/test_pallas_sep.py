@@ -1,0 +1,244 @@
+"""Separable-template megakernel tests (CPU interpreter mode).
+
+The separable kernel (transport/pallas_sep.py) must match the XLA wave
+kernel statistically on beta = a[col]*p[z] + q[z] domains -- same physics,
+different RNG streams -- including the in-kernel separable BBEmission
+sampling and LW pre-credit accounting. Domains here exceed the record
+megakernel's 36864-cell envelope so run_batch dispatch exercises the
+separable path.
+"""
+
+import numpy as np
+import pytest
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.domain.domain import build_domain
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.scenes.collection import lw_flagship_scene
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.spectral.weights import (
+    absorption_coefficient,
+    emission_weighting,
+)
+from mcbrat3d_tpu.transport import pallas_sep as ps
+from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+from mcbrat3d_tpu.transport.pallas_kernel import PallasConfig
+
+
+def make_sep_scene(nx=16, ny=16, nz=150, lambda_um=10.0, **kw):
+    """Scaled-down flagship shape: rank-1 stratocumulus + uniform gas.
+    16 x 16 x 150 = 38400 cells exceeds the record kernel envelope and
+    exercises the second z slice (nz > 128)."""
+    kw.setdefault("cloud_base_level", 55)
+    kw.setdefault("cloud_top_level", 85)
+    grid, comps, temps = lw_flagship_scene(nx=nx, ny=ny, nz=nz, **kw)
+    dom = build_domain(grid, comps, temps=temps, macro_factor=8,
+                       n_cdf_steps=201, lambda_um=lambda_um)
+    return dom, comps, temps
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_sep_scene()
+
+
+@pytest.fixture(scope="module")
+def lw_source(scene):
+    dom, comps, temps = scene
+    kabs = absorption_coefficient(comps, dom.grid)
+    w = emission_weighting(dom.grid, temps, kabs, 288.0, 0.95, 10.0)
+    return illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                 dom.grid.shape)
+
+
+SMALL = PallasConfig(rows=8, block_rows=8, steps_per_call=16,
+                     max_steps=4096, interpret=True)
+
+
+class TestDetectionAndEligibility:
+    def test_flagship_shape_detected(self, scene):
+        dom, _, _ = scene
+        assert dom.sep_template and not dom.col_template
+        assert dom.sep_amp.shape == (16 * 16,)
+        assert (dom.sep_zb, dom.sep_zt) == (55, 85)
+        assert dom.sep_analytic_hg and dom.sep_tz_uniform
+        # factorization reproduces the total extinction
+        a = np.asarray(dom.sep_amp).reshape(16, 16)
+        beta = (a[:, :, None] * np.asarray(dom.sep_pz)[None, None, :]
+                + np.asarray(dom.sep_qz)[None, None, :])
+        np.testing.assert_allclose(beta, np.asarray(dom.total_ext),
+                                   rtol=1e-5, atol=1e-8)
+
+    def test_eligibility(self, scene, lw_source):
+        dom, _, _ = scene
+        assert ps.pallas_sep_eligible(
+            dom, Surface.lambertian(0.05), lw_source,
+            lw_mode=True, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=False)
+        reasons = ps.sep_ineligibility_reasons(
+            dom, Surface.lambertian(0.05), lw_source,
+            lw_mode=True, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=True)
+        assert any("3D tally" in r for r in reasons)
+
+
+class TestSWTransport:
+    def test_energy_conservation_no_rr(self, scene):
+        dom, _, _ = scene
+        out = ps.run_batch_pallas_sep(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(0, 0), SMALL, 2, use_russian_roulette=False)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == 8 * 128 * 2
+        assert int(nbad) == 0
+        bal = (float(fu.sum()) + 0.8 * float(fd.sum())
+               + float(ac.sum())) / n
+        assert bal == pytest.approx(1.0, abs=2e-3)
+        assert float(az.sum()) == pytest.approx(float(ac.sum()), rel=1e-4)
+
+    def test_matches_xla_kernel_statistically(self, scene):
+        dom, _, _ = scene
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(9, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = ps.run_batch_pallas_sep(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(9, 1), pcfg, 32)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == cfg.photons_per_batch
+        for a, b, name, p in (
+                (fu, t.flux_up, "R", 0.3),
+                (fd, t.flux_down, "T", 0.5),
+                (ac, t.flux_absorbed, "A", 0.3)):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / int(t.n_photons)
+            sigma = 2.0 * np.sqrt(max(p * (1 - p), 0.01) / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        prof_ref = np.asarray(t.volume_absorption).sum(axis=(0, 1)) \
+            / int(t.n_photons)
+        prof = np.asarray(az) / n
+        np.testing.assert_allclose(prof, prof_ref, atol=4e-3)
+
+    def test_deterministic(self, scene):
+        dom, _, _ = scene
+        args = (dom, Surface.lambertian(0.2),
+                illumination.directional(0.5, 0.0))
+        a = ps.run_batch_pallas_sep(*args, rng.batch_key(3, 5), SMALL, 2)
+        b = ps.run_batch_pallas_sep(*args, rng.batch_key(3, 5), SMALL, 2)
+        c = ps.run_batch_pallas_sep(*args, rng.batch_key(3, 6), SMALL, 2)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.any(np.asarray(a[0]) != np.asarray(c[0]))
+
+
+class TestLWEmission:
+    """In-kernel separable BBEmission vs the XLA kernel's voxel-alias
+    sampling: same emission density (kabs * B(T(z)) factorized), same
+    pre-credit accounting."""
+
+    def test_matches_xla_lw(self, scene, lw_source):
+        dom, _, _ = scene
+        sfc = Surface.lambertian(0.05)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                           max_steps=20_000, use_pallas="off",
+                           lw_mode=True)
+        t = run_batch(dom, sfc, lw_source, rng.batch_key(21, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = ps.run_batch_pallas_sep(
+            dom, sfc, lw_source, rng.batch_key(21, 1), pcfg, 32,
+            lw_mode=True)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == cfg.photons_per_batch
+        assert int(nbad) == 0
+        nx = int(t.n_photons)
+        for a, b, name, p in (
+                (fu, t.flux_up, "up", 0.5),
+                (fd, t.flux_down, "down", 0.5)):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / nx
+            sigma = 2.0 * np.sqrt(max(p * (1 - p), 0.01) / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        # NET column absorption (abs - emission pre-credits) vs the XLA
+        # kernel's pre-credited volume field
+        net_ref = float(np.asarray(t.volume_absorption).sum()) / nx
+        net = float(np.asarray(ac).sum()) / n
+        sigma = 2.0 * np.sqrt(1.0 / n)
+        assert net == pytest.approx(net_ref, abs=4 * sigma)
+        prof_ref = np.asarray(t.volume_absorption).sum(axis=(0, 1)) / nx
+        prof = np.asarray(az) / n
+        np.testing.assert_allclose(prof, prof_ref, atol=6e-3)
+        # z profile is the z-marginal of the column field
+        assert float(az.sum()) == pytest.approx(float(ac.sum()), rel=1e-3)
+
+    def test_emission_spatial_distribution(self):
+        """The in-kernel separable BBEmission alias sampling must place
+        births with the right COLUMN structure. An A/B against the XLA
+        kernel's net field carries no signal at reachable photon counts
+        (the net of an LTE-ish scene is a small difference of large
+        numbers: measured XLA self-correlation across seeds is ~0.03), so
+        instead make the domain optically THIN -- nearly every photon
+        escapes, the net column field is ~(-1) x the emission column
+        marginal, and that marginal is ANALYTIC from the separable
+        density a[col]*P1[z] + Q1[z] (see _pack_sep_emission)."""
+        from mcbrat3d_tpu.core.planck import planck_radiance
+
+        dom, comps, temps = make_sep_scene(cloud_beta_max=0.3,
+                                           gas_beta0=0.006)
+        kabs = absorption_coefficient(comps, dom.grid)
+        # surface emissivity 0: every photon is atmospheric, so the net
+        # column field is pure (-emission + small in-domain absorption)
+        w = emission_weighting(dom.grid, temps, kabs, 288.0, 0.0, 10.0)
+        src = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                    dom.grid.shape)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = ps.run_batch_pallas_sep(
+            dom, Surface.lambertian(0.05), src, rng.batch_key(31, 1),
+            pcfg, 32, lw_mode=True)
+        got = -np.asarray(out[2]).reshape(-1) / int(out[4])
+
+        a = np.asarray(dom.sep_amp, np.float64)
+        p = np.asarray(dom.sep_pz, np.float64)
+        q = np.asarray(dom.sep_qz, np.float64)
+        tz = np.asarray(dom.sep_tz, np.float64)
+        ssa_c = float(np.asarray(dom.sep_scalars)[0])
+        b = planck_radiance(dom.lambda_um, np.maximum(tz, 1.0))
+        p1s = float((p * (1.0 - ssa_c) * b).sum())
+        q1s = float((q * b).sum())
+        dens = a * p1s + q1s
+        dens *= float(src.atms_fraction) / dens.sum()
+
+        c = np.corrcoef(dens, got)[0, 1]
+        assert c > 0.95, f"emission column-marginal correlation {c}"
+        # thin-limit magnitude: total net = -(emitted - absorbed), with
+        # ~10% of the emitted power reabsorbed at these optical depths
+        assert 0.75 * dens.sum() < got.sum() <= 1.001 * dens.sum()
+
+
+def test_public_dispatch_use_pallas_on():
+    """run_batch routes separable domains beyond the record envelope
+    through the separable kernel when use_pallas='on'."""
+    dom, comps, temps = make_sep_scene()
+    kabs = absorption_coefficient(comps, dom.grid)
+    w = emission_weighting(dom.grid, temps, kabs, 288.0, 0.95, 10.0)
+    src = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                dom.grid.shape)
+    cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2, max_steps=4096,
+                       use_pallas="on", lw_mode=True,
+                       need_volume_absorption=False)
+    t = run_batch(dom, Surface.lambertian(0.05), src,
+                  rng.batch_key(1, 0), cfg)
+    assert t.volume_absorption is None  # the separable-kernel signature
+    assert t.absorption_profile is not None
+    assert int(t.n_photons) == cfg.photons_per_batch

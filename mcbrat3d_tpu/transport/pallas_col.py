@@ -28,9 +28,15 @@ re-uses the wave/VMEM design with:
     (absorption carries a bf16 hi/lo value split; exits are plain bf16 --
     they are ~2.5% of events and far under MC noise);
   * a z-profile absorption tally (one extra one-hot over iz <= 128),
-    serving the reference's absorption-profile output; full 3D volume
-    absorption is NOT tallied here (configurations that require it fall
-    back to the XLA wave kernel).
+    serving the reference's absorption-profile output;
+  * an OPTIONAL full 3D volume-absorption tally (the reference reports
+    3D absorption as a headline output; reference:
+    Drivers/monteCarloDriver.f95:1324): acc3[iz*128 + hi, lo] +=
+    absorbed, contracted on the MXU with a combined (z, hi) one-hot
+    against the existing lo one-hot carrying exact f32 values (bf16
+    value rounding would BIAS first-collision cells, whose absorbed
+    values repeat exactly). Envelope nx*ny*nz <= 2M cells (<= 8 MB
+    VMEM accumulator).
 
 Eligibility: monochromatic flux(+profile) runs, one component with uniform
 ssa and either a uniform HG phase (analytic sampling) or a SINGLE-entry
@@ -64,6 +70,7 @@ _TOP_EPS = np.float32(1e-6)
 _BIG = np.float32(3e38)
 
 MAX_COLS = 128 * 128
+MAX_VOL_CELLS = 128 * 128 * 128  # 3D tally accumulator <= 8 MB VMEM
 
 
 def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
@@ -95,7 +102,8 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
         and not compute_intensity
         and record_scattering_orders == 0
         and not use_ray_tracing
-        and not need_volume_absorption
+        and (not need_volume_absorption
+             or nx * ny * nz <= MAX_VOL_CELLS)
         and nx * ny <= MAX_COLS
         and nz <= 128
     )
@@ -104,7 +112,7 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
 def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                       use_rr: bool, macro_factor: int, nbx: int, nby: int,
                       analytic_hg: bool = True, inv_hp: int = 8,
-                      inv_n_steps: int = 0):
+                      inv_n_steps: int = 0, need_vol: bool = False):
     """Close over static shapes; returns the column-mode kernel function."""
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
@@ -115,10 +123,10 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in, blh_in,
-               mcol_ref, mblk_ref, inv_ref, acc_in, accz_in,
+               mcol_ref, mblk_ref, inv_ref, acc_in, accz_in, acc3_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref, blh_ref,
-               acc_ref, accz_ref, nstat_ref):
+               acc_ref, accz_ref, acc3_ref, nstat_ref):
         k_idx = pl.program_id(0)
         b_idx = pl.program_id(1)
 
@@ -129,7 +137,8 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                              (uz_in, uz_ref), (w_in, w_ref),
                              (quota_in, quota_ref), (alive_in, alive_ref),
                              (bls_in, bls_ref), (blh_in, blh_ref),
-                             (acc_in, acc_ref), (accz_in, accz_ref)):
+                             (acc_in, acc_ref), (accz_in, accz_ref),
+                             (acc3_in, acc3_ref)):
                 dst[:] = src[:]
             for _j in range(8):
                 nstat_ref[0, _j] = 0.0
@@ -497,6 +506,27 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                 zout = d_ if zout is None else zout + d_
             accz_ref[:] = accz_ref[:] + zout
 
+            if need_vol:
+                # ---- full 3D volume-absorption tally ----
+                # acc3[iz*128 + hi, lo] += absorbed. A is a combined
+                # (z, hi) one-hot built with ONE iota compare; B puts the
+                # EXACT f32 value on the lo one-hot (bf16 value rounding
+                # would bias first-collision cells, whose absorbed values
+                # repeat bit-identically). Exit lanes land on some row but
+                # carry absorbed == 0 -- no masking needed. Reference
+                # output being served: Drivers/monteCarloDriver.f95:1324.
+                czh = iz * np.int32(128) + hi_c
+                iota_z3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (nz * 128, 128), 0)
+                v3 = None
+                for b_i in range(blk):
+                    a3 = (iota_z3 == czh[b_i][None, :]).astype(jnp.float32)
+                    b3 = ohs_f32[b_i] * absorbed[b_i][None, :]
+                    d_ = jax.lax.dot_general(
+                        a3, b3, dn_t, preferred_element_type=jnp.float32)
+                    v3 = d_ if v3 is None else v3 + d_
+                acc3_ref[:] = acc3_ref[:] + v3
+
             return started
 
         started = block_step(b_idx, step0 + k_idx, jnp.float32(0.0))
@@ -556,11 +586,13 @@ def run_batch_pallas_col(domain: OpticalDomain,
                          photons_per_lane: int,
                          n_photons=None,
                          use_russian_roulette: bool = True,
-                         russian_roulette_weight: float = 1.0):
+                         russian_roulette_weight: float = 1.0,
+                         need_vol: bool = False):
     """One photon batch through the column megakernel.
 
     Returns (flux_up [nx,ny], flux_down [nx,ny], abs_col [nx,ny],
-    abs_profile [nz], n_started, n_bad, n_calls).
+    abs_profile [nz], vol [nx,ny,nz] or None, n_started, n_bad,
+    n_calls).
     """
     grid = domain.grid
     nx, ny, nz = grid.shape
@@ -580,7 +612,8 @@ def run_batch_pallas_col(domain: OpticalDomain,
     kernel = _build_kernel_col((nx, ny, nz), pcfg, source.kind,
                                use_russian_roulette, domain.macro_factor,
                                nbx, nby, analytic_hg=analytic_hg,
-                               inv_hp=inv_hp, inv_n_steps=inv_n_steps)
+                               inv_hp=inv_hp, inv_n_steps=inv_n_steps,
+                               need_vol=need_vol)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL,
@@ -630,6 +663,9 @@ def run_batch_pallas_col(domain: OpticalDomain,
     )
     acc0 = jnp.zeros((384, 128), jnp.float32)
     accz0 = jnp.zeros((8, 128), jnp.float32)
+    # 3D tally accumulator (a 4 KB dummy keeps the signature static
+    # when the tally is off)
+    acc30 = jnp.zeros((nz * 128 if need_vol else 8, 128), jnp.float32)
 
     keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
             "bls", "blh")
@@ -638,9 +674,9 @@ def run_batch_pallas_col(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 5),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 6),
         out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
     )
     state_shapes = [
@@ -651,11 +687,13 @@ def run_batch_pallas_col(domain: OpticalDomain,
     out_shape = state_shapes + [
         jax.ShapeDtypeStruct((384, 128), jnp.float32),
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        jax.ShapeDtypeStruct(acc30.shape, jnp.float32),
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {2 + i: i for i in range(n_state)}
     aliases[2 + n_state + 3] = n_state      # acc
     aliases[2 + n_state + 4] = n_state + 1  # accz
+    aliases[2 + n_state + 5] = n_state + 2  # acc3
 
     call = pl.pallas_call(
         kernel,
@@ -668,19 +706,20 @@ def run_batch_pallas_col(domain: OpticalDomain,
     )
 
     def cond(carry):
-        state, acc, accz, n_started, n_calls, work = carry
+        state, acc, accz, acc3, n_started, n_calls, work = carry
         return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
 
     def body(carry):
-        state, acc, accz, n_started, n_calls, work = carry
+        state, acc, accz, acc3, n_started, n_calls, work = carry
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    mcol, mblk, inv_packed, acc, accz)
+                    mcol, mblk, inv_packed, acc, accz, acc3)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         accz = outs[n_state + 1]
-        stats = outs[n_state + 2]
+        acc3 = outs[n_state + 2]
+        stats = outs[n_state + 3]
         n_started = n_started + stats[0, 0].astype(jnp.int32)
         work = stats[0, 1] > 0
         q = new_state["quota"]
@@ -689,27 +728,33 @@ def run_batch_pallas_col(domain: OpticalDomain,
                   + jnp.arange(128, dtype=jnp.int32)[None, :])
         new_state["quota"] = (total_q // n_lanes) + (
             lane_i < (total_q % n_lanes)).astype(jnp.int32)
-        return (new_state, acc, accz, n_started, n_calls + 1, work)
+        return (new_state, acc, accz, acc3, n_started, n_calls + 1, work)
 
-    carry = (state0, acc0, accz0, jnp.int32(0), jnp.int32(0),
+    carry = (state0, acc0, accz0, acc30, jnp.int32(0), jnp.int32(0),
              jnp.bool_(True))
-    state_f, acc_f, accz_f, n_started, n_calls, _ = jax.lax.while_loop(
-        cond, body, carry)
+    (state_f, acc_f, accz_f, acc3_f, n_started, n_calls,
+     _) = jax.lax.while_loop(cond, body, carry)
 
     # sections: t = hi*128 + lo = col
     flux_up = acc_f[0:128].reshape(-1)[:nxy].reshape(nx, ny)
     flux_down = acc_f[128:256].reshape(-1)[:nxy].reshape(nx, ny)
     abs_col = acc_f[256:384].reshape(-1)[:nxy].reshape(nx, ny)
     abs_profile = accz_f[0, :nz]
+    vol = None
+    if need_vol:
+        # acc3[iz*128 + hi, lo] -> [iz, col=hi*128+lo] -> [nx, ny, nz]
+        vol = jnp.transpose(
+            acc3_f.reshape(nz, 128 * 128)[:, :nxy]).reshape(nx, ny, nz)
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
-    return (flux_up, flux_down, abs_col, abs_profile,
+    return (flux_up, flux_down, abs_col, abs_profile, vol,
             n_started, n_bad, n_calls)
 
 
 def run_batch_pallas_col_tallies(domain, surface, source, key, config,
                                  n_photons=None, interpret: bool = False):
     """run_batch-compatible entry returning a transport.integrator.Tallies
-    (volume_absorption is None; absorption_profile carries the z marginal).
+    (absorption_profile carries the z marginal; volume_absorption is
+    tallied in-kernel when config.need_volume_absorption, else None).
     """
     from mcbrat3d_tpu.transport.integrator import Tallies
     from mcbrat3d_tpu.transport.pallas_kernel import config_for
@@ -723,14 +768,15 @@ def run_batch_pallas_col_tallies(domain, surface, source, key, config,
         pcfg = _dc.replace(pcfg, block_rows=32)
     if n_photons is None:
         n_photons = config.photons_per_batch
-    fu, fd, ac, az, n_started, n_bad, n_calls = run_batch_pallas_col(
+    fu, fd, ac, az, vol, n_started, n_bad, n_calls = run_batch_pallas_col(
         domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
         use_russian_roulette=config.use_russian_roulette,
-        russian_roulette_weight=config.russian_roulette_weight)
+        russian_roulette_weight=config.russian_roulette_weight,
+        need_vol=bool(config.need_volume_absorption))
     return Tallies(
         flux_up=fu, flux_down=fd,
         flux_absorbed=ac,
-        volume_absorption=None,
+        volume_absorption=vol,
         absorption_profile=az,
         n_photons=n_started, n_bad=n_bad,
         n_steps=n_calls * pcfg.steps_per_call,

@@ -89,12 +89,14 @@ class TestDetection:
             record_scattering_orders=0, use_ray_tracing=False,
             need_volume_absorption=False)
         assert ok
-        assert not pc.pallas_col_eligible(
+        # 3D volume absorption is in-kernel up to MAX_VOL_CELLS
+        assert pc.pallas_col_eligible(
             domain, Surface.lambertian(0.2),
             illumination.directional(0.5, 0.0),
             lw_mode=False, compute_intensity=False,
             record_scattering_orders=0, use_ray_tracing=False,
             need_volume_absorption=True)
+        assert 16 * 16 * 8 <= pc.MAX_VOL_CELLS < 16384 * 129
 
 
 class TestColTransport:
@@ -103,7 +105,7 @@ class TestColTransport:
             domain, Surface.lambertian(0.2),
             illumination.directional(0.5, 0.0),
             rng.batch_key(0, 0), SMALL, 2, use_russian_roulette=False)
-        fu, fd, ac, az, n, nbad, _ = out
+        fu, fd, ac, az, _vol, n, nbad, _ = out
         n = int(n)
         assert n == 8 * 128 * 2
         assert int(nbad) == 0
@@ -126,7 +128,7 @@ class TestColTransport:
             domain, Surface.lambertian(0.2),
             illumination.directional(0.5, 0.0),
             rng.batch_key(9, 1), pcfg, 64)
-        fu, fd, ac, az, n, nbad, _ = out
+        fu, fd, ac, az, _vol, n, nbad, _ = out
         n = int(n)
         assert n == n_ph
         for a, b, name, p in (
@@ -142,6 +144,36 @@ class TestColTransport:
             / int(t.n_photons)
         prof = np.asarray(az) / n
         np.testing.assert_allclose(prof, prof_ref, atol=4e-3)
+
+    def test_volume_absorption_3d(self, domain):
+        """The in-kernel 3D tally must reproduce the XLA kernel's
+        volume-absorption field per cell (statistically) and agree
+        EXACTLY with the kernel's own 2D column / z-profile marginals."""
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(domain, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(41, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = pc.run_batch_pallas_col(
+            domain, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            rng.batch_key(41, 1), pcfg, 64, need_vol=True)
+        fu, fd, ac, az, vol, n, nbad, _ = out
+        n = int(n)
+        vol = np.asarray(vol)
+        # internal consistency: marginals match the dedicated tallies
+        # (same events, exact f32 values -- only summation order differs)
+        np.testing.assert_allclose(vol.sum(axis=2), np.asarray(ac),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(vol.sum(axis=(0, 1)), np.asarray(az),
+                                   rtol=1e-5, atol=1e-6)
+        # statistical A/B vs the XLA kernel's per-cell field
+        ref = np.asarray(t.volume_absorption) / int(t.n_photons)
+        got = vol / n
+        np.testing.assert_allclose(got, ref, atol=6e-4)
+        assert np.corrcoef(got.reshape(-1), ref.reshape(-1))[0, 1] > 0.98
 
     def test_deterministic(self, domain):
         args = (domain, Surface.lambertian(0.2),
@@ -184,9 +216,12 @@ def test_public_dispatch_use_pallas_on(domain=None):
 
 
 def test_use_pallas_on_rejects_uncovered_config():
+    # ray-traced (non-Woodcock) stepping is outside every megakernel
+    # (3D volume absorption, the old "uncovered" knob here, is in-kernel
+    # now up to MAX_VOL_CELLS)
     dom = make_broken_cloud(nx=64, ny=32, nz=32)
     cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2, max_steps=4096,
-                       use_pallas="on", need_volume_absorption=True)
+                       use_pallas="on", use_ray_tracing=True)
     with pytest.raises(ValueError, match="megakernel"):
         run_batch(dom, Surface.lambertian(0.2),
                   illumination.directional(0.5, 0.0),

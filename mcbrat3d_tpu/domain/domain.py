@@ -143,6 +143,17 @@ class OpticalDomain:
     # millions of cells.
     col_scale: Optional[jax.Array] = None    # [nx*ny] f32
     col_height: Optional[jax.Array] = None   # [nx*ny] f32 (cells, from z=0)
+    # Column-template BBEmission sampling tables (host-built like the
+    # sep_em_* set): the emission density (1-ssa)*scale[col]*[z<h[col]]
+    # * B(T(z)) factorizes into a column Walker alias over
+    # w[col] = scale[col]*Fcum[h[col]-1] and a per-column z draw by
+    # inverting the cumulative Planck table TRUNCATED at the column's
+    # height: z = #{k: Fcum[k] <= u * Fcum[h-1]}. Built when
+    # col_template, z-uniform temps, uniform ssa and lambda_um > 0.
+    col_em_prob: Optional[jax.Array] = None   # [nx*ny] f32 alias P
+    col_em_alias: Optional[jax.Array] = None  # [nx*ny] f32 alias targets
+    col_em_halias: Optional[jax.Array] = None  # [nx*ny] f32 h[alias[col]]
+    col_em_fcum: Optional[jax.Array] = None   # [nz] f32 cum B(T(z))
     macro_table: Optional[jax.Array] = None  # [nbx*nby*nbz] f32 majorants
     col_template: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
@@ -538,6 +549,34 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                         np.stack([bump.reshape(-1), bh.reshape(-1)], 1),
                         jnp.float32)  # [nbx*nby, 2]
 
+    # --- column-template BBEmission tables (LW Landsat-class scenes) ---
+    col_em = dict(col_em_prob=None, col_em_alias=None, col_em_halias=None,
+                  col_em_fcum=None)
+    if (col_template and uniform_ssa and temps is not None
+            and float(lambda_um) > 0.0):
+        t = np.asarray(temps)
+        if bool(np.all(t == t[0:1, 0:1, :])):
+            from mcbrat3d_tpu.core.planck import planck_radiance
+            from mcbrat3d_tpu.sources.illumination import _walker_alias
+            tz = t[0, 0, :].astype(np.float64)
+            b = np.where(tz > 0,
+                         planck_radiance(float(lambda_um),
+                                         np.maximum(tz, 1.0)), 0.0)
+            fcum = np.cumsum(b)
+            hi_ = np.asarray(h, np.int64)
+            cb_h = np.where(hi_ > 0, fcum[np.maximum(hi_ - 1, 0)], 0.0)
+            wcol = np.asarray(scale, np.float64) * cb_h
+            ws = wcol.sum()
+            if ws > 0:
+                prob_c, alias_c = _walker_alias(wcol / ws)
+                al_i = np.asarray(alias_c, np.int64)
+                col_em = dict(
+                    col_em_prob=jnp.asarray(prob_c, jnp.float32),
+                    col_em_alias=jnp.asarray(alias_c, jnp.float32),
+                    col_em_halias=jnp.asarray(
+                        hi_[al_i].astype(np.float32)),
+                    col_em_fcum=jnp.asarray(fcum, jnp.float32))
+
     # --- separable-template detection (flagship LW scenes) ---
     # beta = a[x,y] * p[z] + q[z]: one rank-1 "cloud" component plus at
     # most one horizontally uniform component with ssa == 0. See the
@@ -565,4 +604,5 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         col_height=col_height,
         macro_table=macro_table_flat,
         col_template=col_template,
+        **col_em,
     )

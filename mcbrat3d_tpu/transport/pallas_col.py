@@ -62,6 +62,7 @@ from mcbrat3d_tpu.transport.pallas_kernel import (
     PallasConfig,
     _bf16_split,
     _make_uniform,
+    _obj_cache,
     _pack_inverse_table,
 )
 
@@ -88,6 +89,12 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
     phase_ok = (domain.all_hg and domain.uniform_hg) or (
         domain.tables.inverse.shape[0] == 1
         and domain.tables.inverse.size <= 131072)
+    # BBEmission needs the host-built column alias + cumulative-Planck
+    # tables (z-uniform temps, uniform ssa, lambda_um > 0; see
+    # OpticalDomain.col_em_* docs)
+    em_ok = (source.kind != illumination.EMISSION
+             or (source.em_prob is not None
+                 and domain.col_em_prob is not None))
     return (
         bool(domain.col_template)
         and phase_ok
@@ -97,8 +104,10 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
         and surface.is_uniform_lambertian
         and source.kind in (illumination.DIRECTIONAL,
                             illumination.RANDOM_AZIMUTH,
-                            illumination.FLUX)
-        and not lw_mode
+                            illumination.FLUX,
+                            illumination.EMISSION)
+        and em_ok
+        and ((not lw_mode) or source.kind == illumination.EMISSION)
         and not compute_intensity
         and record_scattering_orders == 0
         and not use_ray_tracing
@@ -112,10 +121,13 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
 def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                       use_rr: bool, macro_factor: int, nbx: int, nby: int,
                       analytic_hg: bool = True, inv_hp: int = 8,
-                      inv_n_steps: int = 0, need_vol: bool = False):
+                      inv_n_steps: int = 0, need_vol: bool = False,
+                      lw: bool = False):
     """Close over static shapes; returns the column-mode kernel function."""
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
+    nxy = nx * ny
+    emission = source_kind == illumination.EMISSION
 
     hw_rng = (not pcfg.interpret) and "swrng" not in frozenset(
         pcfg.debug_parts.split(","))
@@ -123,7 +135,8 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in, blh_in,
-               mcol_ref, mblk_ref, inv_ref, acc_in, accz_in, acc3_in,
+               mcol_ref, mblk_ref, inv_ref, ecol_ref, fcum_ref,
+               acc_in, accz_in, acc3_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref, blh_ref,
                acc_ref, accz_ref, acc3_ref, nstat_ref):
@@ -158,6 +171,7 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
         lz = par_ref[0, 11]
         ssa_u = par_ref[0, 12]
         g_u = par_ref[0, 13]
+        atms_frac = par_ref[0, 16]
         inv_dx = nx / lx
         inv_dy = ny / ly
         inv_dz = nz / lz
@@ -224,10 +238,75 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             need = (~alive) & (quota > 0)
             u0 = uniform(ctr, 0)
             u1 = uniform(ctr, 1)
-            x = jnp.where(need, x0 + u0 * lx, x)
-            y = jnp.where(need, y0 + u1 * ly, y)
-            z = jnp.where(need, z_max - z_eps, z)
-            if source_kind == illumination.DIRECTIONAL:
+            atm_emit = None
+            col_b = z_b = None
+            if emission:
+                # column-template BBEmission: column Walker alias (ONE
+                # 6-field bilinear gather -- the alias TARGET's height is
+                # a precomputed field, so no second gather) + z from the
+                # cumulative-Planck table truncated at the column height.
+                # Reference sampling being replaced:
+                # src/monteCarloIllumination.f95:495-498 (3-level scan).
+                u_split = uniform(ctr, 10)
+                u_bin = uniform(ctr, 11)
+                u_acc = uniform(ctr, 12)
+                u_mu = uniform(ctr, 13)
+                u_zo = uniform(ctr, 14)
+                u_phi_e = uniform(ctr, 15)
+                u_zt = uniform(ctr, 16)
+                from_atm = u_split < atms_frac
+                jbin = jnp.minimum((u_bin * np.float32(nxy)).astype(
+                    jnp.int32), np.int32(nxy - 1))
+                lo_e = jnp.bitwise_and(jbin, 127)
+                hi_e = jnp.right_shift(jbin, 7)
+                ohs_e = (lo_e[:, None, :] == iota_sub).astype(jnp.float32)
+                ohh_e = (iota_hi3 == hi_e[None, :, :]).astype(jnp.bfloat16)
+                p_j, a_j, h_d, h_a = bilinear_multi(
+                    ecol_ref[:], ohh_e, ohs_e,
+                    groups=((0, 1), (2, 3), (4,), (5,)))
+                redirect = u_acc >= p_j
+                col_b = jnp.where(redirect, (a_j + 0.5).astype(jnp.int32),
+                                  jbin)
+                h_b = jnp.where(redirect, h_a, h_d)
+                # z | col: z = #{k: Fcum[k] <= u * Fcum[h-1]} (Fcum padded
+                # with _BIG past nz so the counts stay in range)
+                hz = jnp.clip(h_b.astype(jnp.int32) - 1, 0, nz - 1)
+                f_row = fcum_ref[0]  # [128]
+                cmp_h = (hz[:, None, :] == iota_sub).astype(jnp.float32)
+                f_h = jnp.sum(cmp_h * f_row[None, :, None], axis=1)
+                target = u_zt * f_h
+                z_b = jnp.sum(
+                    (f_row[None, :, None] <= target[:, None, :]).astype(
+                        jnp.float32), axis=1).astype(jnp.int32)
+                colf = col_b.astype(jnp.float32)
+                ixf = jnp.floor((colf + 0.5) * np.float32(1.0 / ny))
+                iyf = colf - ixf * ny
+                xa = x0 + (ixf + u0) * (lx / nx)
+                ya = y0 + (iyf + u1) * (ly / ny)
+                za = jnp.clip(z0 + (z_b.astype(jnp.float32) + u_zo) * dz,
+                              z0 + z_eps, z_max - z_eps)
+                mu_a = 1.0 - 2.0 * u_mu
+                mu_a = jnp.where(jnp.abs(mu_a) < 1e-4,
+                                 jnp.sign(mu_a + _TINY) * 1e-4, mu_a)
+                mu_sfc = jnp.sqrt(jnp.maximum(u_mu, np.float32(1e-12)))
+                s_mu = jnp.where(from_atm, mu_a, mu_sfc)
+                x = jnp.where(need, jnp.where(from_atm, xa, x0 + u0 * lx),
+                              x)
+                y = jnp.where(need, jnp.where(from_atm, ya, y0 + u1 * ly),
+                              y)
+                z = jnp.where(need, jnp.where(from_atm, za, z0 + z_eps), z)
+                s_phi = 2.0 * np.pi * u_phi_e
+                s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
+                sux = s_sin * jnp.cos(s_phi)
+                suy = s_sin * jnp.sin(s_phi)
+                atm_emit = need & from_atm
+            else:
+                x = jnp.where(need, x0 + u0 * lx, x)
+                y = jnp.where(need, y0 + u1 * ly, y)
+                z = jnp.where(need, z_max - z_eps, z)
+            if emission:
+                pass
+            elif source_kind == illumination.DIRECTIONAL:
                 # constant beam: host-precomputed cosines (params 14/15)
                 s_mu = -smu
                 sux = jnp.broadcast_to(par_ref[0, 14], (blk, 128))
@@ -506,6 +585,54 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                 zout = d_ if zout is None else zout + d_
             accz_ref[:] = accz_ref[:] + zout
 
+            if lw and emission:
+                # ---- LW emission pre-credits (-1 at the birth column and
+                # level; flux-divergence accounting, reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:504-508) ----
+                val_e = jnp.where(atm_emit, np.float32(-1.0),
+                                  0.0).astype(jnp.bfloat16)
+                lo_b2 = jnp.bitwise_and(col_b, 127)
+                hi_b2 = jnp.right_shift(col_b, 7)
+                cmp_b2 = lo_b2[:, None, :] == iota_sub
+                ohs_b2 = cmp_b2.astype(jnp.bfloat16)
+                ohh_b2 = (iota_hi3 == hi_b2[None, :, :]).astype(
+                    jnp.bfloat16)
+                a_e = ohh_b2 * val_e[None, :, :]
+                e_out = None
+                for b_i in range(blk):
+                    d_ = jax.lax.dot_general(
+                        a_e[:, b_i, :], ohs_b2[b_i], dn_t,
+                        preferred_element_type=jnp.float32)
+                    e_out = d_ if e_out is None else e_out + d_
+                acc_ref[256:384] = acc_ref[256:384] + e_out
+                # z-profile pre-credit -> accz row 1 (-1 is bf16-exact)
+                ohz_b = (z_b[:, None, :] == iota_sub).astype(jnp.bfloat16)
+                az_e = jnp.where(iota_r == 1, val_e[None, :, :],
+                                 jnp.bfloat16(0))
+                ze_out = None
+                for b_i in range(blk):
+                    d_ = jax.lax.dot_general(
+                        az_e[:, b_i, :], ohz_b[b_i], dn_t,
+                        preferred_element_type=jnp.float32)
+                    ze_out = d_ if ze_out is None else ze_out + d_
+                accz_ref[:] = accz_ref[:] + ze_out
+                if need_vol:
+                    czh_b = z_b * np.int32(128) + hi_b2
+                    iota_zb = jax.lax.broadcasted_iota(
+                        jnp.int32, (nz * 128, 128), 0)
+                    v3e = None
+                    val_ef = val_e.astype(jnp.float32)
+                    for b_i in range(blk):
+                        a3 = (iota_zb == czh_b[b_i][None, :]).astype(
+                            jnp.float32)
+                        b3 = (cmp_b2[b_i].astype(jnp.float32)
+                              * val_ef[b_i][None, :])
+                        d_ = jax.lax.dot_general(
+                            a3, b3, dn_t,
+                            preferred_element_type=jnp.float32)
+                        v3e = d_ if v3e is None else v3e + d_
+                    acc3_ref[:] = acc3_ref[:] + v3e
+
             if need_vol:
                 # ---- full 3D volume-absorption tally ----
                 # acc3[iz*128 + hi, lo] += absorbed. A is a combined
@@ -578,6 +705,40 @@ def _pack_col_tables(domain: OpticalDomain):
     return (mcol.astype(jnp.bfloat16), mblk.astype(jnp.bfloat16), nbx, nby)
 
 
+def _pack_col_emission(domain: OpticalDomain):
+    """(m_ecol [768, 128] bf16, m_fcum [8, 128] f32).
+
+    m_ecol stacks the 6 emission fields as M^T [lo, hi]: column-alias
+    prob hi/lo, alias-target hi/lo (targets < 16384: bf16 residual is
+    exact), height at the bin, height at the bin's ALIAS TARGET
+    (precomputed host-side so ONE gather serves the redirect too).
+    m_fcum row 0 is the cumulative Planck table padded with _BIG past nz
+    (kept f32: the truncated-CDF inversion compares against it).
+    """
+    nx, ny, nz = domain.grid.shape
+    nxy = nx * ny
+
+    def to_m(vals_f32, n_entries):
+        pad = 128 * 128 - n_entries
+        v = jnp.pad(vals_f32, (0, pad))
+        return v.reshape(128, 128).T  # [lo, hi]
+
+    pc_ = domain.col_em_prob.astype(jnp.float32)
+    ac_ = domain.col_em_alias.astype(jnp.float32)
+    pc_h = pc_.astype(jnp.bfloat16).astype(jnp.float32)
+    ac_h = ac_.astype(jnp.bfloat16).astype(jnp.float32)
+    m_ecol = jnp.concatenate([
+        to_m(pc_h, nxy), to_m(pc_ - pc_h, nxy),
+        to_m(ac_h, nxy), to_m(ac_ - ac_h, nxy),
+        to_m(domain.col_height.astype(jnp.float32), nxy),
+        to_m(domain.col_em_halias.astype(jnp.float32), nxy),
+    ], axis=0).astype(jnp.bfloat16)
+    fcum = jnp.pad(domain.col_em_fcum.astype(jnp.float32),
+                   (0, 128 - nz), constant_values=_BIG)
+    m_fcum = jnp.zeros((8, 128), jnp.float32).at[0].set(fcum)
+    return m_ecol, m_fcum
+
+
 def run_batch_pallas_col(domain: OpticalDomain,
                          surface: Surface,
                          source: illumination.Source,
@@ -587,7 +748,8 @@ def run_batch_pallas_col(domain: OpticalDomain,
                          n_photons=None,
                          use_russian_roulette: bool = True,
                          russian_roulette_weight: float = 1.0,
-                         need_vol: bool = False):
+                         need_vol: bool = False,
+                         lw_mode: bool = False):
     """One photon batch through the column megakernel.
 
     Returns (flux_up [nx,ny], flux_down [nx,ny], abs_col [nx,ny],
@@ -609,11 +771,20 @@ def run_batch_pallas_col(domain: OpticalDomain,
         inv_hp, inv_n_steps = 8, 0
     else:
         inv_packed, inv_hp, inv_n_steps = _pack_inverse_table(domain)
+    lw = bool(lw_mode) and source.kind == illumination.EMISSION
+    if source.kind == illumination.EMISSION:
+        m_ecol, m_fcum = _obj_cache(
+            domain, ("colem",), lambda: _pack_col_emission(domain))
+        atms_frac = source.atms_fraction
+    else:
+        m_ecol = jnp.zeros((768, 128), jnp.bfloat16)
+        m_fcum = jnp.zeros((8, 128), jnp.float32)
+        atms_frac = 0.0
     kernel = _build_kernel_col((nx, ny, nz), pcfg, source.kind,
                                use_russian_roulette, domain.macro_factor,
                                nbx, nby, analytic_hg=analytic_hg,
                                inv_hp=inv_hp, inv_n_steps=inv_n_steps,
-                               need_vol=need_vol)
+                               need_vol=need_vol, lw=lw)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL,
@@ -638,7 +809,11 @@ def run_batch_pallas_col(domain: OpticalDomain,
         * jnp.cos(jnp.float32(sphi)),
         jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
         * jnp.sin(jnp.float32(sphi)),
-    ]).reshape(1, 16)
+        jnp.asarray(atms_frac, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0),
+    ]).reshape(1, 24)
 
     if n_photons is None:
         quota0 = jnp.full((rows, 128), photons_per_lane, jnp.int32)
@@ -674,7 +849,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 6),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 8),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -691,9 +866,9 @@ def run_batch_pallas_col(domain: OpticalDomain,
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 3] = n_state      # acc
-    aliases[2 + n_state + 4] = n_state + 1  # accz
-    aliases[2 + n_state + 5] = n_state + 2  # acc3
+    aliases[2 + n_state + 5] = n_state      # acc
+    aliases[2 + n_state + 6] = n_state + 1  # accz
+    aliases[2 + n_state + 7] = n_state + 2  # acc3
 
     call = pl.pallas_call(
         kernel,
@@ -714,7 +889,8 @@ def run_batch_pallas_col(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    mcol, mblk, inv_packed, acc, accz, acc3)
+                    mcol, mblk, inv_packed, m_ecol, m_fcum,
+                    acc, accz, acc3)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         accz = outs[n_state + 1]
@@ -739,7 +915,8 @@ def run_batch_pallas_col(domain: OpticalDomain,
     flux_up = acc_f[0:128].reshape(-1)[:nxy].reshape(nx, ny)
     flux_down = acc_f[128:256].reshape(-1)[:nxy].reshape(nx, ny)
     abs_col = acc_f[256:384].reshape(-1)[:nxy].reshape(nx, ny)
-    abs_profile = accz_f[0, :nz]
+    # row 0: collision absorption; row 1: LW emission pre-credits
+    abs_profile = accz_f[0, :nz] + accz_f[1, :nz]
     vol = None
     if need_vol:
         # acc3[iz*128 + hi, lo] -> [iz, col=hi*128+lo] -> [nx, ny, nz]
@@ -772,7 +949,8 @@ def run_batch_pallas_col_tallies(domain, surface, source, key, config,
         domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
         use_russian_roulette=config.use_russian_roulette,
         russian_roulette_weight=config.russian_roulette_weight,
-        need_vol=bool(config.need_volume_absorption))
+        need_vol=bool(config.need_volume_absorption),
+        lw_mode=bool(config.lw_mode))
     return Tallies(
         flux_up=fu, flux_down=fd,
         flux_absorbed=ac,

@@ -24,7 +24,7 @@ from mcbrat3d_tpu.transport.pallas_kernel import PallasConfig
 
 
 def make_broken_cloud(nx=16, ny=16, nz=8, ssa=0.99, seed=0,
-                      macro_factor=4, **build_kwargs):
+                      macro_factor=4, beta_scale=1.0, **build_kwargs):
     """Random column-template scene: broken cloud deck, per-column optical
     depth and top height (the Landsat shape;
     reference: Domain-Files/i3rcLandsatCloud.f95:82-90)."""
@@ -37,7 +37,7 @@ def make_broken_cloud(nx=16, ny=16, nz=8, ssa=0.99, seed=0,
         f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
              + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
     cloudy = f > np.quantile(f, 0.55)
-    scale = rs.rand(nx, ny) * 0.05 * cloudy
+    scale = rs.rand(nx, ny) * 0.05 * cloudy * beta_scale
     h = (np.ceil(f * nz).astype(int)) * (scale > 0)
     scale = scale * (h > 0)
     ext = np.zeros((nx, ny, nz))
@@ -226,6 +226,120 @@ def test_use_pallas_on_rejects_uncovered_config():
         run_batch(dom, Surface.lambertian(0.2),
                   illumination.directional(0.5, 0.0),
                   rng.batch_key(1, 0), cfg)
+
+
+def _lw_broken_cloud(nx=16, ny=16, nz=8, ssa=0.6, lambda_um=10.0,
+                     **kw):
+    """Broken-cloud column-template scene with a lapse-rate temperature
+    profile (z-uniform) so the col_em_* emission tables build."""
+    z_c = (np.arange(nz) + 0.5) * 0.05  # km (dz = 50 m)
+    tz = 288.0 - 6.5 * z_c
+    temps = np.broadcast_to(tz, (nx, ny, nz)).copy()
+    dom = make_broken_cloud(nx=nx, ny=ny, nz=nz, ssa=ssa, temps=temps,
+                            lambda_um=lambda_um, **kw)
+    return dom, temps
+
+
+def _lw_source(dom, temps, emissivity=0.95):
+    from mcbrat3d_tpu.spectral.weights import (absorption_coefficient,
+                                               emission_weighting)
+    kabs = np.asarray(dom.total_ext) * (1.0 - np.asarray(dom.ssa)[..., 0])
+    w = emission_weighting(dom.grid, temps, kabs, 288.0, emissivity,
+                           dom.lambda_um)
+    return illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                 dom.grid.shape)
+
+
+class TestColumnLWEmission:
+    """In-kernel column-template BBEmission vs the XLA kernel's
+    voxel-alias sampling: same emission density
+    (1-ssa)*scale[col]*[z<h]*B(T(z)), same pre-credit accounting."""
+
+    def test_emission_tables_built(self):
+        dom, _ = _lw_broken_cloud()
+        assert dom.col_em_prob is not None
+        assert dom.col_em_fcum.shape == (8,)
+        # h[alias[col]] really is the alias target's height
+        al = np.asarray(dom.col_em_alias).astype(np.int64)
+        h = np.asarray(dom.col_height)
+        np.testing.assert_array_equal(np.asarray(dom.col_em_halias),
+                                      h[al])
+
+    def test_matches_xla_lw(self):
+        dom, temps = _lw_broken_cloud()
+        src = _lw_source(dom, temps)
+        sfc = Surface.lambertian(0.05)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                           max_steps=20_000, use_pallas="off",
+                           lw_mode=True)
+        t = run_batch(dom, sfc, src, rng.batch_key(51, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = pc.run_batch_pallas_col(
+            dom, sfc, src, rng.batch_key(51, 1), pcfg, 32,
+            need_vol=True, lw_mode=True)
+        fu, fd, ac, az, vol, n, nbad, _ = out
+        n = int(n)
+        assert n == 8 * 128 * 32
+        assert int(nbad) == 0
+        nx_ = int(t.n_photons)
+        for a, b, name in ((fu, t.flux_up, "up"),
+                           (fd, t.flux_down, "down")):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / nx_
+            sigma = 2.0 * np.sqrt(0.25 / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        # NET column absorption (abs - emission pre-credits) vs the XLA
+        # kernel's pre-credited volume field
+        net_ref = float(np.asarray(t.volume_absorption).sum()) / nx_
+        net = float(np.asarray(ac).sum()) / n
+        sigma = 2.0 * np.sqrt(1.0 / n)
+        assert net == pytest.approx(net_ref, abs=4 * sigma)
+        # 3D NET field marginals agree with the dedicated tallies (the 2D
+        # tally accumulates bf16 hi/lo VALUE splits, the 3D tally exact
+        # f32 -- agreement is to the split's reconstruction error, ~1e-7
+        # relative per contribution)
+        vol = np.asarray(vol)
+        np.testing.assert_allclose(vol.sum(axis=2), np.asarray(ac),
+                                   rtol=1e-4, atol=2e-3)
+        np.testing.assert_allclose(vol.sum(axis=(0, 1)), np.asarray(az),
+                                   rtol=1e-4, atol=2e-3)
+
+    def test_emission_spatial_distribution(self):
+        """Optically thin all-atmosphere run: the net column field is
+        ~(-1) x the emission column marginal, which is ANALYTIC:
+        dens[col] proportional to scale[col] * Fcum[h[col]-1]."""
+        # optically THIN (tau/cell ~ 0.02) so nearly every emitted photon
+        # escapes and the net field is ~pure emission structure
+        dom, temps = _lw_broken_cloud(ssa=0.3, beta_scale=0.02)
+        src = _lw_source(dom, temps, emissivity=0.0)
+        assert float(src.atms_fraction) == 1.0
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = pc.run_batch_pallas_col(
+            dom, Surface.lambertian(0.05), src, rng.batch_key(61, 1),
+            pcfg, 32, lw_mode=True)
+        got = -np.asarray(out[2]).reshape(-1) / int(out[5])
+        scale = np.asarray(dom.col_scale, np.float64)
+        h = np.asarray(dom.col_height).astype(np.int64)
+        fcum = np.asarray(dom.col_em_fcum, np.float64)
+        dens = scale * np.where(h > 0, fcum[np.maximum(h - 1, 0)], 0.0)
+        dens /= dens.sum()
+        # only cloudy columns emit; correlation over all columns
+        c = np.corrcoef(dens, got)[0, 1]
+        assert c > 0.95, f"emission column-marginal correlation {c}"
+        assert 0.7 * dens.sum() < got.sum() <= 1.001 * dens.sum()
+
+    def test_dispatch_use_pallas_on(self):
+        dom, temps = _lw_broken_cloud()
+        src = _lw_source(dom, temps)
+        cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2,
+                           max_steps=4096, use_pallas="on", lw_mode=True,
+                           need_volume_absorption=True)
+        t = run_batch(dom, Surface.lambertian(0.05), src,
+                      rng.batch_key(2, 0), cfg)
+        assert t.volume_absorption is not None
+        assert int(t.n_photons) == cfg.photons_per_batch
 
 
 class TestColumnTabulatedPhase:

@@ -99,6 +99,13 @@ class Surface:
         return (self.brdf_name == "Lambertian"
                 and self.params.shape[0] == 1 and self.params.shape[1] == 1)
 
+    @property
+    def is_uniform_rpv(self) -> bool:
+        """Uniform scalar-parameter RPV surface (the record megakernel
+        evaluates this BRDF in-kernel; see transport/pallas_kernel.py)."""
+        return (self.brdf_name == "RPV"
+                and self.params.shape[0] == 1 and self.params.shape[1] == 1)
+
     def reflectance(self, x_frac, y_frac, mu_in, mu_out, phi_in, phi_out):
         """Reflectance for photons at fractional domain position (x, y)."""
         fn = BRDF_REGISTRY[self.brdf_name]

@@ -234,6 +234,10 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
         ("a direction's mu is below icfg.pallas_min_mu (or dirs were "
          "traced; validate with concrete directions before jit)",
          dirs_mu_ok),
+        # the in-kernel surface local-estimate term is Lambertian 1/pi
+        # (reference: Integrators/monteCarloRadiativeTransfer.f95:1688-1694)
+        ("intensity with a non-Lambertian surface",
+         surface.is_uniform_lambertian),
     )
     reasons.extend(name for name, ok in checks if not ok)
     return reasons
@@ -274,8 +278,9 @@ def ineligibility_reasons(domain: OpticalDomain, surface: Surface,
          domain.n_components <= MAX_COMPONENTS),
         ("irregular grid spacing",
          domain.grid.xy_regular and domain.grid.z_regular),
-        ("non-uniform or non-Lambertian surface",
-         surface.is_uniform_lambertian),
+        ("non-uniform or unsupported-BRDF surface (in-kernel: uniform "
+         "Lambertian or uniform RPV)",
+         surface.is_uniform_lambertian or surface.is_uniform_rpv),
         (f"source kind {source.kind!r} not in-kernel",
          source.kind in (illumination.DIRECTIONAL,
                          illumination.RANDOM_AZIMUTH,
@@ -467,7 +472,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   ha: int = 8, use_irr: bool = False,
                   use_fwd_table: bool = False, fwd_hf: int = 8,
                   fwd_n_s: int = 0, fwd_row_zero: bool = True,
-                  hm_ct: int = 0, hb_cell: int = 0, nzp: int = 0):
+                  hm_ct: int = 0, hb_cell: int = 0, nzp: int = 0,
+                  brdf: str = "lambertian"):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -1080,13 +1086,52 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 uy = jnp.where(scatter, oy * inv_norm, uy)
                 uz = jnp.where(scatter, oz * inv_norm, uz)
 
-            # ---- Lambertian surface reflection ----
+            # ---- surface reflection (Lambertian or uniform RPV) ----
             w_down = w
-            w_refl = w_down * albedo
-            died_surface = exit_bot & (w_refl <= _TINY)
-            reflected = exit_bot & ~died_surface
             mu_new = jnp.sqrt(jnp.maximum(u_ang, np.float32(1e-12)))
             sin_new = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_new * mu_new))
+            if brdf == "rpv":
+                # Rahman-Pinty-Verstraete weight for the cosine-sampled
+                # outgoing direction, trig-free for Mosaic: cos(dphi)
+                # from direction components, tan(acos(mu)) = s/mu.
+                # Matches physics/surface.py:rpv_reflectance (the XLA
+                # path); reference extension point:
+                # src/surfaceProperties.f95:119-147. exit_bot lanes never
+                # scatter this step, so ux/uy/uz still hold the INCOMING
+                # direction here.
+                rho0 = albedo
+                k_rpv = par_ref[0, 20]
+                th_rpv = par_ref[0, 21]
+                mu_i = jnp.abs(uz)
+                si = jnp.sqrt(jnp.maximum(0.0, 1.0 - uz * uz))
+                mu_r = jnp.clip(mu_new, 1e-6, 1.0)
+                si_safe = jnp.where(si < 1e-6, 1.0, si)
+                cos_dphi = jnp.where(
+                    si < 1e-6, 1.0,
+                    (jnp.cos(phi_rot) * ux + jnp.sin(phi_rot) * uy)
+                    / si_safe)
+                cos_g = mu_i * mu_r + si * sin_new * cos_dphi
+                minn_x = jnp.maximum(mu_i * mu_r * (mu_i + mu_r),
+                                     np.float32(1e-12))
+                minnaert = jnp.exp((k_rpv - 1.0) * jnp.log(minn_x))
+                hg_d = jnp.maximum(
+                    1.0 + th_rpv * th_rpv + 2.0 * th_rpv * cos_g,
+                    np.float32(1e-12))
+                hg_l = (1.0 - th_rpv * th_rpv) / (
+                    hg_d * jnp.sqrt(hg_d))
+                mu_ic = jnp.clip(mu_i, 1e-6, 1.0)
+                ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_ic * mu_ic)) \
+                    / mu_ic
+                tr = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu_r * mu_r)) / mu_r
+                cap_g = jnp.sqrt(jnp.maximum(
+                    0.0, ti * ti + tr * tr - 2.0 * ti * tr * cos_dphi))
+                refl = (rho0 * minnaert * hg_l
+                        * (1.0 + (1.0 - rho0) / (1.0 + cap_g)))
+                w_refl = w_down * refl
+            else:
+                w_refl = w_down * albedo
+            died_surface = exit_bot & (w_refl <= _TINY)
+            reflected = exit_bot & ~died_surface
             x = jnp.where(exit_bot, xe, jnp.where(moved, xc, x))
             y = jnp.where(exit_bot, ye, jnp.where(moved, yc, y))
             z = jnp.where(exit_bot, z0 + z_eps, jnp.where(moved, zc, z))
@@ -2000,7 +2045,8 @@ def run_batch_pallas(domain: OpticalDomain,
         lw=lw, ha=ha, use_irr=pcfg.intensity_rr,
         use_fwd_table=use_fwd_table, fwd_hf=fwd_hf,
         fwd_n_s=fwd_n_s, fwd_row_zero=fwd_row_zero,
-        hm_ct=hm_ct, hb_cell=hb_cell, nzp=nzp)
+        hm_ct=hm_ct, hb_cell=hb_cell, nzp=nzp,
+        brdf="rpv" if surface.is_uniform_rpv else "lambertian")
     # One jitted launch per static configuration: the kernel is a fresh
     # closure every _build_kernel call, so an uncached launch re-traces
     # the whole megakernel (plus the outer while_loop) EVERY batch --
@@ -2077,9 +2123,12 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
         # DIRECTIONAL beam horizontal cosines (constants; refill reads
         # them instead of recomputing cos/sin/sqrt every step)
         sth = jnp.sqrt(jnp.maximum(0.0, 1.0 - smu_f ** 2))
+        # surface params padded to 3: [albedo|rho0, k_rpv, theta_rpv]
+        sp3 = jnp.pad(surf_params.reshape(-1).astype(jnp.float32),
+                      (0, 3))[:3]
         params = jnp.stack([
             beta_max, 1.0 / beta_max,
-            surf_params.reshape(-1)[0].astype(jnp.float32),
+            sp3[0],
             smu_f, sphi_f,
             jnp.asarray(rr_weight, jnp.float32),
             xe[0], xe[-1] - xe[0],
@@ -2095,7 +2144,7 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
             jnp.asarray(spot_x, jnp.float32),      # 17
             jnp.asarray(spot_y, jnp.float32),      # 18
             jnp.float32(pcfg.zeta_min),            # 19
-            jnp.float32(0.0), jnp.float32(0.0),
+            sp3[1], sp3[2],                        # 20/21: RPV k, theta
             jnp.float32(0.0), jnp.float32(0.0),
         ]).reshape(1, 24)
         jmod = jnp.asarray((np.arange(128) % ht)[None, :], jnp.int32)

@@ -709,6 +709,60 @@ class TestSpotlightSource:
             assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
 
 
+class TestRPVSurface:
+    """Uniform RPV BRDF in-kernel: the record megakernel evaluates the
+    Rahman-Pinty-Verstraete weight at surface bounces (trig-free form),
+    matching the XLA path's physics/surface.py:rpv_reflectance.
+    Reference extension point: src/surfaceProperties.f95:119-147."""
+
+    def test_rpv_eligible_and_matches_xla(self, step_cloud):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        sfc = Surface.rpv(0.25, k=0.8, theta=-0.15)
+        src = illumination.directional(0.5, 0.3)
+        assert sfc.is_uniform_rpv
+        assert pk.pallas_eligible(
+            step_cloud, sfc, src, lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+        cfgP = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                            max_steps=6000, use_pallas="on",
+                            tail_compaction=False)
+        cfgX = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                            max_steps=6000, use_pallas="off",
+                            tail_compaction=False)
+        tP = run_batch(step_cloud, sfc, src, rng.batch_key(0, 0), cfgP)
+        tX = run_batch(step_cloud, sfc, src, rng.batch_key(1, 0), cfgX)
+        nP, nX = float(tP.n_photons), float(tX.n_photons)
+        # flux_up is the discriminating output (surface-reflected power)
+        for aP, aX in ((tP.flux_up, tX.flux_up),
+                       (tP.flux_down, tX.flux_down)):
+            a = np.asarray(aP) / nP
+            b = np.asarray(aX) / nX
+            sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
+            assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
+        # and RPV really differs from a Lambertian of the same rho0
+        # (otherwise this A/B would not exercise the new branch)
+        tL = run_batch(step_cloud, Surface.lambertian(0.25), src,
+                       rng.batch_key(0, 0), cfgP)
+        rup_rpv = float(np.asarray(tP.flux_up).sum()) / nP
+        rup_lam = float(np.asarray(tL.flux_up).sum()) / float(tL.n_photons)
+        assert abs(rup_rpv - rup_lam) > 0.01
+
+    def test_rpv_intensity_stays_xla(self, step_cloud):
+        """The in-kernel local-estimate surface term is Lambertian 1/pi;
+        radiance with an RPV surface must NOT claim megakernel
+        eligibility."""
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+        import jax.numpy as jnp
+        dirs = jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32)
+        icfg = IntensityConfig(n_dirs=1, use_russian_roulette=False,
+                               use_hybrid_phase=False)
+        reasons = pk.intensity_ineligibility_reasons(
+            step_cloud, Surface.rpv(0.25), illumination.directional(0.5, 0.0),
+            False, 0, False, icfg, dirs, True)
+        assert any("non-Lambertian" in r for r in reasons)
+
+
 class TestIntensityRRHybrid:
     """The production-default radiance configuration (Iwabuchi Russian
     roulette + hybrid phase functions) runs in-kernel. The in-kernel march

@@ -122,6 +122,13 @@ class PallasConfig:
     # "hybrid" (Gaussian-peak forward table) or "orig" (tabulated
     # non-hybrid values; required for non-HG domains).
     intensity_phase: str = "analytic"
+    # limitIntensityContributions: cap each local-estimate contribution
+    # at max_contribution, accumulate the clipped excess per (direction,
+    # component slot) and per-slot images in-kernel, and redistribute the
+    # excess across the image post-launch (reference:
+    # Integrators/monteCarloRadiativeTransfer.f95:294-322,1815-1826).
+    intensity_limit: bool = False
+    max_contribution: float = 77.0
     # Early-exit radiance march: lax.while_loop over crossings (stops when
     # every lane in the block finished) instead of a fixed k_dda fori.
     # Identical results; expected 2-4x on march cost (most marches finish
@@ -226,7 +233,6 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
          "compute_intensity_tables=True and, for all-HG domains, a single "
          "shared table row)", hyb_ok),
         ("n_orders_orig_phase > 0", icfg.n_orders_orig_phase == 0),
-        ("limit_contributions=True", not icfg.limit_contributions),
         (f"n_dirs={icfg.n_dirs} > 32", icfg.n_dirs <= 32),
         ("intensity_dirs is None" if dirs is None else
          f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
@@ -524,9 +530,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
                b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref, inv_ref, ea_ref,
-               fwd_ref, jmod_ref, acc_in, acci_in,
+               fwd_ref, jmod_ref, acc_in, acci_in, acce_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
-               quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, nstat_ref):
+               quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, acce_ref,
+               nstat_ref):
         # Grid = (k_steps, n_blocks): the body is ONE transport step for ONE
         # block -- a small compile unit; Mosaic iterates it sequentially.
         # All buffers use constant index maps so they stay VMEM-resident
@@ -544,7 +551,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                              (uz_in, uz_ref), (w_in, w_ref),
                              (quota_in, quota_ref), (alive_in, alive_ref),
                              (bl_in, bl_ref), (acc_in, acc_ref),
-                             (acci_in, acci_ref)):
+                             (acci_in, acci_ref), (acce_in, acce_ref)):
                 dst[:] = src[:]
             for _j in range(8):  # SMEM takes scalar stores only
                 nstat_ref[0, _j] = 0.0
@@ -1000,6 +1007,18 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 # Integrators/monteCarloRadiativeTransfer.f95:776-790)
                 w_int = w
                 ux_in0, uy_in0, uz_in0 = ux, uy, uz
+                if pcfg.intensity_limit:
+                    # scattering component slot for the capped-excess
+                    # attribution (slot 0 = surface/emission; reference
+                    # component-0 attribution,
+                    # Drivers/monteCarloDriver.f95:294-322)
+                    if n_comp == 1 or g is None:
+                        slot_sc = jnp.ones((blk, 128), jnp.int32)
+                    elif n_comp == 2:
+                        slot_sc = 1 + (u_cmp >= g[3]).astype(jnp.int32)
+                    else:
+                        slot_sc = (1 + (u_cmp >= g[3]).astype(jnp.int32)
+                                   + (u_cmp >= g[4]).astype(jnp.int32))
 
             # ---- Russian roulette ----
             if use_rr:
@@ -1166,6 +1185,9 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     sy = jnp.where(fresh_hold, y, sy)
                     sz = jnp.where(fresh_hold, z, sz)
                     w_ev = jnp.where(fresh_hold, 1.0, w_ev)
+                if pcfg.intensity_limit:
+                    # slot 0 = surface reflection / emission births
+                    slot_ev = jnp.where(real, slot_sc, 0)
                 dxc_ = lx / nx
                 dyc_ = ly / ny
                 dzc_ = lz / nz
@@ -1545,11 +1567,42 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         jnp.int32, (blk, 128, 128), 2)
                     ohs_e = (lo_e[:, :, None] == iota_lane_e).astype(
                         jnp.bfloat16)
-                    iout = _tally_contract(ohs_e, hi_e, contrib, None,
-                                           True, ht=hti_pad)
-                    r0 = d_i * hti_pad
-                    acci_ref[pl.ds(r0, hti_pad)] = (
-                        acci_ref[pl.ds(r0, hti_pad)] + iout)
+                    if pcfg.intensity_limit:
+                        # cap the contribution; bank the clipped excess
+                        # per (direction, component slot) and the image
+                        # per slot -- the launch redistributes post-hoc
+                        # (reference: Integrators/
+                        # monteCarloRadiativeTransfer.f95:294-322,
+                        # 1815-1826)
+                        cap_c = np.float32(pcfg.max_contribution)
+                        over = jnp.maximum(contrib - cap_c, 0.0)
+                        contrib = jnp.minimum(contrib, cap_c)
+                        iota_er = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 128), 0)
+                        iota_ed = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 128), 1)
+                        dmask = iota_ed == d_i
+                        upd = jnp.zeros((8, 128), jnp.float32)
+                        for c in range(n_comp + 1):
+                            s_c = jnp.sum(
+                                jnp.where(slot_ev == c, over, 0.0))
+                            upd = upd + jnp.where(
+                                (iota_er == c) & dmask, s_c, 0.0)
+                        acce_ref[:] = acce_ref[:] + upd
+                        for c in range(n_comp + 1):
+                            contrib_c = jnp.where(slot_ev == c, contrib,
+                                                  0.0)
+                            iout = _tally_contract(ohs_e, hi_e, contrib_c,
+                                                   None, True, ht=hti_pad)
+                            r0c = (c * n_dirs + d_i) * hti_pad
+                            acci_ref[pl.ds(r0c, hti_pad)] = (
+                                acci_ref[pl.ds(r0c, hti_pad)] + iout)
+                    else:
+                        iout = _tally_contract(ohs_e, hi_e, contrib, None,
+                                               True, ht=hti_pad)
+                        r0 = d_i * hti_pad
+                        acci_ref[pl.ds(r0, hti_pad)] = (
+                            acci_ref[pl.ds(r0, hti_pad)] + iout)
 
                 if n_dirs <= 6:
                     # unrolled: small programs compile fastest in Mosaic,
@@ -2067,7 +2120,8 @@ def run_batch_pallas(domain: OpticalDomain,
             kernel, pcfg, (nx, ny, nz), ht, hti_pad, photons_per_lane,
             n_photons is not None,
             idx_ssa=2 + ncomp,
-            idx_f2=(2 + 3 * ncomp if domain.all_hg else 2 + 2 * ncomp)))
+            idx_f2=(2 + 3 * ncomp if domain.all_hg else 2 + 2 * ncomp),
+            ncomp1=ncomp + 1))
         _LAUNCH_CACHE[lkey] = launch
         while len(_LAUNCH_CACHE) > _LAUNCH_CACHE_MAX:
             _LAUNCH_CACHE.popitem(last=False)
@@ -2093,7 +2147,7 @@ _LAUNCH_CACHE_MAX = 48
 
 def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
                  photons_per_lane: int, has_quota: bool,
-                 idx_ssa: int, idx_f2: int):
+                 idx_ssa: int, idx_f2: int, ncomp1: int = 2):
     """Build the whole-launch function run_batch_pallas jits and caches.
 
     Everything from params assembly through the relaunch while_loop and
@@ -2173,7 +2227,13 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
             beta_loc=jnp.full((rows, 128), jnp.float32(1.0)) * beta_max,
         )
         acc0 = jnp.zeros((ht_pad, 128), jnp.float32)
-        acci0 = jnp.zeros((max(8, n_dirs * hti_pad), 128), jnp.float32)
+        # with intensity_limit the radiance accumulator carries one image
+        # SECTION per component slot (surface/emission + components) for
+        # the post-hoc excess redistribution
+        acci_secs = ncomp1 if pcfg.intensity_limit else 1
+        acci0 = jnp.zeros((max(8, n_dirs * hti_pad * acci_secs), 128),
+                          jnp.float32)
+        acce0 = jnp.zeros((8, 128), jnp.float32)
 
         # grid = (steps, blocks): the kernel body is one block-step;
         # every buffer is a full array (constant index), so it is fetched
@@ -2184,9 +2244,9 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 7),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 8),
             out_specs=(
-                [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3)
                 + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         )
         state_shapes = [
@@ -2197,12 +2257,14 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
         out_shape = state_shapes + [
             jax.ShapeDtypeStruct((ht_pad, 128), jnp.float32),
             jax.ShapeDtypeStruct(acci0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ]
         # alias state + acc inputs onto outputs (in-place VMEM residency)
         aliases = {3 + i: i for i in range(n_state)}
         aliases[3 + n_state + 8] = n_state      # acc
         aliases[3 + n_state + 9] = n_state + 1  # acc_i
+        aliases[3 + n_state + 10] = n_state + 2  # acc_e (capped excess)
 
         call = pl.pallas_call(
             kernel,
@@ -2215,20 +2277,23 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
         )
 
         def cond(carry):
-            state, acc, acci, n_started, n_calls, work, stat_acc = carry
+            (state, acc, acci, acce, n_started, n_calls, work,
+             stat_acc) = carry
             return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
 
         def body(carry):
-            state, acc, acci, n_started, n_calls, work, stat_acc = carry
+            (state, acc, acci, acce, n_started, n_calls, work,
+             stat_acc) = carry
             scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
                 jnp.int32)
             outs = call(scal, params, dirs_a, *[state[k] for k in keys],
                         b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
-                        fwd_packed, jmod, acc, acci)
+                        fwd_packed, jmod, acc, acci, acce)
             new_state = dict(zip(keys, outs[:n_state]))
             acc = outs[n_state]
             acci = outs[n_state + 1]
-            stats = outs[n_state + 2]
+            acce = outs[n_state + 2]
+            stats = outs[n_state + 3]
             n_started = n_started + stats[0, 0].astype(jnp.int32)
             work = stats[0, 1] > 0
             # Rebalance unspent quota evenly across lanes between
@@ -2244,12 +2309,12 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
                       + jnp.arange(128, dtype=jnp.int32)[None, :])
             new_state["quota"] = (total_q // n_lanes) + (
                 lane_i < (total_q % n_lanes)).astype(jnp.int32)
-            return (new_state, acc, acci, n_started, n_calls + 1, work,
-                    stat_acc + stats[0])
+            return (new_state, acc, acci, acce, n_started, n_calls + 1,
+                    work, stat_acc + stats[0])
 
-        carry = (state0, acc0, acci0, jnp.int32(0), jnp.int32(0),
+        carry = (state0, acc0, acci0, acce0, jnp.int32(0), jnp.int32(0),
                  jnp.bool_(True), jnp.zeros((8,), jnp.float32))
-        (state_f, acc_f, acci_f, n_started, n_calls, _,
+        (state_f, acc_f, acci_f, acce_f, n_started, n_calls, _,
          stat_acc) = jax.lax.while_loop(cond, body, carry)
 
         flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]
@@ -2270,10 +2335,32 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
                 for j, orig in enumerate(pcfg.dir_perm):
                     order[orig] = j
             else:
-                order = range(n_dirs)
-            intensity = jnp.stack(
-                [acci_f[d * hti_pad:(d + 1) * hti_pad].reshape(-1)[:nxy]
-                 .reshape(nx, ny) for d in order], axis=-1)
+                order = list(range(n_dirs))
+            if pcfg.intensity_limit:
+                # per-slot images + banked excess -> cap redistribution
+                # (same math as transport.local_estimate.
+                # redistribute_excess; reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:294-322)
+                ibc = jnp.stack([
+                    jnp.stack([
+                        acci_f[(c * n_dirs + d) * hti_pad:
+                               (c * n_dirs + d + 1) * hti_pad]
+                        .reshape(-1)[:nxy] for d in order], axis=0)
+                    for c in range(ncomp1)])       # [ncomp1, n_dirs, nxy]
+                exc = jnp.stack(
+                    [acce_f[:ncomp1, d] for d in order],
+                    axis=0)                        # [n_dirs, ncomp1]
+                sums = jnp.sum(ibc, axis=2)
+                weightings = ibc / jnp.maximum(sums[:, :, None], 1e-30)
+                add = jnp.einsum("cdp,dc->dp", weightings, exc)
+                img = jnp.sum(ibc, axis=0) + add   # [n_dirs, nxy]
+                intensity = jnp.moveaxis(
+                    img.reshape(n_dirs, nx, ny), 0, -1)
+            else:
+                intensity = jnp.stack(
+                    [acci_f[d * hti_pad:(d + 1) * hti_pad]
+                     .reshape(-1)[:nxy].reshape(nx, ny) for d in order],
+                    axis=-1)
             base = base + (intensity,)
         if want_stats:
             return base + (stat_acc,)
@@ -2491,7 +2578,9 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
             # full tau and keeps the static fori
             march_while=bool(icfg.use_russian_roulette),
             zeta_min=icfg.zeta_min,
-            intensity_phase=phase)
+            intensity_phase=phase,
+            intensity_limit=bool(icfg.limit_contributions),
+            max_contribution=float(icfg.max_contribution))
     if n_photons is None:
         n_photons = config.photons_per_batch
     out = run_batch_pallas(

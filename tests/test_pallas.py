@@ -811,6 +811,42 @@ class TestIntensityRRHybrid:
                                use_hybrid_phase=True)
         self._compare(dom, icfg, dirs, rel=0.08)
 
+    def test_limit_contributions_matches_xla(self):
+        """limitIntensityContributions in-kernel: contributions capped,
+        clipped excess banked per (direction, component slot) and
+        redistributed across the image post-launch -- vs the XLA twin
+        (reference:
+        Integrators/monteCarloRadiativeTransfer.f95:294-322,1815-1826)."""
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201)
+        dirs = make_intensity_directions([1.0, 0.6], [0.0, 0.0])
+        # a LOW cap so a real fraction of contributions clip (forward-HG
+        # phase values reach ~w*80/(4 pi mu) at aligned geometries)
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                               use_hybrid_phase=False,
+                               limit_contributions=True,
+                               max_contribution=0.2)
+        self._compare(dom, icfg, dirs, rel=0.08)
+        # capping must actually engage: the capped image must differ
+        # per-pixel from the uncapped one while conserving the total
+        # (redistribution puts the excess back)
+        icfg_off = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                                   use_hybrid_phase=False)
+        cfgP = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                            max_steps=20_000, use_pallas="on")
+        args = (dom, Surface.lambertian(0.2),
+                illumination.directional(0.5, 0.0), rng.batch_key(4, 1),
+                cfgP)
+        t_cap = run_batch(*args, intensity_config=icfg,
+                          intensity_dirs=dirs)
+        t_unc = run_batch(*args, intensity_config=icfg_off,
+                          intensity_dirs=dirs)
+        a = np.asarray(t_cap.intensity)
+        b = np.asarray(t_unc.intensity)
+        assert float(a.sum()) == pytest.approx(float(b.sum()), rel=1e-4)
+        assert np.abs(a - b).max() > 1e-6 * np.abs(b).max()
+
     def test_tabulated_phase_intensity_matches_xla(self):
         """Non-HG domain: in-kernel phase values from the (original)
         forward table, row resolved through the per-cell phase field."""

@@ -233,7 +233,7 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
          "compute_intensity_tables=True and, for all-HG domains, a single "
          "shared table row)", hyb_ok),
         ("n_orders_orig_phase > 0", icfg.n_orders_orig_phase == 0),
-        (f"n_dirs={icfg.n_dirs} > 32", icfg.n_dirs <= 32),
+        (f"n_dirs={icfg.n_dirs} > 64", icfg.n_dirs <= 64),
         ("intensity_dirs is None" if dirs is None else
          f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
          dirs is not None and tuple(dirs.shape) == (3, icfg.n_dirs)),
@@ -325,10 +325,11 @@ def _fmix32(x):
 
 
 # Draw sites per step. Sites 16+2d..17+2d serve per-direction Iwabuchi RR;
-# with n_dirs up to 32 the largest site is 16 + 2*31 + 1 = 79, so 128 keeps
-# (ctr, site) streams collision-free (at 64, direction >= 24 aliased the
-# next step's transport draws on the software-RNG path).
-_N_SITES = 128
+# with n_dirs up to 64 the largest site is 16 + 2*63 + 1 = 143, so 256
+# keeps (ctr, site) streams collision-free (at 64 sites, direction >= 24
+# aliased the next step's transport draws on the software-RNG path --
+# the round-3 advisor find).
+_N_SITES = 256
 
 
 def _make_uniform(lane_u32, seed_u32, mode: str = "murmur", ctr_f32=None):

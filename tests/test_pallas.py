@@ -912,6 +912,50 @@ class TestManyDirectionsAllQuadrants:
             assert b == pytest.approx(a, rel=0.10), (
                 f"dir {d} (phi {phis[d]}): xla {a} vs pallas {b}")
 
+    def test_forty_eight_directions_eligible_and_match(self):
+        """n_dirs > 32 (round-4: cap raised to 64 with 256 RNG draw
+        sites): the grouped-march fori path must stay correct at
+        production-scale direction counts (reference radiance grids go to
+        648 directions, Drivers/monteCarloDriver.f95:61)."""
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True)
+        mus = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5] * 8
+        phis = [(i * 67.5) % 360.0 for i in range(48)]
+        dirs = make_intensity_directions(mus, phis)
+        icfg = IntensityConfig(n_dirs=48, use_russian_roulette=True,
+                               use_hybrid_phase=False, pallas_min_mu=0.4)
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        assert pk.pallas_intensity_eligible(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0), lw_mode=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            icfg=icfg, dirs=dirs,
+            dirs_mu_ok=pk.dirs_mu_floor_ok(icfg, dirs))
+        cfgX = KernelConfig(n_lanes=1 << 10, photons_per_lane=8,
+                            max_steps=20000, use_pallas="off")
+        cfgP = KernelConfig(n_lanes=1 << 10, photons_per_lane=8,
+                            max_steps=20000, use_pallas="on")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(4, 0), cfgX,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        t2 = run_batch(dom, Surface.lambertian(0.2),
+                       illumination.directional(0.5, 0.0),
+                       rng.batch_key(4, 1), cfgP,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        assert int(t2.n_bad) == 0
+        iref = np.asarray(t.intensity) / int(t.n_photons)
+        imk = np.asarray(t2.intensity) / int(t2.n_photons)
+        # per-direction means at modest photon counts: 4-sigma-ish band
+        for d in range(48):
+            a, b = iref[:, :, d].mean(), imk[:, :, d].mean()
+            assert b == pytest.approx(a, rel=0.25), (
+                f"dir {d} (mu {mus[d]}, phi {phis[d]}): {a} vs {b}")
+        # and the direction-summed image tightly
+        assert imk.sum() == pytest.approx(iref.sum(), rel=0.05)
+
     def test_missing_forward_tables_raise(self):
         """Non-HG (tabulated-phase) domains still require forward tables
         for intensity; all-HG domains are exempt (analytic phase values)."""

@@ -101,6 +101,21 @@ def bench_step_cloud():
 
     emit("step_cloud_photon_throughput", measure(once, 5))
 
+    # flux-only variant (reportVolumeAbsorption/reportAbsProf both off):
+    # the per-column absorbed tally replaces the [nxyz] volume rows
+    # (PallasConfig.flux_abs_2d) -- the largest single-lever step-cost
+    # cut from the round-3 1e8 ceiling analysis
+    config2 = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
+                           max_steps=800_000,
+                           need_volume_absorption=False)
+
+    def once2(b):
+        t = run_batch(domain, surface, source, rng.batch_key(0, b),
+                      config2)
+        return int(t.n_photons)
+
+    emit("step_cloud_flux_only_throughput", measure(once2, 3))
+
 
 def bench_multi_component():
     """Gas + cloud + Rayleigh step cloud: the production broadband-SW

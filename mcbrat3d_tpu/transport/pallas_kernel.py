@@ -129,6 +129,15 @@ class PallasConfig:
     # Integrators/monteCarloRadiativeTransfer.f95:294-322,1815-1826).
     intensity_limit: bool = False
     max_contribution: float = 77.0
+    # need_volume_absorption=False fast path: tally absorbed flux into a
+    # per-COLUMN section instead of the [nxyz] volume rows. The tally's
+    # elementwise cost scales with the accumulator height (~208 rows on
+    # the 32x32x24 step cloud, ~24 with this flag), the largest
+    # single-lever step-cost cut identified in round 3's 1e8 ceiling
+    # analysis. Matches the reference's optional-output contract
+    # (reportVolumeAbsorption/reportAbsProf both off ->
+    # Drivers/monteCarloDriver.f95:1324 output skipped).
+    flux_abs_2d: bool = False
     # Early-exit radiance march: lax.while_loop over crossings (stops when
     # every lane in the block finished) instead of a fixed k_dda fori.
     # Identical results; expected 2-4x on march cost (most marches finish
@@ -819,6 +828,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 xc, yc = x + ux * d, y + uy * d
                 zc = jnp.clip(zn, z0, z_max)
                 cell = jnp.zeros((blk, 128), jnp.int32)
+                col_c = cell
             else:
                 z_b = jnp.where(exit_top, z_max, z0)
                 safe_uz = jnp.where(jnp.abs(uz) < 1e-12, 1.0, uz)
@@ -842,6 +852,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 iz = jnp.clip(((zc - z0) * inv_dz).astype(jnp.int32),
                               0, nz - 1)
                 cell = (ix * ny + iy) * nz + iz
+                col_c = ix * ny + iy
             # with a macro majorant, clipped (null-step) lanes also need
             # the gather: it carries the destination block's majorant
             cell = jnp.where(moved if macro_factor > 0 else collide,
@@ -1652,9 +1663,24 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 t_val = jnp.where(exit_top, w,
                                   jnp.where(exit_bot, w_down, absorbed))
                 t_val = jnp.where(exits | real, t_val, 0.0)
-                hi_t = jnp.where(exits, jnp.right_shift(t_exit, 7),
-                                 vol_hi0 + jnp.right_shift(cell, 7))
-                if (ohs_sub is not None and pcfg.bf16
+                if pcfg.flux_abs_2d:
+                    # absorbed goes to a per-COLUMN section right after
+                    # the flux rows (vol_base is 128-aligned): the
+                    # accumulator shrinks from ~(2*nxy + nxyz)/128 rows
+                    # to ~3*nxy/128, and with it the tally's dominant
+                    # where-build cost. Needs its own lo one-hot (the
+                    # gather's is keyed by the CELL).
+                    t_idx2 = jnp.where(exits, t_exit, vol_base + col_c)
+                    hi_t = jnp.right_shift(t_idx2, 7)
+                    iota_sub_t2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 128, 128), 1)
+                    ohs_tal = (jnp.bitwise_and(t_idx2, 127)[:, None, :]
+                               == iota_sub_t2).astype(oh_dtype)
+                else:
+                    hi_t = jnp.where(exits, jnp.right_shift(t_exit, 7),
+                                     vol_hi0 + jnp.right_shift(cell, 7))
+                    ohs_tal = ohs_sub
+                if (ohs_tal is not None and pcfg.bf16
                         and "oldtally" not in part_set):
                     # (bf16 only: the f32 pipeline keeps the 128-row
                     # j-major accumulator)
@@ -1674,10 +1700,10 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     contrib = acc_ref[:]
                     for b_i in range(blk):
                         contrib = contrib + jax.lax.dot_general(
-                            a_h3[:, b_i, :], ohs_sub[b_i], dn_t,
+                            a_h3[:, b_i, :], ohs_tal[b_i], dn_t,
                             preferred_element_type=jnp.float32)
                         contrib = contrib + jax.lax.dot_general(
-                            a_l3[:, b_i, :], ohs_sub[b_i], dn_t,
+                            a_l3[:, b_i, :], ohs_tal[b_i], dn_t,
                             preferred_element_type=jnp.float32)
                     acc_ref[:] = contrib
                 else:
@@ -1918,7 +1944,10 @@ def run_batch_pallas(domain: OpticalDomain,
 
     h_cells = -(-nxyz // 128)
     vol_base = -(-2 * nxy // 128) * 128
-    ht = -(-(vol_base + nxyz) // 128)
+    if pcfg.flux_abs_2d and (not pcfg.bf16
+                             or "oldtally" in pcfg.debug_parts):
+        raise ValueError("flux_abs_2d requires the bf16 sublane tally")
+    ht = -(-(vol_base + (nxy if pcfg.flux_abs_2d else nxyz)) // 128)
     if ht > 128 and not pcfg.bf16:
         raise ValueError("domains beyond 16384 tally entries need the "
                          "bf16 pipeline (the f32 tally tiles hi mod ht "
@@ -2321,7 +2350,11 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
         flat = acc_f[:ht].reshape(-1)  # rows j < ht hold acc[h]
         flux_up = flat[:nxy].reshape(nx, ny)
         flux_down = flat[nxy:2 * nxy].reshape(nx, ny)
-        vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
+        if pcfg.flux_abs_2d:
+            # per-column absorbed section (no volume tally was kept)
+            vol = flat[vol_base:vol_base + nxy].reshape(nx, ny)
+        else:
+            vol = flat[vol_base:vol_base + nxyz].reshape(nx, ny, nz)
         # n_bad: photons still alive at the step cap, plus any truncated
         # radiance marches (stat 6; empty when dirs_mu_floor_ok held)
         n_bad = (jnp.sum(state_f["alive"], dtype=jnp.int32)
@@ -2544,6 +2577,12 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
 
     pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
                            config.max_steps, interpret)
+    if (not config.need_volume_absorption and not config.lw_mode
+            and pcfg.bf16):
+        # neither 3D absorption nor the profile is requested: tally
+        # absorbed flux per COLUMN and skip the [nxyz] volume rows
+        # (see PallasConfig.flux_abs_2d)
+        pcfg = dataclasses.replace(pcfg, flux_abs_2d=True)
     if intensity_config is not None:
         # small march blocks: the per-crossing gather unrolls block_rows
         # MXU dots inside each direction's fori body, and the remote
@@ -2592,10 +2631,14 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
         lw_mode=config.lw_mode)
     fu, fd, vol, n_started, n_bad, n_calls = out[:6]
     intensity = out[6] if pcfg.n_dirs > 0 else None
+    if pcfg.flux_abs_2d:
+        flux_absorbed, volume_absorption = vol, None
+    else:
+        flux_absorbed, volume_absorption = jnp.sum(vol, axis=2), vol
     return Tallies(
         flux_up=fu, flux_down=fd,
-        flux_absorbed=jnp.sum(vol, axis=2),
-        volume_absorption=vol,
+        flux_absorbed=flux_absorbed,
+        volume_absorption=volume_absorption,
         intensity=intensity,
         n_photons=n_started, n_bad=n_bad,
         n_steps=n_calls * pcfg.steps_per_call,

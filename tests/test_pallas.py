@@ -709,6 +709,39 @@ class TestSpotlightSource:
             assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
 
 
+class TestFluxAbs2D:
+    """need_volume_absorption=False fast path: the record kernel tallies
+    absorbed flux per COLUMN and skips the [nxyz] volume rows (the
+    tally's dominant cost; see PallasConfig.flux_abs_2d). Same events,
+    same physics -- only the accumulator layout changes."""
+
+    def test_matches_volume_tally_run(self, step_cloud):
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.2)
+        base = dict(n_lanes=2048, photons_per_lane=16, max_steps=6000,
+                    use_pallas="on", tail_compaction=False)
+        cfg2d = KernelConfig(need_volume_absorption=False, **base)
+        cfg3d = KernelConfig(need_volume_absorption=True, **base)
+        t2 = run_batch(step_cloud, sfc, src, rng.batch_key(7, 0), cfg2d)
+        t3 = run_batch(step_cloud, sfc, src, rng.batch_key(7, 0), cfg3d)
+        assert t2.volume_absorption is None
+        assert t3.volume_absorption is not None
+        # same seed, same streams: only the absorbed ROUTING differs, so
+        # fluxes are bit-identical and absorbed matches to the bf16
+        # value-split reconstruction error
+        np.testing.assert_array_equal(np.asarray(t2.flux_up),
+                                      np.asarray(t3.flux_up))
+        np.testing.assert_array_equal(np.asarray(t2.flux_down),
+                                      np.asarray(t3.flux_down))
+        np.testing.assert_allclose(np.asarray(t2.flux_absorbed),
+                                   np.asarray(t3.flux_absorbed),
+                                   rtol=1e-4, atol=1e-3)
+        n = int(t2.n_photons)
+        bal = (float(t2.flux_up.sum()) + 0.8 * float(t2.flux_down.sum())
+               + float(t2.flux_absorbed.sum())) / n
+        assert bal == pytest.approx(1.0, abs=2e-3)
+
+
 class TestRPVSurface:
     """Uniform RPV BRDF in-kernel: the record megakernel evaluates the
     Rahman-Pinty-Verstraete weight at surface bounces (trig-free form),

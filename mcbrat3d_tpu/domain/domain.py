@@ -154,6 +154,18 @@ class OpticalDomain:
     col_em_alias: Optional[jax.Array] = None  # [nx*ny] f32 alias targets
     col_em_halias: Optional[jax.Array] = None  # [nx*ny] f32 h[alias[col]]
     col_em_fcum: Optional[jax.Array] = None   # [nz] f32 cum B(T(z))
+    # Two-component column template: cloud (col_scale/col_height) plus a
+    # horizontally uniform PURE-ABSORBER gas profile,
+    #   beta = col_scale[col]*(iz < col_height[col]) + col_qz[iz].
+    # Only detected when cloud heights VARY (uniform-height slabs +
+    # gas belong to the separable kernel, which also covers their LW).
+    col_qz: Optional[jax.Array] = None        # [nz] f32 gas profile
+    # (ssa_cloud, g_cloud_or_0, qmax) -- the kernel's uniform scalars
+    col_cloud: Optional[jax.Array] = None     # [3] f32
+    col_analytic_hg: bool = dataclasses.field(metadata=dict(static=True),
+                                              default=True)
+    col_inv_row: int = dataclasses.field(metadata=dict(static=True),
+                                         default=0)
     macro_table: Optional[jax.Array] = None  # [nbx*nby*nbz] f32 majorants
     col_template: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
@@ -506,20 +518,74 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         rec[:, 2 + 3 * ncomp] = g0[0]
 
     # --- column-template detection (Landsat-style scenes) ---
-    # beta(x,y,z) = col_scale * (iz < col_height): nonzero cells form a
-    # contiguous uniform block from z=0 in every column.
+    # beta(x,y,z) = col_scale * (iz < col_height) [+ col_qz(z)]: cloud
+    # cells form a contiguous uniform block from z=0 in every column;
+    # optionally plus ONE horizontally uniform pure-absorber gas
+    # component (broadband-SW per-bin shape over a Landsat cloud).
     col_template = False
     col_scale = col_height = macro_table_flat = None
-    if ncomp == 1 and grid.xy_regular and grid.z_regular:
-        t32 = np.asarray(total, np.float32)  # detect on the f32 the kernel sees
-        t2 = t32.reshape(nx * ny, nz)
+    col_gas = dict(col_qz=None, col_cloud=None, col_analytic_hg=True,
+                   col_inv_row=0)
+    cand_ext = None
+    if grid.xy_regular and grid.z_regular:
+        if ncomp == 1:
+            # detect on the f32 field the kernel sees
+            cand_ext = np.asarray(total, np.float32)
+            gas_q, cloud_c = None, 0
+        elif ncomp == 2:
+            uni = [bool(np.all(ext[:, :, :, c] == ext[:1, :1, :, c]))
+                   for c in range(2)]
+            if uni[0] != uni[1]:
+                gas_c, cloud_c = (0, 1) if uni[0] else (1, 0)
+                occ_g = ext[:, :, :, gas_c] > 0
+                gas_pure = (not occ_g.any()) or float(
+                    np.abs(np.asarray(ssa)[:, :, :, gas_c][
+                        np.asarray(occ_g)]).max()) == 0.0
+                if gas_pure:
+                    gas_q = np.asarray(ext[0, 0, :, gas_c], np.float32)
+                    cand_ext = np.asarray(ext[:, :, :, cloud_c],
+                                          np.float32)
+    if cand_ext is not None:
+        t2 = cand_ext.reshape(nx * ny, nz)
         h = (t2 > 0.0).sum(axis=1).astype(np.int64)
         iz_row = np.arange(nz)[None, :]
         if bool(np.all((t2 > 0.0) == (iz_row < h[:, None]))):
             scale = t2[np.arange(nx * ny), np.maximum(h - 1, 0)]
             scale = np.where(h > 0, scale, 0.0).astype(np.float32)
             tmpl = scale[:, None] * (iz_row < h[:, None])
-            if bool(np.all(t2 == tmpl)):
+            match = bool(np.all(t2 == tmpl))
+            if match and gas_q is not None:
+                # 2-comp acceptance: heights must VARY (uniform-height
+                # slab + gas is the separable kernel's territory, which
+                # also covers its LW emission) and the cloud must carry
+                # ONE ssa and ONE phase entry over occupied cells
+                occ_c = cand_ext > 0
+                if not occ_c.any() or int(h.max()) == int(
+                        h[h > 0].min() if (h > 0).any() else 0):
+                    match = False
+                else:
+                    ssa_c_v = np.asarray(ssa)[:, :, :, cloud_c][occ_c]
+                    pfi_c_v = np.asarray(pfi)[:, :, :, cloud_c][occ_c]
+                    if (not bool(np.all(ssa_c_v == ssa_c_v.flat[0]))
+                            or not bool(
+                                np.all(pfi_c_v == pfi_c_v.flat[0]))):
+                        match = False
+                    else:
+                        entry = int(pfi_c_v.flat[0])
+                        tbl_c = components[cloud_c].phase_function_table
+                        g_c = tbl_c.phase_functions[entry].hg_g
+                        offset = sum(
+                            components[c].phase_function_table.n_entries
+                            for c in range(cloud_c))
+                        col_gas = dict(
+                            col_qz=jnp.asarray(gas_q, jnp.float32),
+                            col_cloud=jnp.asarray(
+                                [float(ssa_c_v.flat[0]),
+                                 float(g_c) if g_c is not None else 0.0,
+                                 float(gas_q.max())], jnp.float32),
+                            col_analytic_hg=bool(g_c is not None),
+                            col_inv_row=offset + entry)
+            if match:
                 col_template = True
                 col_scale = jnp.asarray(scale, jnp.float32)
                 col_height = jnp.asarray(h.astype(np.float32))
@@ -605,4 +671,5 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         macro_table=macro_table_flat,
         col_template=col_template,
         **col_em,
+        **col_gas,
     )

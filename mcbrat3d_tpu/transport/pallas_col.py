@@ -86,9 +86,16 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
     # tabulated (Mie-class) inverse-CDF table sampled in-kernel (the
     # reference Landsat case uses one Mie phase function for the whole
     # scene; reference: Domain-Files/i3rcLandsatCloud.f95:27-40)
-    phase_ok = (domain.all_hg and domain.uniform_hg) or (
-        domain.tables.inverse.shape[0] == 1
-        and domain.tables.inverse.size <= 131072)
+    has_gas = domain.col_qz is not None
+    if has_gas:
+        # 2-comp template: the cloud's single phase entry (detection
+        # enforced uniformity; the gas never scatters)
+        phase_ok = (domain.col_analytic_hg
+                    or domain.tables.inverse.shape[1] <= 131072)
+    else:
+        phase_ok = (domain.all_hg and domain.uniform_hg) or (
+            domain.tables.inverse.shape[0] == 1
+            and domain.tables.inverse.size <= 131072)
     # BBEmission needs the host-built column alias + cumulative-Planck
     # tables (z-uniform temps, uniform ssa, lambda_um > 0; see
     # OpticalDomain.col_em_* docs)
@@ -98,8 +105,8 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
     return (
         bool(domain.col_template)
         and phase_ok
-        and domain.n_components == 1
-        and domain.uniform_ssa
+        and (domain.n_components == 1 or has_gas)
+        and (domain.uniform_ssa or has_gas)
         and domain.grid.xy_regular and domain.grid.z_regular
         and surface.is_uniform_lambertian
         and source.kind in (illumination.DIRECTIONAL,
@@ -122,7 +129,7 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                       use_rr: bool, macro_factor: int, nbx: int, nby: int,
                       analytic_hg: bool = True, inv_hp: int = 8,
                       inv_n_steps: int = 0, need_vol: bool = False,
-                      lw: bool = False):
+                      lw: bool = False, has_gas: bool = False):
     """Close over static shapes; returns the column-mode kernel function."""
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
@@ -135,7 +142,7 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in, blh_in,
-               mcol_ref, mblk_ref, inv_ref, ecol_ref, fcum_ref,
+               mcol_ref, mblk_ref, inv_ref, ecol_ref, fcum_ref, qz_ref,
                acc_in, accz_in, acc3_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref, blh_ref,
@@ -340,7 +347,13 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             tau = -jnp.log1p(-u_tau)
             ztop_m = z0 + blh * dz  # block cloud-top plane
             above = z >= ztop_m
-            ceiling = jnp.where(above, 0.0, bls)
+            if has_gas:
+                # gas everywhere: the above-cloud region samples against
+                # the gas maximum instead of advancing geometrically
+                qg = par_ref[0, 17]
+                ceiling = jnp.where(above, qg, bls + qg)
+            else:
+                ceiling = jnp.where(above, 0.0, bls)
             d_samp = jnp.where(ceiling > 0,
                                tau / jnp.where(ceiling == 0, 1.0, ceiling),
                                _BIG)
@@ -421,7 +434,18 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             # ---- column gather: scale (split summed in-gather) + height
             scale, height = bilinear_multi(
                 mcol_ref[:], ohh_bf, ohs_f32, groups=((0, 1), (2,)))
-            beta = jnp.where(iz.astype(jnp.float32) < height, scale, 0.0)
+            beta_c = jnp.where(iz.astype(jnp.float32) < height, scale,
+                               0.0)
+            if has_gas:
+                # horizontally uniform gas profile at the collision level
+                iota_qz = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 128, 128), 1)
+                q_z = jnp.sum(
+                    (iz[:, None, :] == iota_qz).astype(jnp.float32)
+                    * qz_ref[0][None, :, None], axis=1)
+                beta = beta_c + q_z
+            else:
+                beta = beta_c
 
             # ---- block-majorant gather at the destination ----
             if macro_factor > 0:
@@ -438,8 +462,19 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
 
             # null-collision test against the ceiling this jump sampled
             real = collide & (u_col * ceiling < beta)
-            absorbed = jnp.where(real, w * (1.0 - ssa_u), 0.0)
-            w = jnp.where(real, w * ssa_u, w)
+            if has_gas:
+                # non-analog absorption by the cell's EFFECTIVE ssa: the
+                # gas is a pure absorber, so scattering power is
+                # beta_cloud * ssa_cloud (and scattering, when it
+                # happens, is always the cloud's phase function)
+                ssa_eff = jnp.where(
+                    beta > 0,
+                    beta_c * ssa_u / jnp.where(beta == 0, 1.0, beta),
+                    0.0)
+            else:
+                ssa_eff = ssa_u
+            absorbed = jnp.where(real, w * (1.0 - ssa_eff), 0.0)
+            w = jnp.where(real, w * ssa_eff, w)
 
             # ---- Russian roulette ----
             if use_rr:
@@ -765,12 +800,24 @@ def run_batch_pallas_col(domain: OpticalDomain,
         raise ValueError("quota budget overflows int32; split batches")
 
     mcol, mblk, nbx, nby = _pack_col_tables(domain)
-    analytic_hg = bool(domain.all_hg)
+    has_gas = domain.col_qz is not None
+    analytic_hg = bool(domain.col_analytic_hg if has_gas
+                       else domain.all_hg)
     if analytic_hg:
         inv_packed = jnp.zeros((24, 128), jnp.bfloat16)
         inv_hp, inv_n_steps = 8, 0
+    elif has_gas:
+        from mcbrat3d_tpu.transport.pallas_kernel import _pack_inverse_row
+        inv_packed, inv_hp, inv_n_steps = _obj_cache(
+            domain, ("colinv",),
+            lambda: _pack_inverse_row(domain, domain.col_inv_row))
     else:
         inv_packed, inv_hp, inv_n_steps = _pack_inverse_table(domain)
+    if has_gas:
+        qz = jnp.pad(domain.col_qz.astype(jnp.float32), (0, 128 - nz))
+        m_qz = jnp.zeros((8, 128), jnp.float32).at[0].set(qz)
+    else:
+        m_qz = jnp.zeros((8, 128), jnp.float32)
     lw = bool(lw_mode) and source.kind == illumination.EMISSION
     if source.kind == illumination.EMISSION:
         m_ecol, m_fcum = _obj_cache(
@@ -784,7 +831,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
                                use_russian_roulette, domain.macro_factor,
                                nbx, nby, analytic_hg=analytic_hg,
                                inv_hp=inv_hp, inv_n_steps=inv_n_steps,
-                               need_vol=need_vol, lw=lw)
+                               need_vol=need_vol, lw=lw, has_gas=has_gas)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL,
@@ -795,6 +842,17 @@ def run_batch_pallas_col(domain: OpticalDomain,
     else:
         smu, sphi = 0.0, 0.0
     ge = grid.x_edges, grid.y_edges, grid.z_edges
+    if has_gas:
+        # cloud scalars from detection (the record layout differs for
+        # 2 components); qg = max gas extinction (the above-cloud and
+        # in-region majorant addend)
+        ssa_par = domain.col_cloud[0]
+        g_par = domain.col_cloud[1]
+        qg_par = domain.col_cloud[2]
+    else:
+        ssa_par = domain.cell_records[0, 3]   # uniform ssa
+        g_par = domain.cell_records[0, 5]     # uniform HG g
+        qg_par = jnp.float32(0.0)
     params = jnp.stack([
         beta_max, 1.0 / beta_max,
         surface.params.reshape(-1)[0],
@@ -803,14 +861,15 @@ def run_batch_pallas_col(domain: OpticalDomain,
         ge[0][0], ge[0][-1] - ge[0][0],
         ge[1][0], ge[1][-1] - ge[1][0],
         ge[2][0], ge[2][-1] - ge[2][0],
-        domain.cell_records[0, 3],   # uniform ssa
-        domain.cell_records[0, 5],   # uniform HG g
+        ssa_par,
+        g_par,
         jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
         * jnp.cos(jnp.float32(sphi)),
         jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.float32(smu) ** 2))
         * jnp.sin(jnp.float32(sphi)),
         jnp.asarray(atms_frac, jnp.float32),
-        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.asarray(qg_par, jnp.float32),    # 17: gas majorant addend
+        jnp.float32(0.0), jnp.float32(0.0),
         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
         jnp.float32(0.0),
     ]).reshape(1, 24)
@@ -849,7 +908,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 8),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 9),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -866,9 +925,9 @@ def run_batch_pallas_col(domain: OpticalDomain,
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 5] = n_state      # acc
-    aliases[2 + n_state + 6] = n_state + 1  # accz
-    aliases[2 + n_state + 7] = n_state + 2  # acc3
+    aliases[2 + n_state + 6] = n_state      # acc
+    aliases[2 + n_state + 7] = n_state + 1  # accz
+    aliases[2 + n_state + 8] = n_state + 2  # acc3
 
     call = pl.pallas_call(
         kernel,
@@ -889,7 +948,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    mcol, mblk, inv_packed, m_ecol, m_fcum,
+                    mcol, mblk, inv_packed, m_ecol, m_fcum, m_qz,
                     acc, accz, acc3)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]

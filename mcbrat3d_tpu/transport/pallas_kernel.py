@@ -1898,6 +1898,29 @@ def _pack_inverse_table(domain: OpticalDomain):
     return (jnp.concatenate([a_hi, a_lo, d_b], axis=0), hp, n_steps)
 
 
+def _pack_inverse_row(domain: OpticalDomain, row: int):
+    """Single-row variant of _pack_inverse_table: pack ONE global stacked
+    phase row (a template kernel's only scattering entry). Same paired
+    (a0 hi/lo, delta) layout; returns (packed [3*hp, 128] bf16, hp,
+    n_steps)."""
+    inv = domain.tables.inverse[row]  # [n_steps] f32 angles
+    n_steps = inv.shape[0]
+    flat = inv.reshape(-1)
+    nxt = jnp.concatenate([flat[1:], flat[-1:]])
+    delta = nxt - flat
+    hp = -(-(-(-n_steps // 128)) // 8) * 8
+
+    def block(v):
+        vp = jnp.pad(v, (0, hp * 128 - n_steps))
+        return vp.reshape(hp, 128)
+
+    a_hi = block(flat).astype(jnp.bfloat16)
+    a_lo = block(flat - a_hi.astype(jnp.float32).reshape(-1)[:n_steps]
+                 ).astype(jnp.bfloat16)
+    d_b = block(delta).astype(jnp.bfloat16)
+    return (jnp.concatenate([a_hi, a_lo, d_b], axis=0), hp, n_steps)
+
+
 def _obj_cache(obj, key, build):
     """Per-object memo for packed device tables.
 

@@ -792,23 +792,9 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
 
 def _pack_sep_inverse(domain: OpticalDomain):
     """Single-row inverse-CDF pack for the cloud's tabulated phase entry
-    (same paired a0-hi/lo + delta layout as pallas_kernel's)."""
-    inv = domain.tables.inverse[domain.sep_inv_row]  # [n_steps]
-    n_steps = inv.shape[0]
-    flat = inv.reshape(-1)
-    nxt = jnp.concatenate([flat[1:], flat[-1:]])
-    delta = nxt - flat
-    hp = -(-(-(-n_steps // 128)) // 8) * 8
-
-    def block(v):
-        vp = jnp.pad(v, (0, hp * 128 - n_steps))
-        return vp.reshape(hp, 128)
-
-    a_hi = block(flat).astype(jnp.bfloat16)
-    a_lo = block(flat - a_hi.astype(jnp.float32).reshape(-1)[:n_steps]
-                 ).astype(jnp.bfloat16)
-    d_b = block(delta).astype(jnp.bfloat16)
-    return (jnp.concatenate([a_hi, a_lo, d_b], axis=0), hp, n_steps)
+    (delegates to pallas_kernel._pack_inverse_row)."""
+    from mcbrat3d_tpu.transport.pallas_kernel import _pack_inverse_row
+    return _pack_inverse_row(domain, domain.sep_inv_row)
 
 
 def run_batch_pallas_sep(domain: OpticalDomain,

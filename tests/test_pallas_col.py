@@ -342,6 +342,127 @@ class TestColumnLWEmission:
         assert int(t.n_photons) == cfg.photons_per_batch
 
 
+def _gas_broken_cloud(nx=16, ny=16, nz=8, ssa=0.99, gas_beta0=0.004,
+                      seed=0, **build_kwargs):
+    """Two-component column-template scene: broken cloud (varying
+    heights) + horizontally uniform exponentially decaying pure-absorber
+    gas (the broadband-SW per-bin shape over a Landsat cloud)."""
+    rs = np.random.RandomState(seed)
+    f = rs.rand(nx, ny)
+    for _ in range(3):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    cloudy = f > np.quantile(f, 0.55)
+    scale = rs.rand(nx, ny) * 0.05 * cloudy
+    h = (np.ceil(f * nz).astype(int)) * (scale > 0)
+    scale = scale * (h > 0)
+    ext = np.zeros((nx, ny, nz))
+    for k in range(nz):
+        ext[:, :, k] = np.where(k < h, scale, 0.0)
+    grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+    table = PhaseFunctionTable(
+        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    cloud = OpticalComponent("broken cloud", ext,
+                             np.full_like(ext, ssa),
+                             np.zeros(ext.shape, np.int32), table)
+    z_c = (np.arange(nz) + 0.5) * 0.05  # km
+    q = gas_beta0 * np.exp(-z_c / 2.0)
+    gas_ext = np.broadcast_to(q, (nx, ny, nz)).copy()
+    gas = OpticalComponent("gas absorber", gas_ext,
+                           np.zeros_like(gas_ext),
+                           np.zeros(gas_ext.shape, np.int32),
+                           PhaseFunctionTable(
+                               [PhaseFunction.henyey_greenstein(0.0, 8)],
+                               key=[1.0]))
+    build_kwargs.setdefault("n_cdf_steps", 201)
+    return build_domain(grid, [cloud, gas], macro_factor=4,
+                        **build_kwargs)
+
+
+class TestColumnGas:
+    """Two-component column template: varying-height cloud + uniform
+    pure-absorber gas stays on the column fast path (effective-ssa
+    collisions, gas-aware 2-region majorant)."""
+
+    def test_detected_and_eligible(self):
+        dom = _gas_broken_cloud()
+        assert dom.col_template and dom.col_qz is not None
+        assert dom.n_components == 2
+        np.testing.assert_allclose(
+            float(dom.col_cloud[0]), 0.99, rtol=1e-6)
+        assert pc.pallas_col_eligible(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0),
+            lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=True)
+        # LW emission with gas is NOT in the column kernel (the col_em
+        # tables would miss the gas emission); it must fall elsewhere
+        assert dom.col_em_prob is None
+
+    def test_uniform_height_left_to_separable(self):
+        """A broken cloud with ONE height + gas is the separable
+        kernel's shape (which also covers its LW); the col detector must
+        decline it."""
+        nx, ny, nz = 8, 8, 8
+        rs = np.random.RandomState(3)
+        amp = (rs.rand(nx, ny) > 0.5) * 0.02
+        ext = np.zeros((nx, ny, nz))
+        ext[:, :, :4] = amp[:, :, None]
+        grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+        table = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 32)], key=[1.0])
+        cloud = OpticalComponent("slab", ext, np.full_like(ext, 0.9),
+                                 np.zeros(ext.shape, np.int32), table)
+        gas_ext = np.full((nx, ny, nz), 0.002)
+        gas = OpticalComponent("gas", gas_ext, np.zeros_like(gas_ext),
+                               np.zeros(gas_ext.shape, np.int32),
+                               PhaseFunctionTable(
+                                   [PhaseFunction.henyey_greenstein(
+                                       0.0, 8)], key=[1.0]))
+        dom = build_domain(grid, [cloud, gas], macro_factor=4,
+                           n_cdf_steps=101)
+        assert not dom.col_template
+        assert dom.sep_template
+
+    def test_matches_xla(self):
+        dom = _gas_broken_cloud()
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(dom, sfc, src, rng.batch_key(9, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = pc.run_batch_pallas_col(dom, sfc, src, rng.batch_key(9, 1),
+                                      pcfg, 64, need_vol=True)
+        fu, fd, ac, az, vol, n, nbad, _ = out
+        n = int(n)
+        assert int(nbad) == 0
+        # energy conservation (RR on, unbiased)
+        bal = (float(fu.sum()) + 0.8 * float(fd.sum())
+               + float(ac.sum())) / n
+        assert bal == pytest.approx(1.0, abs=3e-3)
+        for a, b, name, p in (
+                (fu, t.flux_up, "R", 0.4),
+                (fd, t.flux_down, "T", 0.7),
+                (ac, t.flux_absorbed, "A", 0.1)):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / int(t.n_photons)
+            sigma = 2.0 * np.sqrt(max(p * (1 - p), 0.01) / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        # absorption PROFILE discriminates the gas path (absorption in
+        # clear air above/below the cloud comes only from the gas)
+        prof_ref = np.asarray(t.volume_absorption).sum(axis=(0, 1)) \
+            / int(t.n_photons)
+        prof = np.asarray(az) / n
+        np.testing.assert_allclose(prof, prof_ref, atol=6e-3)
+        # 3D marginals consistent
+        vol = np.asarray(vol)
+        np.testing.assert_allclose(vol.sum(axis=2), np.asarray(ac),
+                                   rtol=1e-4, atol=2e-3)
+
+
 class TestColumnTabulatedPhase:
     """Single-entry tabulated (Mie-class) phase in the column megakernel:
     the reference Landsat configuration's shape (one Mie phase function for

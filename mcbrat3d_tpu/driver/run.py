@@ -75,6 +75,11 @@ def kernel_config_from(cfg: SimulationConfig,
         # column absorption + z profile)
         need_volume_absorption=(cfg.report_volume_absorption
                                 or bool(cfg.output_abs_volume_file)),
+        # the record kernel derives the profile from its volume rows, so
+        # a profile request must keep them (flux_abs_2d gates on this);
+        # the column/separable kernels tally the profile natively
+        need_absorption_profile=(cfg.report_absorption_profile
+                                 or bool(cfg.output_abs_prof_file)),
     )
 
 

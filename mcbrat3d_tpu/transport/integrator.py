@@ -98,6 +98,12 @@ class KernelConfig:
     # the z absorption profile but not the 3D field. The driver sets this
     # from the reportVolumeAbsorption namelist option.
     need_volume_absorption: bool = True
+    # The horizontally averaged absorption PROFILE is requested
+    # (reportAbsorptionProfile). The column/separable kernels tally it
+    # natively; the record kernel derives it from the volume rows, so
+    # the flux_abs_2d fast path (no volume rows) additionally requires
+    # this to be False.
+    need_absorption_profile: bool = False
 
     @property
     def photons_per_batch(self) -> int:

@@ -2600,8 +2600,9 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
 
     pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
                            config.max_steps, interpret)
-    if (not config.need_volume_absorption and not config.lw_mode
-            and pcfg.bf16):
+    if (not config.need_volume_absorption
+            and not config.need_absorption_profile
+            and not config.lw_mode and pcfg.bf16):
         # neither 3D absorption nor the profile is requested: tally
         # absorbed flux per COLUMN and skip the [nxyz] volume rows
         # (see PallasConfig.flux_abs_2d)

@@ -226,6 +226,68 @@ class TestLWEmission:
         assert 0.75 * dens.sum() < got.sum() <= 1.001 * dens.sum()
 
 
+class TestMultiSlice:
+    """Columns beyond 16384 live in higher SLICES of the factorized
+    gather (col = sl*16384 + hi*128 + lo) -- the flagship's whole point
+    (105,625 columns = 7 slices). 132x132 = 17,424 columns exercises
+    slice 1 for the amplitude gather, the emission alias, the tallies,
+    and the pre-credits, without an (unaffordable) XLA reference run:
+    correctness anchors are energy conservation and the ANALYTIC
+    emission column marginal."""
+
+    def test_two_slice_emission_and_conservation(self):
+        from mcbrat3d_tpu.core.planck import planck_radiance
+
+        dom, comps, temps = make_sep_scene(
+            nx=132, ny=132, nz=60, cloud_base_level=20,
+            cloud_top_level=35, cloud_beta_max=0.3, gas_beta0=0.006)
+        assert dom.sep_template
+        assert dom.sep_amp.shape == (132 * 132,)
+        kabs = absorption_coefficient(comps, dom.grid)
+        w = emission_weighting(dom.grid, temps, kabs, 288.0, 0.0, 10.0)
+        src = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                    dom.grid.shape)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = ps.run_batch_pallas_sep(
+            dom, Surface.lambertian(0.05), src, rng.batch_key(71, 1),
+            pcfg, 32, lw_mode=True)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == 8 * 128 * 32
+        assert int(nbad) == 0
+        # thin all-atmosphere LW conservation: emitted (1/photon) =
+        # fu + (1-albedo)*fd + absorbed_gross, and the NET column field
+        # gives absorbed_gross = n*(1 - sum(-ac)/n), so
+        # fu/n + 0.95*fd/n == sum(-ac)/n
+        got = -np.asarray(ac).reshape(-1) / n
+        lhs = (float(fu.sum()) + 0.95 * float(fd.sum())) / n
+        assert lhs == pytest.approx(got.sum(), abs=5e-3)
+
+        a = np.asarray(dom.sep_amp, np.float64)
+        p = np.asarray(dom.sep_pz, np.float64)
+        q = np.asarray(dom.sep_qz, np.float64)
+        tz = np.asarray(dom.sep_tz, np.float64)
+        ssa_c = float(np.asarray(dom.sep_scalars)[0])
+        b = planck_radiance(dom.lambda_um, np.maximum(tz, 1.0))
+        dens = (a * float((p * (1.0 - ssa_c) * b).sum())
+                + float((q * b).sum()))
+        dens /= dens.sum()
+        # ~2 photons/column is far too few for per-column (or even
+        # 128-column-group) correlations -- measured same-kernel
+        # cross-seed group correlation is only ~0.45 at this budget.
+        # The SLICE SHARE is the powered statistic: a slicing bug in the
+        # factorized gather/alias would mis-route slice-1 columns
+        # wholesale, while in-domain absorption scales both slices by
+        # the same escape factor (measured 0.938 on both).
+        s1_got = got[16384:].sum()
+        r_got = s1_got / got.sum()
+        r_dens = dens[16384:].sum()
+        sigma = np.sqrt(max(r_dens * n, 1.0)) / n
+        assert r_got == pytest.approx(r_dens, abs=5 * sigma + 0.005), (
+            f"slice-1 emission share {r_got} vs {r_dens}")
+
+
 def test_public_dispatch_use_pallas_on():
     """run_batch routes separable domains beyond the record envelope
     through the separable kernel when use_pallas='on'."""

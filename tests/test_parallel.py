@@ -23,6 +23,17 @@ pytestmark = pytest.mark.multichip
 CFG = KernelConfig(n_lanes=1 << 10, photons_per_lane=2, max_steps=4000)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """The XLA CPU backend has segfaulted compiling shard_map programs
+    late in the full suite (after ~240 tests' worth of live executables;
+    rc=139 inside backend_compile, not reproducible in isolation).
+    Dropping the jit caches before this module keeps the multi-device
+    compiles on a fresh compiler state."""
+    jax.clear_caches()
+    yield
+
+
 def test_eight_devices_available():
     assert len(jax.devices()) == 8
 

@@ -548,9 +548,15 @@ def main():
                                text=True)
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
+                    # the subprocess's emit() already appended the line
+                    # to BENCH_partial.json -- do NOT append again here
                     print(line, flush=True)
-                    _append_partial(line)
-                    if flag == "--step-cloud" and "error" not in line:
+                    # the headline is the ORIGINAL step-cloud metric
+                    # specifically (the same subprocess also emits the
+                    # faster flux-only variant -- taking the last line
+                    # would misreport the round's headline)
+                    if ('"metric": "step_cloud_photon_throughput"' in line
+                            and "error" not in line):
                         headline = line
             if r.returncode != 0:
                 _emit_raw({"metric": flag.lstrip("-"),

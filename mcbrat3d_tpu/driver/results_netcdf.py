@@ -18,7 +18,11 @@ def write_results_netcdf(path: str, results: Results, grid) -> None:
     cfg = results.config
     m, s = results.mean, results.stderr
     nx, ny = m["flux_up"].shape
-    nz = m["absorption_profile"].size
+    # the profile is absent when neither reportVolumeAbsorption nor
+    # reportAbsorptionProfile was requested (the record kernel's
+    # flux_abs_2d path tallies no volume rows at all)
+    nz = (m["absorption_profile"].size if "absorption_profile" in m
+          else grid.z_edges.size - 1)
 
     with netcdf_file(path, "w") as nc:
         nc.createDimension("x", nx)
@@ -42,10 +46,12 @@ def write_results_netcdf(path: str, results: Results, grid) -> None:
         put2("fluxDown", m["flux_down"], s["flux_down"])
         put2("fluxAbsorbed", m["flux_absorbed"], s["flux_absorbed"])
 
-        nc.createVariable("absorptionProfile", "f8", ("z",))[:] = (
-            m["absorption_profile"])
-        nc.createVariable("absorptionProfile_StdErr", "f8", ("z",))[:] = (
-            s["absorption_profile"])
+        if "absorption_profile" in m:
+            nc.createVariable("absorptionProfile", "f8", ("z",))[:] = (
+                m["absorption_profile"])
+            nc.createVariable(
+                "absorptionProfile_StdErr", "f8", ("z",))[:] = (
+                s["absorption_profile"])
         if "volume_absorption" in m:  # absent on the column-megakernel path
             nc.createVariable("absorbedVolume", "f8", ("z", "y", "x"))[:] = (
                 m["volume_absorption"].T)

@@ -588,9 +588,19 @@ def _run_batch_impl(domain: OpticalDomain,
             # and is clipped at the macro-box face (a null step; the local
             # majorant is only valid within its block).
             if use_macro:
-                tx = (jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w + x0 - x
-                ty = (jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w + y0 - y
-                tz = (jnp.floor((z - z0) / bz_w) + (uz >= 0)) * bz_w + z0 - z
+                # faces CLAMPED to the domain edge: with nx/ny/nz not
+                # divisible by macro_factor the last partial block's
+                # outer face is VIRTUAL (past the periodic seam); an
+                # unclamped jump would cross the x/y wrap into a block
+                # whose majorant can exceed the carried beta_loc
+                # (systematic under-attenuation along the seam)
+                lx_d, ly_d, lz_d = x_max - x0, y_max - y0, z_max - z0
+                tx = (jnp.clip((jnp.floor((x - x0) / bx_w)
+                                + (ux >= 0)) * bx_w, 0.0, lx_d) + x0 - x)
+                ty = (jnp.clip((jnp.floor((y - y0) / by_w)
+                                + (uy >= 0)) * by_w, 0.0, ly_d) + y0 - y)
+                tz = (jnp.clip((jnp.floor((z - z0) / bz_w)
+                                + (uz >= 0)) * bz_w, 0.0, lz_d) + z0 - z)
                 tx = jnp.where(jnp.abs(ux) > 1e-12,
                                tx / jnp.where(ux == 0, 1.0, ux), 3e38)
                 ty = jnp.where(jnp.abs(uy) > 1e-12,

@@ -361,10 +361,18 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                 bx_w = lx / nx * macro_factor
                 by_w = ly / ny * macro_factor
                 clip_nudge = 1e-5 * jnp.minimum(bx_w, by_w)
-                tx = ((jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w
-                      + x0 - x)
-                ty = ((jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w
-                      + y0 - y)
+                # faces CLAMPED to the domain edge: with nx/ny not
+                # divisible by macro_factor the last partial block's
+                # outer face is VIRTUAL (past the periodic seam); an
+                # unclamped jump would cross the wrap into a block whose
+                # scale can exceed the carried majorant (systematic
+                # under-attenuation along the seam)
+                fx = jnp.clip((jnp.floor((x - x0) / bx_w)
+                               + (ux >= 0)) * bx_w, 0.0, lx)
+                fy = jnp.clip((jnp.floor((y - y0) / by_w)
+                               + (uy >= 0)) * by_w, 0.0, ly)
+                tx = fx + x0 - x
+                ty = fy + y0 - y
                 tx = jnp.where(jnp.abs(ux) > 1e-12,
                                tx / jnp.where(ux == 0, 1.0, ux), _BIG)
                 ty = jnp.where(jnp.abs(uy) > 1e-12,

@@ -783,11 +783,20 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 bz_w = lz / nz * macro_factor
                 clip_nudge = 1e-5 * jnp.minimum(bx_w,
                                                 jnp.minimum(by_w, bz_w))
-                tx = ((jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w
+                # faces CLAMPED to the domain edge: with nx/ny/nz not
+                # divisible by macro_factor the last partial block's
+                # outer face is VIRTUAL (past the periodic seam); an
+                # unclamped jump would cross the x/y wrap into a block
+                # whose majorant can exceed the carried bl (systematic
+                # under-attenuation along the seam)
+                tx = (jnp.clip((jnp.floor((x - x0) / bx_w)
+                                + (ux >= 0)) * bx_w, 0.0, lx)
                       + x0 - x)
-                ty = ((jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w
+                ty = (jnp.clip((jnp.floor((y - y0) / by_w)
+                                + (uy >= 0)) * by_w, 0.0, ly)
                       + y0 - y)
-                tz = ((jnp.floor((z - z0) / bz_w) + (uz >= 0)) * bz_w
+                tz = (jnp.clip((jnp.floor((z - z0) / bz_w)
+                                + (uz >= 0)) * bz_w, 0.0, lz)
                       + z0 - z)
                 tx = jnp.where(jnp.abs(ux) > 1e-12,
                                tx / jnp.where(ux == 0, 1.0, ux), 3e38)

@@ -474,10 +474,20 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             safe_ux = jnp.where(ux == 0, 1.0, ux)
             safe_uy = jnp.where(uy == 0, 1.0, uy)
             safe_uzc = jnp.where(uz == 0, 1.0, uz)
-            tx = ((jnp.floor((x - x0) / bx_w) + (ux >= 0)) * bx_w
-                  + x0 - x)
-            ty = ((jnp.floor((y - y0) / by_w) + (uy >= 0)) * by_w
-                  + y0 - y)
+            # face positions CLAMPED to the domain edge: when nx/ny is
+            # not divisible by macro_f (the 325x325 flagship at f=8),
+            # the last partial block's outer face is VIRTUAL (past the
+            # periodic seam) -- an unclamped jump would cross the wrap
+            # into block 0 whose beta can exceed the carried bls,
+            # violating the majorant (systematic under-attenuation
+            # along the seam). Clipping at the edge lands the photon on
+            # the seam; the next step re-gathers the wrapped block.
+            fx = jnp.clip((jnp.floor((x - x0) / bx_w)
+                           + (ux >= 0)) * bx_w, 0.0, lx)
+            fy = jnp.clip((jnp.floor((y - y0) / by_w)
+                           + (uy >= 0)) * by_w, 0.0, ly)
+            tx = fx + x0 - x
+            ty = fy + y0 - y
             tx = jnp.where(in_slab & (jnp.abs(ux) > 1e-12),
                            tx / safe_ux, _BIG)
             ty = jnp.where(in_slab & (jnp.abs(uy) > 1e-12),

@@ -93,3 +93,30 @@ class TestDomainIO:
         assert comps2[0].z_level_base == 1
         np.testing.assert_allclose(comps2[0].extinction[0, 0],
                                    np.linspace(1, 2, 4), rtol=1e-12)
+
+
+class TestResultsNetcdfFluxOnly:
+    def test_write_without_absorption_profile(self, tmp_path):
+        """The record kernel's flux_abs_2d path yields tallies with
+        neither volume_absorption nor absorption_profile; the netCDF
+        writer must not require them (regression: KeyError at
+        results_netcdf.py nz lookup after a whole TPU run)."""
+        import numpy as np
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.driver.results_netcdf import write_results_netcdf
+        from mcbrat3d_tpu.driver.run import Results
+        from scipy.io import netcdf_file
+
+        nx, ny, nz = 4, 3, 5
+        grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+        f = {k: np.random.RandomState(0).rand(nx, ny)
+             for k in ("flux_up", "flux_down", "flux_absorbed")}
+        e = {k: v * 0.01 for k, v in f.items()}
+        res = Results(mean=f, stderr=e, total_photons=1000, n_batches=2,
+                      solar_flux=1.0, elapsed_seconds=1.0)
+        path = str(tmp_path / "fluxonly.nc")
+        write_results_netcdf(path, res, grid)
+        with netcdf_file(path, "r") as nc:
+            assert nc.variables["fluxUp"].shape == (ny, nx)
+            assert "absorptionProfile" not in nc.variables
+            assert nc.dimensions["z"] == nz

@@ -724,6 +724,72 @@ class TestSpotlightSource:
             assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
 
 
+class TestPeriodicSeamMajorant:
+    """Regression: with nx not divisible by macro_factor the last
+    partial block's outer face is VIRTUAL (past the periodic wrap); an
+    unclamped block-face clip let photons cross the seam into a
+    high-majorant block while sampling against the clear block's
+    ceiling -- traversing cloud WITHOUT collision tests (systematic
+    under-attenuation; pre-fix they effectively teleported
+    (block_face - nx) columns into the cloud). Ground truth is the same
+    kernel with macro_factor=0 (single global majorant, always valid).
+    The flagship 325x325 at macro_factor=8 hits exactly this (41 blocks,
+    last one 5 wide)."""
+
+    def _scene(self, macro_factor):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        nx, ny, nz = 20, 8, 8
+        ext = np.zeros((nx, ny, nz))
+        ext[0:8, :, :] = 0.08  # thick cloud in block 0 (tau/col = 4)
+        grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+        table = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 32)], key=[1.0])
+        comp = OpticalComponent("seam cloud", ext,
+                                np.full_like(ext, 0.5),
+                                np.zeros(ext.shape, np.int32), table)
+        return build_domain(grid, [comp], macro_factor=macro_factor,
+                            n_cdf_steps=101)
+
+    def test_seam_matches_global_majorant(self):
+        # beam tilted so photons over the clear strip drift +x across
+        # the wrap into the cloud
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.0)
+        res = {}
+        for mf in (0, 8):
+            dom = self._scene(mf)
+            cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                               max_steps=8000, use_pallas="on",
+                               tail_compaction=False)
+            t = run_batch(dom, sfc, src, rng.batch_key(11, mf), cfg)
+            res[mf] = (float(np.asarray(t.flux_down).sum())
+                       / int(t.n_photons))
+        n = 2048 * 8
+        sigma = np.sqrt(res[0] * (1 - res[0]) / n)
+        assert res[8] == pytest.approx(res[0], abs=5 * sigma), (
+            f"macro seam transmission bias: mf8 {res[8]} vs mf0 {res[0]}")
+
+    def test_seam_xla_matches_global_majorant(self):
+        src = illumination.directional(0.5, 0.0)
+        sfc = Surface.lambertian(0.0)
+        res = {}
+        for mf in (0, 8):
+            dom = self._scene(mf)
+            cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                               max_steps=8000, use_pallas="off")
+            t = run_batch(dom, sfc, src, rng.batch_key(11, mf), cfg)
+            res[mf] = (float(np.asarray(t.flux_down).sum())
+                       / int(t.n_photons))
+        n = 2048 * 8
+        sigma = np.sqrt(res[0] * (1 - res[0]) / n)
+        assert res[8] == pytest.approx(res[0], abs=5 * sigma), (
+            f"XLA macro seam bias: mf8 {res[8]} vs mf0 {res[0]}")
+
+
 class TestFluxAbs2D:
     """need_volume_absorption=False fast path: the record kernel tallies
     absorbed flux per COLUMN and skips the [nxyz] volume rows (the

@@ -558,7 +558,11 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                 # 2-comp acceptance: heights must VARY (uniform-height
                 # slab + gas is the separable kernel's territory, which
                 # also covers its LW emission) and the cloud must carry
-                # ONE ssa and ONE phase entry over occupied cells
+                # ONE ssa and ONE phase entry over occupied cells.
+                # NOTE: this mirrors _detect_separable's cloud/gas
+                # component analysis (uniform split, pure-absorber gas,
+                # ssa/phase uniformity, inv_row = offset + entry) --
+                # keep the two in sync when touching either.
                 occ_c = cand_ext > 0
                 if not occ_c.any() or int(h.max()) == int(
                         h[h > 0].min() if (h > 0).any() else 0):

@@ -751,21 +751,28 @@ def _run_batch_impl(domain: OpticalDomain,
             # Reflected photons restart at the surface with the (always
             # valid) global majorant; the next gather re-localizes it.
             beta_loc = jnp.where(exit_bot, beta_max, beta_loc)
+        if compute_intensity:
+            # incoming direction at the bounce (exit_bot lanes never
+            # scatter this step, so ux/uy/uz still hold it here)
+            in_dir_sfc = (ux, uy, uz)
         ux = jnp.where(reflected, sux, ux)
         uy = jnp.where(reflected, suy, uy)
         uz = jnp.where(reflected, suz, uz)
         w = jnp.where(reflected, w_refl, w)
 
         if compute_intensity:
-            # Surface-reflection contribution (component 0, normalized
-            # phase function 1/pi; reference:
+            # Surface-reflection contribution (component 0; Lambertian
+            # 1/pi, or the BRDF toward each detector direction for
+            # non-Lambertian surfaces -- see accumulate_local_estimate;
+            # reference:
             # Integrators/monteCarloRadiativeTransfer.f95:680-702,1688-1694)
             intensity, ibc, excess = accumulate_local_estimate(
                 intensity, domain, intensity_dirs, intensity_config,
                 mask=reflected, weight=w, x=x, y=y, z=z,
                 ux=ux, uy=uy, uz=uz, cell=col_e * nz, comp=None,
                 kind="surface", key=k(rng.INTENSITY_RR),
-                by_component=ibc, excess=excess)
+                by_component=ibc, excess=excess,
+                surface=surface, in_dir=in_dir_sfc, weight_pre=w_down)
 
         alive = alive & ~exit_top & ~died_weight & ~died_surface
 

@@ -111,7 +111,8 @@ def _phase_value(domain, cell, comp, cos_scat, orig: bool):
 def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
                               mask, weight, x, y, z, ux, uy, uz,
                               cell, comp, kind: str, key,
-                              by_component=None, excess=None, order=None):
+                              by_component=None, excess=None, order=None,
+                              surface=None, in_dir=None, weight_pre=None):
     """Add this event wave's contributions into the flat intensity buffer.
 
     ``intensity``: flat [n_dirs * nx * ny] f32 buffer.
@@ -120,6 +121,18 @@ def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
     [(ncomp+1) * n_dirs * nx * ny] buffer (slot 0 = surface/emission,
     matching the reference's component-0 attribution) and ``excess`` is
     [n_dirs, ncomp+1]; returns (intensity, by_component, excess).
+
+    Non-Lambertian surfaces: pass ``surface``, the INCOMING direction
+    ``in_dir`` = (ux, uy, uz) at the bounce, and the PRE-reflection
+    ``weight_pre``; the surface term then evaluates the BRDF toward
+    each detector direction, Rf(in -> d)/pi, instead of reusing the
+    weight sampled for the bounce direction (which would apply the BRDF
+    of the WRONG outgoing direction and miss the hotspot/anisotropy).
+    For a Lambertian surface both forms are identical
+    (w_down * albedo / pi). Fills the reference's open BRDF extension
+    point (reference: src/surfaceProperties.f95:119-147; its own local
+    estimate is Lambertian-only,
+    Integrators/monteCarloRadiativeTransfer.f95:1688-1694).
     """
     grid = domain.grid
     nx, ny, _ = grid.shape
@@ -140,8 +153,21 @@ def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
         dir_d = jax.lax.dynamic_slice(dirs, (0, d), (3, 1))[:, 0]
         mu_d = dir_d[2]
 
+        wgt = weight
         if kind == "surface":
-            npf = jnp.full_like(weight, 1.0 / np.pi)
+            if surface is not None and not surface.is_uniform_lambertian:
+                phi_out = jnp.arctan2(dir_d[1], dir_d[0])
+                phi_in = jnp.arctan2(in_dir[1], in_dir[0])
+                xe0, xe1 = grid.x_edges[0], grid.x_edges[-1]
+                ye0, ye1 = grid.y_edges[0], grid.y_edges[-1]
+                rf = surface.reflectance(
+                    (x - xe0) / (xe1 - xe0), (y - ye0) / (ye1 - ye0),
+                    in_dir[2], jnp.abs(mu_d), phi_in,
+                    jnp.broadcast_to(phi_out, x.shape))
+                npf = rf * np.float32(1.0 / np.pi)
+                wgt = weight_pre
+            else:
+                npf = jnp.full_like(weight, 1.0 / np.pi)
         elif kind == "emission":
             npf = 1.0 / (4.0 * np.pi * jnp.abs(mu_d)) * jnp.ones_like(weight)
         else:
@@ -166,7 +192,7 @@ def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
         if not icfg.use_russian_roulette:
             r = dda.trace(domain, x, y, z, dx, dy, dz, mask)
             ok = r["exit_top"] & (r["tau"] >= 0)
-            contrib = jnp.where(ok, weight * npf * jnp.exp(-r["tau"]), 0.0)
+            contrib = jnp.where(ok, wgt * npf * jnp.exp(-r["tau"]), 0.0)
             col = r["ix"] * ny + r["iy"]
         else:
             # Iwabuchi 2006 Eqs 13-14 (reference:
@@ -190,15 +216,15 @@ def accumulate_local_estimate(intensity, domain, dirs, icfg: IntensityConfig,
             escaped = r["exit_top"] & (r["tau"] >= 0)
 
             contrib_a = jnp.where(escaped & (u1 <= npf_pi / zeta),
-                                  weight * zeta / np.pi, 0.0)
+                                  wgt * zeta / np.pi, 0.0)
 
-            contrib_b_full = jnp.where(escaped, weight * npf * jnp.exp(-r["tau"]), 0.0)
+            contrib_b_full = jnp.where(escaped, wgt * npf * jnp.exp(-r["tau"]), 0.0)
             # Continuation for branch B lanes that hit tau_max inside the domain
             cont = mask & ~small & r["stopped"]
             r2 = dda.trace(domain, r["x"], r["y"], r["z"], dx, dy, dz, cont,
                            tau_stop=tau_free)
             contrib_b_rr = jnp.where(cont & r2["exit_top"],
-                                     weight * zeta / np.pi, 0.0)
+                                     wgt * zeta / np.pi, 0.0)
             contrib = jnp.where(small, contrib_a, contrib_b_full + contrib_b_rr)
             col = jnp.where(cont, r2["ix"] * ny + r2["iy"],
                             r["ix"] * ny + r["iy"])

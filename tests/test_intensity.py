@@ -160,6 +160,39 @@ class TestSurfaceRadiance:
         expect = albedo / np.pi
         np.testing.assert_allclose(rad, expect, rtol=0.05)
 
+    def test_rpv_surface_radiance_analytic(self):
+        """tau ~ 0, RPV surface: every photon reflects exactly once, so
+        the TOA radiance toward detector d is ANALYTIC,
+        I(d) = Rf(in -> d) / pi per unit incident on the horizontal --
+        with the BRDF evaluated toward the DETECTOR direction (the
+        anisotropy/hotspot the sampled-bounce weight cannot carry).
+        Reference extension point: src/surfaceProperties.f95:119-147."""
+        from mcbrat3d_tpu.physics.surface import rpv_reflectance
+
+        dom = make_slab(tau=1e-6, ssa=1.0, nx=2, ny=2, nz=2,
+                        n_cdf_steps=101, compute_intensity_tables=True)
+        # detectors in the forward and BACKSCATTER azimuths (dphi 0/180)
+        mus_d = [0.8, 0.8, 0.5]
+        phis_d = [0.0, 180.0, 90.0]
+        dirs = make_intensity_directions(mus_d, phis_d)
+        icfg = IntensityConfig(n_dirs=3, use_russian_roulette=False)
+        cfg = KernelConfig(n_lanes=1 << 13, photons_per_lane=8,
+                           max_steps=500)
+        mu0 = 0.7
+        params = np.asarray([0.25, 0.8, -0.15], np.float32)
+        sfc = Surface.rpv(*params)
+        t = run_intensity(dom, illumination.directional(mu0, 0.0), sfc,
+                          icfg, dirs, cfg)
+        rad = np.asarray(t.intensity).mean(axis=(0, 1))
+        # incoming propagation azimuth: solar_azimuth = 0 -> phi_in = 0
+        for i, (mu_d, phi_d) in enumerate(zip(mus_d, phis_d)):
+            rf = float(rpv_reflectance(params, -mu0, mu_d, 0.0,
+                                       np.deg2rad(phi_d)))
+            np.testing.assert_allclose(rad[i], rf / np.pi, rtol=0.05,
+                                       err_msg=f"dir {i}")
+        # the anisotropy must actually discriminate the azimuths
+        assert abs(rad[0] - rad[1]) > 0.1 * max(rad[0], rad[1])
+
 
 class TestIwabuchiRR:
     def test_rr_unbiased_vs_full(self):

@@ -519,9 +519,12 @@ def main():
                "vs_baseline": 0.0})
 
     here = os.path.abspath(__file__)
+    # flagship budget: 15.8M-cell domain build (~1 min) + ~1 GB table
+    # upload through the relay (minutes) + a fresh Mosaic compile of the
+    # separable kernel (2-5 min) precede the first measurement
     sweep = [("--step-cloud", 360), ("--multi", 300), ("--lw", 300),
              ("--tabulated", 300), ("--radar", 300), ("--landsat", 300),
-             ("--intensity", 420), ("--broadband", 420), ("--flagship", 420)]
+             ("--intensity", 420), ("--broadband", 480), ("--flagship", 900)]
     headline = None
     sweep_deadline = t_start + 35 * 60.0  # global sweep budget: 35 min
     if not wait_for_device(max_wait_s=240.0):

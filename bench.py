@@ -106,12 +106,14 @@ def bench_step_cloud():
     # (PallasConfig.flux_abs_2d) -- the largest single-lever step-cost
     # cut from the round-3 1e8 ceiling analysis
     config2 = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
-                           max_steps=800_000,
+                           max_steps=800_000, use_pallas="on",
                            need_volume_absorption=False)
 
     def once2(b):
         t = run_batch(domain, surface, source, rng.batch_key(0, b),
                       config2)
+        # dispatch assert: the flux-only layout really ran
+        assert t.volume_absorption is None
         return int(t.n_photons)
 
     emit("step_cloud_flux_only_throughput", measure(once2, 3))

@@ -497,9 +497,13 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             z_plane = jnp.where(
                 in_slab, jnp.where(uz >= 0, z_slab_t, z_slab_b),
                 jnp.where(below, z_slab_b, z_slab_t))
+            # select the FLOAT operand and compare once: a nested where
+            # over i1 vectors is an i8->i1 trunci Mosaic cannot lower on
+            # real TPU ("Unsupported target bitwidth for truncation";
+            # interpret mode accepts it, so only hardware catches this)
             plane_ok = jnp.where(
-                in_slab, jnp.abs(uz) > 1e-12,
-                jnp.where(below, uz > 1e-12, uz < -1e-12))
+                in_slab, jnp.abs(uz),
+                jnp.where(below, uz, -uz)) > 1e-12
             tz_p = jnp.where(plane_ok, (z_plane - z) / safe_uzc, _BIG)
             t_raw = jnp.minimum(jnp.minimum(tx, ty), tz_p)
             # a photon exactly ON an outward face takes one global-ceiling

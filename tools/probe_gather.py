@@ -1,16 +1,23 @@
-"""Probe Mosaic per-lane gather options for the radiance march.
+"""Probe Mosaic per-lane gather options for the record/radiance gathers.
 
-The in-kernel radiance estimator's cost is the per-crossing one-hot
-gather (PERF_NOTES round-3); a true per-lane gather primitive is the
-named next lever. Round-1 probes found take_along_axis(axis=1)
-emulated-slow (~100 us / 65k) and take_along_axis(axis=0) crashed the
-remote compiler; this script re-probes the options on the current
-toolchain, each in its own subprocess-friendly section with timing by
-host fetch.
+Round-4 finding: jax's Mosaic lowering DOES support lax.gather inside a
+TPU kernel -- tpu.dynamic_gather -- but ONLY as a same-shape 2D
+take_along_axis (indices.shape == operand.shape, axis 0 or 1; see
+jax/_src/pallas/mosaic/lowering.py _gather_lowering_rule). The round-1
+probes violated the shape contract (128-wide indices into a 1024-wide
+table) and concluded "emulated-slow / crashes"; these probes use the
+supported form and measure it against the production one-hot MXU
+gather.
 
-Run on the TPU host: python tools/probe_gather.py [onehot|taa1|taa0]
-Relay hazard: run EACH probe in a separate invocation with a >= 300 s
-timeout and health-check between (see .claude/skills/verify/SKILL.md).
+Probes (each its own invocation -- relay hazard; >= 300 s timeout and a
+health check between):
+  onehot  baseline: factorized one-hot MXU gather (production path)
+  lane    take_along_axis axis=1, idx/operand both [BLK,128] (lo gather)
+  sub     take_along_axis axis=0, idx/operand both [BLK,128] (hi gather)
+  row8    1024-entry table: 8 broadcast rows, 8 lane-gathers + hi-select
+  wide    [BLK,1024] operand, idx in 0..1023 (cross-vreg lane gather)
+
+Run on the TPU host (package pip-installed -e): python tools/probe_gather.py <which>
 """
 
 from __future__ import annotations
@@ -22,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 BLK = 16
 N_TAB = 1024  # 8 x 128 table (typical march-field block)
@@ -67,25 +73,51 @@ def probe_onehot():
     return kernel
 
 
-def probe_taa1():
-    """take_along_axis along the lane dim of a broadcast table row."""
+def probe_lane():
+    """Supported form: same-shape take_along_axis along the LANE dim.
+    out[i,j] = row_i[ lo[i,j] ] with operand/indices both [BLK,128]."""
+    def kernel(idx_ref, tab_ref, out_ref):
+        lo = jnp.bitwise_and(idx_ref[:], 127)
+        rows = jnp.broadcast_to(tab_ref[0:1, :], (BLK, 128))
+        out_ref[:] = jnp.take_along_axis(rows, lo, axis=1)
+    return kernel
+
+
+def probe_sub():
+    """Supported form: same-shape take_along_axis along the SUBLANE dim.
+    out[i,j] = tab[ hi[i,j], j ] with operand/indices both [BLK,128]."""
+    def kernel(idx_ref, tab_ref, out_ref):
+        hi = jnp.clip(jnp.right_shift(idx_ref[:], 7), 0, BLK - 1)
+        tab16 = jnp.concatenate([tab_ref[:], tab_ref[:]], axis=0)  # [16,128]
+        out_ref[:] = jnp.take_along_axis(tab16, hi, axis=0)
+    return kernel
+
+
+def probe_row8():
+    """Full 1024-entry gather: 8 broadcast rows, 8 lane-gathers, select
+    by hi. out[i,j] = tab[hi, lo]."""
+    def kernel(idx_ref, tab_ref, out_ref):
+        idx = idx_ref[:]
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jnp.right_shift(idx, 7)
+        acc = jnp.zeros((BLK, 128), jnp.float32)
+        for h in range(8):
+            rows = jnp.broadcast_to(tab_ref[h:h + 1, :], (BLK, 128))
+            v = jnp.take_along_axis(rows, lo, axis=1)
+            acc = jnp.where(hi == h, v, acc)
+        out_ref[:] = acc
+    return kernel
+
+
+def probe_wide():
+    """Cross-vreg lane gather: operand [BLK,1024], idx 0..1023. May be
+    unsupported/slow -- run LAST."""
     def kernel(idx_ref, tab_ref, out_ref):
         idx = idx_ref[:]
         flat = tab_ref[:].reshape(1, N_TAB)
         rows = jnp.broadcast_to(flat, (BLK, N_TAB))
-        out_ref[:] = jnp.take_along_axis(
-            rows, jnp.clip(idx, 0, N_TAB - 1), axis=1)[:, :128]
-    return kernel
-
-
-def probe_taa0():
-    """take_along_axis along the sublane dim (crashed the compiler in
-    round 1 -- re-check)."""
-    def kernel(idx_ref, tab_ref, out_ref):
-        idx = idx_ref[:]
-        sub = jnp.right_shift(idx, 7)  # [BLK, 128] rows into the table
-        out_ref[:] = jnp.take_along_axis(
-            tab_ref[:], jnp.clip(sub[:8], 0, 7), axis=0)[:BLK]
+        idx_w = jnp.pad(idx, ((0, 0), (0, N_TAB - 128)))
+        out_ref[:] = jnp.take_along_axis(rows, idx_w, axis=1)[:, :128]
     return kernel
 
 
@@ -94,8 +126,9 @@ def main():
     rs = np.random.RandomState(0)
     idx = jnp.asarray(rs.randint(0, N_TAB, (BLK, 128)), jnp.int32)
     tab = jnp.asarray(rs.rand(8, 128), jnp.float32)
-    kernel = {"onehot": probe_onehot, "taa1": probe_taa1,
-              "taa0": probe_taa0}[which]()
+    kernel = {"onehot": probe_onehot, "lane": probe_lane,
+              "sub": probe_sub, "row8": probe_row8,
+              "wide": probe_wide}[which]()
     interpret = "--interpret" in sys.argv
     if interpret:  # correctness smoke only; timing is meaningless
         global REPS

@@ -82,41 +82,46 @@ def measure(run_once, n_batches=3):
 
 def bench_step_cloud():
     """The headline: I3RC case-1 step cloud, single component, flux
-    megakernel (reference: Domain-Files/i3rcStepCloud.f95:26-39)."""
+    megakernel, at the REFERENCE-DEFAULT output set -- boundary fluxes +
+    absorbed flux, volume-absorption field off
+    (reportVolumeAbsorption defaults .false.,
+    reference: Drivers/monteCarloDriver.f95:84;
+    scene: Domain-Files/i3rcStepCloud.f95:26-39). macro_factor=16 and
+    photons_per_lane=1024 are tuning knobs (two-level-majorant block
+    size / batch amortization), not physics -- see EXPERIMENTS_1e8.md."""
     from mcbrat3d_tpu.core import rng
     from mcbrat3d_tpu.physics.surface import Surface
     from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
     from mcbrat3d_tpu.sources import illumination
     from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
 
-    domain = make_step_cloud(ssa=0.99, macro_factor=8)
+    domain = make_step_cloud(ssa=0.99, macro_factor=16)
     surface = Surface.lambertian(0.0)
     source = illumination.directional(0.5, 0.0)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
-                          max_steps=800_000)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=1024,
+                          max_steps=1_600_000, use_pallas="on",
+                          need_volume_absorption=False)
 
     def once(b):
         t = run_batch(domain, surface, source, rng.batch_key(0, b), config)
-        return int(t.n_photons)
-
-    emit("step_cloud_photon_throughput", measure(once, 5))
-
-    # flux-only variant (reportVolumeAbsorption/reportAbsProf both off):
-    # the per-column absorbed tally replaces the [nxyz] volume rows
-    # (PallasConfig.flux_abs_2d) -- the largest single-lever step-cost
-    # cut from the round-3 1e8 ceiling analysis
-    config2 = KernelConfig(n_lanes=1 << 16, photons_per_lane=512,
-                           max_steps=800_000, use_pallas="on",
-                           need_volume_absorption=False)
-
-    def once2(b):
-        t = run_batch(domain, surface, source, rng.batch_key(0, b),
-                      config2)
         # dispatch assert: the flux-only layout really ran
         assert t.volume_absorption is None
         return int(t.n_photons)
 
-    emit("step_cloud_flux_only_throughput", measure(once2, 3))
+    emit("step_cloud_photon_throughput", measure(once, 5))
+
+    # full 3D volume-absorption tally variant (reportVolumeAbsorption on)
+    config2 = KernelConfig(n_lanes=1 << 16, photons_per_lane=1024,
+                           max_steps=1_600_000, use_pallas="on",
+                           need_volume_absorption=True)
+
+    def once2(b):
+        t = run_batch(domain, surface, source, rng.batch_key(0, b),
+                      config2)
+        assert t.volume_absorption is not None
+        return int(t.n_photons)
+
+    emit("step_cloud_vol_tally_throughput", measure(once2, 3))
 
 
 def bench_multi_component():
@@ -308,6 +313,25 @@ def bench_intensity():
         return int(t.n_photons)
 
     emit("step_cloud_radiance_throughput_6dir", measure(once))
+
+    # 64-direction radiance grid (the reference's production radiance
+    # grids reach 648 directions, Drivers/monteCarloDriver.f95:61):
+    # 8 azimuths x 8 zeniths, grouped in-kernel marches + dyn cell-march
+    mus64 = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4] * 8
+    phis64 = [(i * 67.5) % 360.0 for i in range(64)]
+    dirs64 = make_intensity_directions(mus64, phis64)
+    icfg64 = IntensityConfig(n_dirs=64, use_russian_roulette=True,
+                             use_hybrid_phase=True, pallas_min_mu=0.4)
+    config64 = KernelConfig(n_lanes=1 << 16, photons_per_lane=2,
+                            max_steps=100_000)
+
+    def once64(b):
+        t = run_batch(domain, surface, source, rng.batch_key(1, b),
+                      config64, intensity_config=icfg64,
+                      intensity_dirs=dirs64)
+        return int(t.n_photons)
+
+    emit("step_cloud_radiance_throughput_64dir", measure(once64, 2))
 
 
 def bench_lw_flagship():
@@ -556,10 +580,10 @@ def main():
                     # the subprocess's emit() already appended the line
                     # to BENCH_partial.json -- do NOT append again here
                     print(line, flush=True)
-                    # the headline is the ORIGINAL step-cloud metric
-                    # specifically (the same subprocess also emits the
-                    # faster flux-only variant -- taking the last line
-                    # would misreport the round's headline)
+                    # the headline is the reference-default step-cloud
+                    # metric specifically (the same subprocess also
+                    # emits the volume-tally variant -- taking the last
+                    # line would misreport the round's headline)
                     if ('"metric": "step_cloud_photon_throughput"' in line
                             and "error" not in line):
                         headline = line

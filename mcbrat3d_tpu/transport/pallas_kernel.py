@@ -138,6 +138,21 @@ class PallasConfig:
     # (reportVolumeAbsorption/reportAbsProf both off ->
     # Drivers/monteCarloDriver.f95:1324 output skipped).
     flux_abs_2d: bool = False
+    # Dynamic-gather record fetch: per-lane take_along_axis rows
+    # (tpu.dynamic_gather) replace the one-hot MXU record gather for
+    # SMALL tables -- measured 4x cheaper at the step cloud's 8-row
+    # table (tools/probe_gather2.py, EXPERIMENTS_1e8.md round 4), and
+    # exact (the f32 rows are gathered directly, no bf16 split).
+    # Resolved automatically in run_batch_pallas (field count x table
+    # rows <= _DYN_GATHER_MAX_OPS); "nodyn" in debug_parts disables.
+    dyn_gather: bool = False
+    # Same primitive for the radiance CELL march's per-crossing beta
+    # fetch: the march table ships as exact f32 rows (no bf16 split)
+    # and each crossing does h_cells take_along_axis + select instead
+    # of the per-blk-row MXU dot. Auto-resolved alongside dyn_gather;
+    # the colct march keeps the one-hot (its 4-point interpolation
+    # needs the whole column block).
+    dyn_march: bool = False
     # Early-exit radiance march: lax.while_loop over crossings (stops when
     # every lane in the block finished) instead of a fixed k_dda fori.
     # Identical results; expected 2-4x on march cost (most marches finish
@@ -182,6 +197,24 @@ class PallasConfig:
     @property
     def n_lanes(self) -> int:
         return self.rows * 128
+
+
+# take_along_axis (tpu.dynamic_gather) budget for the record fetch:
+# gathered fields x table rows; beyond this the one-hot MXU gather wins
+# (measured crossover ~0.27 us/gather vs ~9 us one-hot at 512 state
+# rows, tools/probe_gather2.py)
+_DYN_GATHER_MAX_OPS = 32
+
+
+def _dyn_gather_fields(n_comp: int, uniform_ssa: bool, uniform_hg: bool,
+                       macro_factor: int) -> int:
+    """Record fields the gather extracts (mirrors _build_kernel's
+    gather_fields)."""
+    if n_comp == 1:
+        return (1 + (0 if uniform_ssa else 1) + (0 if uniform_hg else 1)
+                + (1 if macro_factor > 0 else 0))
+    return (1 + (1 if macro_factor > 0 else 0) + 4
+            + (2 if n_comp == 3 else 0))
 
 
 def dirs_mu_floor_ok(icfg, dirs) -> bool:
@@ -587,9 +620,16 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
         z_eps = lz * _TOP_EPS
 
         iota_lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, 128), 2)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (blk, 128, w_cols), 2)
-        iota_w_div = iota_w // rec_cols
-        iota_w_mod = iota_w % rec_cols
+        if pcfg.dyn_gather:
+            # the dynamic-gather path never contracts over the one-hot
+            # W axis; skip the [blk, 128, w_cols] iotas (Mosaic lowers
+            # every traced eqn -- dead iotas are not free)
+            iota_w_div = iota_w_mod = None
+        else:
+            iota_w = jax.lax.broadcasted_iota(
+                jnp.int32, (blk, 128, w_cols), 2)
+            iota_w_div = iota_w // rec_cols
+            iota_w_mod = iota_w % rec_cols
         lane0 = (jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 0)
                  * np.uint32(128)
                  + jax.lax.broadcasted_iota(jnp.uint32, (blk, 128), 1))
@@ -942,6 +982,38 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 ssa = jnp.full((blk, 128), 0.99)
                 g_hg = jnp.full((blk, 128), 0.85)
                 oh_lo = None
+            elif en("gather") and pcfg.dyn_gather:
+                # Dynamic-gather record fetch: per-lane same-shape
+                # take_along_axis (tpu.dynamic_gather) from the f32
+                # record rows -- one gather + select per (field, table
+                # row), no one-hot, no MXU, exact (no bf16 split).
+                # Engaged for field x row budgets <= _DYN_GATHER_MAX_OPS
+                # where the select chain beats the one-hot dot (measured
+                # 4x at the step cloud's 8-row table: EXPERIMENTS_1e8.md
+                # round 4, tools/probe_gather2.py).
+                lo_g = jnp.bitwise_and(cell, 127)
+                hi_g = jnp.right_shift(cell, 7)
+                g = {}
+                for r in gather_fields:
+                    v_g = jnp.zeros((blk, 128), jnp.float32)
+                    for h_g in range(h_cells):
+                        row_g = jnp.broadcast_to(
+                            b_hi_ref[h_g * rec_cols + r:
+                                     h_g * rec_cols + r + 1, :],
+                            (blk, 128))
+                        got = jnp.take_along_axis(row_g, lo_g, axis=1)
+                        v_g = jnp.where(hi_g == h_g, got, v_g)
+                    g[r] = v_g
+                oh_lo = None
+                if not pcfg.flux_abs_2d:
+                    # the fused tally still contracts a sublane one-hot
+                    # (a scatter cannot be a gather); flux_abs_2d builds
+                    # its own column-keyed one-hot in the tally section
+                    lo_s = jnp.bitwise_and(oh_idx, 127)
+                    iota_sub_d = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 128, 128), 1)
+                    ohs_sub = (lo_s[:, None, :] == iota_sub_d).astype(
+                        oh_dtype)
             elif en("gather") and "oldgather" not in part_set:
                 # Sublane-layout gather (production default). The photon
                 # index stays in the lane dim end-to-end: the one-hot is
@@ -1219,7 +1291,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 any_ct_m = any(m == "colct" for m in march_dirs)
                 iota_cell_m = (jax.lax.broadcasted_iota(
                     jnp.int32, (blk, hb_cell, 128), 1)
-                    if any_cell_m else None)
+                    if any_cell_m and not pcfg.dyn_march else None)
                 iota_ct_m = (jax.lax.broadcasted_iota(
                     jnp.int32, (blk, hm_ct, 128), 1)
                     if any_ct_m else None)
@@ -1265,7 +1337,21 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     # march needs only extinction, so the dot and the
                     # sublane extraction are ~REC_COLS*h/hb narrower than
                     # the full record gather
-                    t3m = gather_t3(jnp.bitwise_and(cellm, 127))
+                    lo_m = jnp.bitwise_and(cellm, 127)
+                    if pcfg.dyn_march:
+                        # per-lane dynamic gather of the exact f32 rows
+                        # (bm_lo slot) -- no one-hot, no MXU, no split
+                        hi_md = jnp.right_shift(cellm, 7)
+                        v_m = jnp.zeros((blk, 128), jnp.float32)
+                        for h_m in range(h_cells):
+                            row_m = jnp.broadcast_to(
+                                bm_lo_ref[h_m:h_m + 1, :], (blk, 128))
+                            v_m = jnp.where(
+                                hi_md == h_m,
+                                jnp.take_along_axis(row_m, lo_m, axis=1),
+                                v_m)
+                        return v_m
+                    t3m = gather_t3(lo_m)
                     hi_m = jnp.right_shift(cellm, 7)
                     s3m = t3m * (iota_cell_m ==
                                  hi_m[:, None, :]).astype(jnp.float32)
@@ -1998,9 +2084,40 @@ def run_batch_pallas(domain: OpticalDomain,
         pcfg = _dc2.replace(pcfg, block_rows=16)
     ncomp = domain.n_components
     rec_cols = REC_COLS if ncomp == 1 else 8
+    uniform_ssa = bool(ncomp == 1 and domain.uniform_ssa)
+    uniform_hg = bool(ncomp == 1 and (
+        domain.uniform_hg if analytic_hg
+        else domain.tables.inverse.shape[0] == 1))
+    # dynamic-gather resolution: engaged when the select-chain cost
+    # (gathered fields x table rows, ~0.27 us per take_along_axis at 512
+    # state rows) undercuts the one-hot MXU gather (~9 us/step). The
+    # perf-bisection parts (g0..g4/oldgather) read b_hi in the one-hot
+    # layout, so any of them forces the one-hot path.
+    _parts_rb = frozenset(pcfg.debug_parts.split(","))
+    n_gf = _dyn_gather_fields(ncomp, uniform_ssa, uniform_hg,
+                              int(domain.macro_factor))
+    use_dyn = (n_gf * h_cells <= _DYN_GATHER_MAX_OPS
+               and not (_parts_rb & {"nodyn", "g0", "g1", "g2", "g4",
+                                     "oldgather"}))
+    if pcfg.dyn_gather != use_dyn:
+        pcfg = dataclasses.replace(pcfg, dyn_gather=use_dyn)
+    if (use_dyn and pcfg.n_dirs == 0 and pcfg.block_rows < 128
+            and pcfg.rows % 128 == 0):
+        # without the gather one-hot, bigger blocks amortize the block
+        # loop: blk=128 measured 103.6 vs 96.4 M photons/s at blk=64 on
+        # the step-cloud headline (EXPERIMENTS_1e8.md round 4)
+        pcfg = dataclasses.replace(pcfg, block_rows=128)
+
     def _build_b():
         b_tab, w_cols = _pack_tables(domain, h_cells, rec_cols)
-        if pcfg.bf16:
+        if pcfg.dyn_gather:
+            # transposed f32 rows [w_pad, 128lo]: row h*rec_cols + r is
+            # record field r of cells [h*128, (h+1)*128) -- gathered
+            # per-lane, exact, no bf16 split
+            w_pad = -(-w_cols // 8) * 8
+            b_hi = jnp.pad(b_tab.T, ((0, w_pad - w_cols), (0, 0)))
+            b_lo = jnp.zeros((8, 128), jnp.float32)
+        elif pcfg.bf16:
             # bf16 hi/lo split of the record table (B = hi+lo to ~2^-17)
             b_hi = b_tab.astype(jnp.bfloat16)
             b_lo = (b_tab - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -2009,7 +2126,7 @@ def run_batch_pallas(domain: OpticalDomain,
         return b_tab, b_hi, b_lo, w_cols
 
     b_tab, b_hi, b_lo, w_cols = _obj_cache(
-        domain, ("btab", rec_cols, pcfg.bf16), _build_b)
+        domain, ("btab", rec_cols, pcfg.bf16, pcfg.dyn_gather), _build_b)
     n_dirs = pcfg.n_dirs
     # forward (radiance) phase-value table for tabulated/hybrid local
     # estimation; analytic HG needs none
@@ -2068,12 +2185,21 @@ def run_batch_pallas(domain: OpticalDomain,
     else:
         m_dirs = ()
         need_ct = need_cell = False
+    # dynamic-gather CELL march: exact f32 beta rows gathered per-lane
+    # per crossing (ships in the bm_lo slot); the colct block keeps the
+    # one-hot contraction (4-point interpolation over the column block)
+    use_dyn_march = (need_cell and h_cells <= _DYN_GATHER_MAX_OPS
+                     and not (_parts_rb & {"nodyn"}))
+    if pcfg.dyn_march != use_dyn_march:
+        pcfg = dataclasses.replace(pcfg, dyn_march=use_dyn_march)
 
     def _build_march():
         # Combined march table: colct 3-split block (rows [0, 3*hm_ct))
         # followed by the cell hi/lo block (rows
         # [3*hm_ct, 3*hm_ct + 2*hb_cell)); each in-kernel gather dots
         # only its own block, so unused rows cost VMEM, not MXU time.
+        # With dyn_march the cell block instead ships as exact f32 rows
+        # in a SEPARATE table (the bm_lo slot).
         parts = []
         hm_ct_b = hb_cell_b = 0
         if need_ct:
@@ -2098,17 +2224,25 @@ def run_batch_pallas(domain: OpticalDomain,
             s2 = r1.astype(jnp.bfloat16)
             s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
             parts += [s1, s2, s3]
+        cell_f32 = jnp.zeros((8, 128), jnp.float32)
         if need_cell:
             hb_cell_b = -(-h_cells // 8) * 8
-            # march beta table [hb, 128lo] (transposed, single field),
-            # hi/lo bf16 splits stacked for a single folded dot
+            # march beta table [hb, 128lo] (transposed, single field)
             bm_t = jnp.pad(b_tab[:, 0::rec_cols].T,
                            ((0, hb_cell_b - h_cells), (0, 0)))
-            mh_c = bm_t.astype(jnp.bfloat16)
-            parts += [mh_c,
-                      (bm_t - mh_c.astype(jnp.float32)).astype(
-                          jnp.bfloat16)]
-        return jnp.concatenate(parts, axis=0), hm_ct_b, hb_cell_b
+            if pcfg.dyn_march:
+                # exact f32 rows for the per-lane dynamic gather
+                cell_f32 = bm_t
+            else:
+                # hi/lo bf16 splits stacked for a single folded dot
+                mh_c = bm_t.astype(jnp.bfloat16)
+                parts += [mh_c,
+                          (bm_t - mh_c.astype(jnp.float32)).astype(
+                              jnp.bfloat16)]
+        if not parts:
+            parts = [jnp.zeros((8, 128), jnp.bfloat16)]
+        return (jnp.concatenate(parts, axis=0), cell_f32,
+                hm_ct_b, hb_cell_b)
 
     if n_dirs > 0:
         if not pcfg.bf16:
@@ -2119,9 +2253,11 @@ def run_batch_pallas(domain: OpticalDomain,
             # grouped fori path: the kernel marches directions in the
             # sorted order; the launch un-permutes the intensity output
             dirs_a = dirs_a[:, list(pcfg.dir_perm)]
-        bm_hi, hm_ct, hb_cell = _obj_cache(
-            domain, ("march", need_ct, need_cell, rec_cols), _build_march)
-        bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
+        bm_hi, bm_lo, hm_ct, hb_cell = _obj_cache(
+            domain, ("march", need_ct, need_cell, rec_cols,
+                     pcfg.dyn_march), _build_march)
+        if not pcfg.dyn_march:
+            bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
     else:
         dirs_a = jnp.zeros((3, 1), jnp.float32)
         bm_hi = bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
@@ -2149,10 +2285,8 @@ def run_batch_pallas(domain: OpticalDomain,
               if source.kind == illumination.SPOTLIGHT else 0.0)
 
     kb_kwargs = dict(
-        uniform_ssa=bool(ncomp == 1 and domain.uniform_ssa),
-        uniform_hg=bool(ncomp == 1 and (
-            domain.uniform_hg if analytic_hg
-            else domain.tables.inverse.shape[0] == 1)),
+        uniform_ssa=uniform_ssa,
+        uniform_hg=uniform_hg,
         macro_factor=int(domain.macro_factor),
         hti_pad=hti_pad, analytic_hg=analytic_hg,
         inv_hp=inv_hp, inv_n_steps=inv_n_steps,
@@ -2535,7 +2669,13 @@ def plan_march(grid, icfg, dirs):
     hm_rows = -(- (-(-nx_ * ny_ // 128)) * (nz_ + 1) // 8) * 8
     hb_rows = -(-(-(-nx_ * ny_ * nz_ // 128)) // 8) * 8
     w_ct = 1.4 + 0.04 * hm_rows
-    w_cell = 1.4 + 0.04 * hb_rows
+    # the cell march's beta fetch is a per-lane dynamic gather when the
+    # table fits the row-chain budget (4x cheaper than the one-hot dot,
+    # EXPERIMENTS_1e8.md round 4) -- mirror run_batch_pallas' resolver
+    h_cells_pm = -(-nx_ * ny_ * nz_ // 128)
+    w_cell = (1.4 + 0.01 * hb_rows
+              if h_cells_pm <= _DYN_GATHER_MAX_OPS
+              else 1.4 + 0.04 * hb_rows)
 
     def _pick(kc, kct):
         if march_req != "auto":

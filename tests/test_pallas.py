@@ -199,14 +199,17 @@ class TestPipelineVariants:
                                illumination.directional(0.5, 0.0),
                                key, var_cfg, 4)
         assert int(ref[3]) == int(var[3])  # same photons started
-        if "bf16" in variant:
-            # the f32 pipeline reads UNQUANTIZED record values, so a
-            # photon whose null-collision test lands within the bf16
-            # quantization band takes a DIFFERENT branch and its whole
-            # trajectory diverges (seed-dependent; a handful of photons
-            # per 4k batch). Totals must still agree to a few photon
-            # weights; per-pixel near-bitwise comparison only holds for
-            # variants sharing the bf16 tables (below).
+        if "bf16" in variant or "oldgather" in variant.get(
+                "debug_parts", ""):
+            # variants that change the RECORD QUANTIZATION (the f32
+            # pipeline, and the one-hot paths' bf16 hi/lo split vs the
+            # dynamic-gather default's exact f32 rows): a photon whose
+            # null-collision test lands within the quantization band
+            # takes a DIFFERENT branch and its whole trajectory
+            # diverges (seed-dependent; a handful of photons per 4k
+            # batch). Totals must still agree to a few photon weights;
+            # per-pixel near-bitwise comparison only holds for variants
+            # sharing the record tables (below).
             n = float(ref[3])
             for i, name in ((0, "flux_up"), (1, "flux_down")):
                 a = float(np.asarray(ref[i]).sum())
@@ -820,6 +823,62 @@ class TestFluxAbs2D:
         n = int(t2.n_photons)
         bal = (float(t2.flux_up.sum()) + 0.8 * float(t2.flux_down.sum())
                + float(t2.flux_absorbed.sum())) / n
+        assert bal == pytest.approx(1.0, abs=2e-3)
+
+
+class TestDynGather:
+    """Dynamic-gather record fetch (PallasConfig.dyn_gather): per-lane
+    take_along_axis rows replace the one-hot MXU gather for small
+    tables. Exact f32 records, same physics; A/B against the forced
+    one-hot path must agree statistically (the record quantization
+    differs -- bf16 split vs exact -- so trajectories may diverge)."""
+
+    def test_resolver_engages_on_step_cloud(self, step_cloud):
+        from mcbrat3d_tpu.transport.pallas_kernel import (
+            _DYN_GATHER_MAX_OPS, _dyn_gather_fields)
+        h_cells = -(-int(np.prod(step_cloud.grid.shape)) // 128)
+        nf = _dyn_gather_fields(1, bool(step_cloud.uniform_ssa),
+                                bool(step_cloud.uniform_hg),
+                                int(step_cloud.macro_factor))
+        assert h_cells == 8 and nf * h_cells <= _DYN_GATHER_MAX_OPS
+
+    def test_matches_onehot_gather(self, step_cloud):
+        base = dict(rows=16, block_rows=8, steps_per_call=32,
+                    max_steps=6000, interpret=True)
+        key = rng.batch_key(11, 0)
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        dyn = run_batch_pallas(step_cloud, sfc, src, key,
+                               PallasConfig(**base), 16)
+        oh = run_batch_pallas(step_cloud, sfc, src, key,
+                              PallasConfig(debug_parts="all,nodyn",
+                                           **base), 16)
+        n = float(dyn[3])
+        assert int(dyn[3]) == int(oh[3])
+        for i, name in ((0, "flux_up"), (1, "flux_down")):
+            a = float(np.asarray(dyn[i]).sum())
+            b = float(np.asarray(oh[i]).sum())
+            assert abs(a - b) <= max(4.0, 0.005 * n), f"{name}: {a} vs {b}"
+        # conservation on the dyn path itself
+        bal = (float(np.asarray(dyn[0]).sum())
+               + 0.8 * float(np.asarray(dyn[1]).sum())
+               + float(np.asarray(dyn[2]).sum())) / n
+        assert bal == pytest.approx(1.0, abs=5e-3)
+
+    def test_flux_abs_2d_dyn(self, step_cloud):
+        """The headline config: dyn gather + per-column absorbed tally
+        (no sublane one-hot built anywhere in the gather)."""
+        src = illumination.directional(0.5, 0.0)
+        cfg = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                           max_steps=6000, use_pallas="on",
+                           need_volume_absorption=False,
+                           tail_compaction=False)
+        t = run_batch(step_cloud, Surface.lambertian(0.0), src,
+                      rng.batch_key(3, 0), cfg)
+        assert t.volume_absorption is None
+        n = int(t.n_photons)
+        bal = (float(t.flux_up.sum()) + float(t.flux_down.sum())
+               + float(t.flux_absorbed.sum())) / n
         assert bal == pytest.approx(1.0, abs=2e-3)
 
 

@@ -54,23 +54,24 @@ def main():
     from mcbrat3d_tpu.scenes.step_cloud import make_step_cloud
     from mcbrat3d_tpu.transport.integrator import KernelConfig
 
-    ppl = 128 if quick else 512
+    ppl = 128 if quick else 1024
     rows = []
 
     def run(name, mf, **kw):
         domain = make_step_cloud(ssa=0.99, macro_factor=mf)
         cfg = KernelConfig(n_lanes=1 << 16, photons_per_lane=ppl,
-                           max_steps=800_000, use_pallas="on", **kw)
+                           max_steps=1_600_000, use_pallas="on", **kw)
         rate, _ = measure_config(domain, cfg)
         rows.append((name, rate))
         print(f"| {name} | {rate / 1e6:.1f} |", flush=True)
 
     print("| lever | Mphotons/s |", flush=True)
     print("|---|---|", flush=True)
-    run("baseline mf=8 (vol tally)", 8)
-    run("flux_abs_2d mf=8", 8, need_volume_absorption=False)
-    for mf in (4, 16, 32):
-        run(f"flux_abs_2d mf={mf}", mf, need_volume_absorption=False)
+    # round-4 final state (EXPERIMENTS_1e8.md): dyn gather auto-engages;
+    # headline config = reference-default outputs, mf=16
+    run("HEADLINE dyn mf=16 flux2d", 16, need_volume_absorption=False)
+    run("dyn mf=16 (vol tally)", 16)
+    run("dyn mf=8 flux2d", 8, need_volume_absorption=False)
     best = max(rows, key=lambda r: r[1])
     print(f"\nbest: {best[0]} at {best[1] / 1e6:.1f} M photons/s "
           f"(target 100.0)", flush=True)

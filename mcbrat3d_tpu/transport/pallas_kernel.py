@@ -522,7 +522,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   use_fwd_table: bool = False, fwd_hf: int = 8,
                   fwd_n_s: int = 0, fwd_row_zero: bool = True,
                   hm_ct: int = 0, hb_cell: int = 0, nzp: int = 0,
-                  brdf: str = "lambertian"):
+                  brdf: str = "lambertian", cs_rows: int = 0):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -1287,7 +1287,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 nudge = 1e-6 * jnp.minimum(dzc_, jnp.minimum(dxc_, dyc_))
                 iota_sub_m = jax.lax.broadcasted_iota(
                     jnp.int32, (blk, 128, 128), 1)
-                any_cell_m = any(m != "colct" for m in march_dirs)
+                any_cell_m = any(m not in ("colct", "colscan")
+                                 for m in march_dirs)
                 any_ct_m = any(m == "colct" for m in march_dirs)
                 iota_cell_m = (jax.lax.broadcasted_iota(
                     jnp.int32, (blk, hb_cell, 128), 1)
@@ -1344,8 +1345,11 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         hi_md = jnp.right_shift(cellm, 7)
                         v_m = jnp.zeros((blk, 128), jnp.float32)
                         for h_m in range(h_cells):
+                            # cell f32 rows sit AFTER the colscan block
                             row_m = jnp.broadcast_to(
-                                bm_lo_ref[h_m:h_m + 1, :], (blk, 128))
+                                bm_lo_ref[cs_rows + h_m:
+                                          cs_rows + h_m + 1, :],
+                                (blk, 128))
                             v_m = jnp.where(
                                 hi_md == h_m,
                                 jnp.take_along_axis(row_m, lo_m, axis=1),
@@ -1601,28 +1605,111 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                                 pz + ddz * th, tau,
                                 act.astype(jnp.int32), ex_col)
 
-                    march_body = (m_body_ct if mode_this == "colct"
-                                  else m_body)
-                    z32 = jnp.zeros((blk, 128), jnp.float32)
-                    i32z = jnp.zeros((blk, 128), jnp.int32)
-                    carry_m = (sx, sy, sz, z32,
-                               ev.astype(jnp.int32), i32z)
-                    if pcfg.march_while:
-                        # early-exit variant: stop as soon as every lane
-                        # in the block exited (capped at k_this crossings)
-                        def w_cond(c):
-                            return (jnp.sum(c[1][4]) > 0) & (c[0] < k_this)
+                    if mode_this == "colscan":
+                        # Closed-form COLUMN-SCAN march (ny == 1 domains):
+                        # instead of DDA-stepping the ray (per-crossing
+                        # per-LANE column gathers), loop over the domain's
+                        # nx columns x W wraps with the column as the
+                        # UNIFORM loop index -- the column's cumulative-
+                        # optical-depth z-profile is then a dynamic 2-ROW
+                        # VMEM read (no one-hot, no MXU), and the ray's
+                        # crossing interval of that column is closed-form
+                        # in the continuous column coordinate (the path to
+                        # TOA is pure geometry: position + direction fix
+                        # every crossing). Probe-measured 0.06 us/iter at
+                        # 2048 lanes vs ~1.4 us/crossing for the one-hot
+                        # colct iteration (tools/probe_tally.py, round 4).
+                        # Same estimator as colct: within a column the
+                        # slant-path optical depth is exact from CT
+                        # (piecewise linear in z), tau += (CT(z_in) -
+                        # CT(z_out)) / ddz.  (reference march:
+                        # Integrators/monteCarloRadiativeTransfer.f95:
+                        # 1623-1752; this is a TPU-native reformulation,
+                        # not a translation.)
+                        nxf_cs = np.float32(nx)
+                        nzf_cs = np.float32(nz)
+                        dsgn = jnp.where(ddx >= 0.0, 1.0, -1.0)
+                        s0 = jnp.mod((sx - x0) * inv_dx, nxf_cs)
+                        sig0 = dsgn * s0
+                        slope = (dxc_ * ddz
+                                 / jnp.maximum(jnp.abs(ddx), 1e-12))
+                        z32 = jnp.zeros((blk, 128), jnp.float32)
 
-                        def w_body(c):
-                            return (c[0] + 1, march_body(c[0], c[1]))
+                        def ct_cs(z, row_k, row_k1):
+                            u = jnp.clip((z - z0) * inv_dz, 0.0, nzf_cs)
+                            kz = jnp.minimum(u.astype(jnp.int32), nz - 1)
+                            f = u - kz.astype(jnp.float32)
+                            return (jnp.take_along_axis(row_k, kz, axis=1)
+                                    * (1.0 - f)
+                                    + jnp.take_along_axis(row_k1, kz,
+                                                          axis=1) * f)
 
-                        _, carry_m = jax.lax.while_loop(
-                            w_cond, w_body, (jnp.int32(0), carry_m))
+                        def m_body_cs(it, tau, ddz=ddz):
+                            cc = jax.lax.rem(it, nx)
+                            wf = (it // nx).astype(jnp.float32)
+                            # physical column cc <-> sigma-residue a:
+                            # ddx >= 0: a = cc; ddx < 0: a = nx - 1 - cc
+                            af = jnp.where(dsgn > 0.0,
+                                           cc.astype(jnp.float32),
+                                           np.float32(nx - 1)
+                                           - cc.astype(jnp.float32))
+                            rows2 = bm_lo_ref[pl.ds(2 * cc, 2)]
+                            row_k = jnp.broadcast_to(rows2[0:1, :],
+                                                     (blk, 128))
+                            row_k1 = jnp.broadcast_to(rows2[1:2, :],
+                                                      (blk, 128))
+                            # first unwrapped sigma-cell j == a (mod nx)
+                            # with j + 1 > sig0 (floor+1, NOT ceil: an
+                            # exactly-integer sig0 - 1 - a must still
+                            # advance), then wraps w = 1..W-1 shift by nx
+                            q = jnp.floor((sig0 - 1.0 - af)
+                                          * np.float32(1.0 / nx)) + 1.0
+                            j = af + nxf_cs * (q + wf)
+                            z_i = jnp.minimum(
+                                sz + jnp.maximum(j - sig0, 0.0) * slope,
+                                z_max)
+                            z_o = jnp.minimum(
+                                sz + (j + 1.0 - sig0) * slope, z_max)
+                            seg = jnp.maximum(
+                                ct_cs(z_i, row_k, row_k1)
+                                - ct_cs(z_o, row_k, row_k1), 0.0)
+                            return tau + seg / ddz
+
+                        tau_f = jax.lax.fori_loop(0, k_this, m_body_cs,
+                                                  z32)
+                        # every scan completes (no iteration truncation);
+                        # the TOA exit column is closed-form
+                        act_f = jnp.zeros((blk, 128), jnp.bool_)
+                        x_exit = sx + ddx * (z_max - sz) / ddz
+                        exf = jnp.mod((x_exit - x0) * inv_dx
+                                      + jnp.sign(ddx) * np.float32(1e-4),
+                                      nxf_cs)
+                        ex_col = jnp.clip(exf.astype(jnp.int32),
+                                          0, nx - 1) * ny
                     else:
-                        carry_m = jax.lax.fori_loop(0, k_this, march_body,
-                                                    carry_m)
-                    _, _, _, tau_f, act_fi, ex_col = carry_m
-                    act_f = act_fi > 0
+                        march_body = (m_body_ct if mode_this == "colct"
+                                      else m_body)
+                        z32 = jnp.zeros((blk, 128), jnp.float32)
+                        i32z = jnp.zeros((blk, 128), jnp.int32)
+                        carry_m = (sx, sy, sz, z32,
+                                   ev.astype(jnp.int32), i32z)
+                        if pcfg.march_while:
+                            # early-exit variant: stop as soon as every
+                            # lane in the block exited (capped at k_this)
+                            def w_cond(c):
+                                return ((jnp.sum(c[1][4]) > 0)
+                                        & (c[0] < k_this))
+
+                            def w_body(c):
+                                return (c[0] + 1, march_body(c[0], c[1]))
+
+                            _, carry_m = jax.lax.while_loop(
+                                w_cond, w_body, (jnp.int32(0), carry_m))
+                        else:
+                            carry_m = jax.lax.fori_loop(
+                                0, k_this, march_body, carry_m)
+                        _, _, _, tau_f, act_fi, ex_col = carry_m
+                        act_f = act_fi > 0
                     # lanes still marching after k_dda never exited: their
                     # contribution is dropped. Eligibility (dirs_mu_floor_ok)
                     # sizes k_dda so this set is empty; count any
@@ -1658,6 +1745,12 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         # perf-bisection: skip the per-direction tally
                         # contraction (statistics wrong; timing only)
                         return
+                    if "letallysum" in part_set:
+                        # perf-bisection: no one-hot, no dot, static store
+                        # (statistics wrong; isolates the reduction floor)
+                        acci_ref[pl.ds(0, hti_pad)] = (
+                            acci_ref[pl.ds(0, hti_pad)] + jnp.sum(contrib))
+                        return
                     # K-merged factorized scatter (same structure as the
                     # flux tally): ONE [hti_pad, blk*128] x [blk*128, 128]
                     # dot pair for the whole block. The round-2 form
@@ -1674,6 +1767,15 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         jnp.int32, (blk, 128, 128), 2)
                     ohs_e = (lo_e[:, :, None] == iota_lane_e).astype(
                         jnp.bfloat16)
+                    if "lestatictally" in part_set:
+                        # perf-bisection: full one-hot + contraction but a
+                        # STATIC accumulator row (isolates the dynamic
+                        # pl.ds read-modify-write; statistics wrong)
+                        iout = _tally_contract(ohs_e, hi_e, contrib, None,
+                                               True, ht=hti_pad)
+                        acci_ref[pl.ds(0, hti_pad)] = (
+                            acci_ref[pl.ds(0, hti_pad)] + iout)
+                        return
                     if pcfg.intensity_limit:
                         # cap the contribution; bank the clipped excess
                         # per (direction, component slot) and the image
@@ -2181,10 +2283,11 @@ def run_batch_pallas(domain: OpticalDomain,
         m_dirs = (pcfg.march_dirs if len(pcfg.march_dirs) == n_dirs
                   else (pcfg.march_mode,) * n_dirs)
         need_ct = any(m == "colct" for m in m_dirs)
-        need_cell = any(m != "colct" for m in m_dirs)
+        need_cell = any(m not in ("colct", "colscan") for m in m_dirs)
+        need_cs = any(m == "colscan" for m in m_dirs)
     else:
         m_dirs = ()
-        need_ct = need_cell = False
+        need_ct = need_cell = need_cs = False
     # dynamic-gather CELL march: exact f32 beta rows gathered per-lane
     # per crossing (ships in the bm_lo slot); the colct block keeps the
     # one-hot contraction (4-point interpolation over the column block)
@@ -2224,7 +2327,27 @@ def run_batch_pallas(domain: OpticalDomain,
             s2 = r1.astype(jnp.bfloat16)
             s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
             parts += [s1, s2, s3]
-        cell_f32 = jnp.zeros((8, 128), jnp.float32)
+        lo_parts = []
+        cs_rows_b = 0
+        if need_cs:
+            # colscan z-profile table [2*nx rows, 128 lanes]: row 2c =
+            # CT(col c, level 0..nz) and row 2c+1 the SHIFTED profile
+            # CT(col c, level 1..nz), so the in-kernel linear interp is
+            # two take_alongs of one dynamically-read row pair. ny == 1
+            # by eligibility (nxy == nx); exact f32 (no bf16 split).
+            dz_v = (grid.z_edges[-1] - grid.z_edges[0]) / nz
+            b2c = domain.cell_records[:, 0].reshape(nxy, nz)
+            ct_c = jnp.concatenate(
+                [jnp.cumsum(b2c[:, ::-1], axis=1)[:, ::-1]
+                 * jnp.asarray(dz_v, jnp.float32),
+                 jnp.zeros((nxy, 1), jnp.float32)], axis=1)
+            r0_c = jnp.pad(ct_c, ((0, 0), (0, 128 - nzp)))
+            r1_c = jnp.pad(ct_c[:, 1:], ((0, 0), (0, 128 - nzp + 1)))
+            cs_tab = jnp.stack([r0_c, r1_c], axis=1).reshape(
+                2 * nxy, 128)
+            cs_rows_b = -(-2 * nxy // 8) * 8
+            lo_parts.append(jnp.pad(
+                cs_tab, ((0, cs_rows_b - 2 * nxy), (0, 0))))
         if need_cell:
             hb_cell_b = -(-h_cells // 8) * 8
             # march beta table [hb, 128lo] (transposed, single field)
@@ -2232,7 +2355,7 @@ def run_batch_pallas(domain: OpticalDomain,
                            ((0, hb_cell_b - h_cells), (0, 0)))
             if pcfg.dyn_march:
                 # exact f32 rows for the per-lane dynamic gather
-                cell_f32 = bm_t
+                lo_parts.append(bm_t)
             else:
                 # hi/lo bf16 splits stacked for a single folded dot
                 mh_c = bm_t.astype(jnp.bfloat16)
@@ -2241,8 +2364,10 @@ def run_batch_pallas(domain: OpticalDomain,
                               jnp.bfloat16)]
         if not parts:
             parts = [jnp.zeros((8, 128), jnp.bfloat16)]
+        cell_f32 = (jnp.concatenate(lo_parts, axis=0) if lo_parts
+                    else jnp.zeros((8, 128), jnp.float32))
         return (jnp.concatenate(parts, axis=0), cell_f32,
-                hm_ct_b, hb_cell_b)
+                hm_ct_b, hb_cell_b, cs_rows_b)
 
     if n_dirs > 0:
         if not pcfg.bf16:
@@ -2253,15 +2378,15 @@ def run_batch_pallas(domain: OpticalDomain,
             # grouped fori path: the kernel marches directions in the
             # sorted order; the launch un-permutes the intensity output
             dirs_a = dirs_a[:, list(pcfg.dir_perm)]
-        bm_hi, bm_lo, hm_ct, hb_cell = _obj_cache(
-            domain, ("march", need_ct, need_cell, rec_cols,
+        bm_hi, bm_lo, hm_ct, hb_cell, cs_rows = _obj_cache(
+            domain, ("march", need_ct, need_cell, need_cs, rec_cols,
                      pcfg.dyn_march), _build_march)
-        if not pcfg.dyn_march:
+        if not pcfg.dyn_march and not need_cs:
             bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
     else:
         dirs_a = jnp.zeros((3, 1), jnp.float32)
         bm_hi = bm_lo = jnp.zeros((8, 128), jnp.bfloat16)
-        hm_ct = hb_cell = 0
+        hm_ct = hb_cell = cs_rows = 0
 
     # The quota-rebalance sums quotas in int32: the total must stay below
     # 2^31 or the sum wraps and zeroes every quota mid-run.
@@ -2294,7 +2419,7 @@ def run_batch_pallas(domain: OpticalDomain,
         lw=lw, ha=ha, use_irr=pcfg.intensity_rr,
         use_fwd_table=use_fwd_table, fwd_hf=fwd_hf,
         fwd_n_s=fwd_n_s, fwd_row_zero=fwd_row_zero,
-        hm_ct=hm_ct, hb_cell=hb_cell, nzp=nzp,
+        hm_ct=hm_ct, hb_cell=hb_cell, nzp=nzp, cs_rows=cs_rows,
         brdf="rpv" if surface.is_uniform_rpv else "lambertian")
     # One jitted launch per static configuration: the kernel is a fresh
     # closure every _build_kernel call, so an uncached launch re-traces
@@ -2628,17 +2753,46 @@ def colct_iteration_bound(grid, min_mu: float) -> int:
         return 2 * int(np.ceil(nz * sin_max / mu)) + 6
 
 
+def _grid_march_scalars(grid) -> tuple:
+    """(lz, dxc, dyc) as PYTHON floats, fetched from the grid's edge
+    arrays ONCE and memoized on the grid object.
+
+    The edges live on the DEVICE; through the axon relay every scalar
+    index-and-float costs a ~20 ms round trip. plan_march evaluates the
+    bound for every (direction, formulation) pair -- at 64 directions the
+    unmemoized fetches cost ~20 s of pure host dispatch PER BATCH (the
+    round-4 radiance throughput collapse: 6.3k vs 164k photons/s with
+    identical compiled code)."""
+    memo = getattr(grid, "_march_scalar_memo", None)
+    if memo is not None:
+        return memo
+    nx, ny, nz = grid.shape
+    xe = np.asarray(grid.x_edges, np.float64)
+    ye = np.asarray(grid.y_edges, np.float64)
+    ze = np.asarray(grid.z_edges, np.float64)
+    memo = (float(ze[-1] - ze[0]), float(xe[-1] - xe[0]) / nx,
+            float(ye[-1] - ye[0]) / ny)
+    try:
+        object.__setattr__(grid, "_march_scalar_memo", memo)
+    except (AttributeError, TypeError):
+        pass
+    return memo
+
+
 def march_bound_for_dir(grid, ux, uy, uz, mode: str) -> int:
     """Exact static march bound for ONE concrete direction: crossings it
     can actually make, per axis, skipping singleton axes (whose wrap
     re-enters the same column)."""
     nx, ny, nz = grid.shape
     uzf = max(float(uz), 1e-3)
-    lz = float(grid.z_edges[-1] - grid.z_edges[0])
-    dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
-    dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+    lz, dxc, dyc = _grid_march_scalars(grid)
     cx = int(np.ceil(lz * abs(float(ux)) / uzf / dxc)) + 1
     cy = int(np.ceil(lz * abs(float(uy)) / uzf / dyc)) + 1
+    if mode == "colscan":
+        # closed-form column scan (ny == 1 by eligibility): nx columns
+        # x W wraps, W = wraps of the unwrapped column span (U + 1 cells)
+        u_cols = lz * abs(float(ux)) / uzf / dxc
+        return nx * (int((u_cols + 1.0) // nx) + 1)
     if mode == "colct":
         # singleton axes are skipped by the colct march (the wrap
         # re-enters the same column); the cell march still crosses them
@@ -2677,25 +2831,43 @@ def plan_march(grid, icfg, dirs):
               if h_cells_pm <= _DYN_GATHER_MAX_OPS
               else 1.4 + 0.04 * hb_rows)
 
-    def _pick(kc, kct):
+    # closed-form column scan: ny == 1 only (the crossing sequence along
+    # x is closed-form in the continuous column coordinate), z-profile
+    # rows need nz+1 <= 128 lanes and 2*nx VMEM rows. Its iteration is a
+    # dynamic row read + take_alongs, probe-measured ~25x cheaper than a
+    # colct one-hot crossing (tools/probe_tally.py round 4), but it has
+    # no early exit and always runs nx*W iterations.
+    cs_ok = (ny_ == 1 and nz_ + 1 <= 128 and nx_ <= 512)
+    w_cs = 0.12
+    _KIDX = {"cell": 0, "colct": 1, "colscan": 2}
+    _W = {"cell": w_cell, "colct": w_ct, "colscan": w_cs}
+
+    def _cost(m, kb3):
+        return kb3[_KIDX[m]] * _W[m]
+
+    def _pick(kb3):
         if march_req != "auto":
+            if march_req == "colscan" and not cs_ok:
+                return "cell"
             return march_req
-        return "colct" if kct * w_ct < kc * w_cell else "cell"
+        cands = ("cell", "colct") + (("colscan",) if cs_ok else ())
+        return min(cands, key=lambda m: _cost(m, kb3))
 
     try:
         d_np = np.asarray(dirs)
         kb = [(march_bound_for_dir(grid, d_np[0, i], d_np[1, i],
                                    d_np[2, i], "cell"),
                march_bound_for_dir(grid, d_np[0, i], d_np[1, i],
-                                   d_np[2, i], "colct"))
+                                   d_np[2, i], "colct"),
+               march_bound_for_dir(grid, d_np[0, i], d_np[1, i],
+                                   d_np[2, i], "colscan") if cs_ok else 0)
               for i in range(icfg.n_dirs)]
     except (TypeError, jax.errors.ConcretizationTypeError,
             jax.errors.TracerArrayConversionError):
         return None
     if icfg.n_dirs <= 6:
-        m_list = tuple(_pick(kc, kct) for kc, kct in kb)
-        k_list = tuple((kct if m == "colct" else kc)
-                       for (kc, kct), m in zip(kb, m_list))
+        m_list = tuple(_pick(kb3) for kb3 in kb)
+        k_list = tuple(kb3[_KIDX[m]] for kb3, m in zip(kb, m_list))
         return m_list, k_list, max(k_list), (), ()
     # fori path (> 6 directions): the march bound and formulation must be
     # STATIC inside each fori, so a single loop would pay the worst
@@ -2703,14 +2875,12 @@ def plan_march(grid, icfg, dirs):
     # modeled cost, split into <= 4 contiguous GROUPS, and give each
     # group its own (formulation, bound) fori. The launcher permutes the
     # direction array and un-permutes the intensity output.
-    m_all = tuple(_pick(kc, kct) for kc, kct in kb)
-    cost = [(kct * w_ct if m == "colct" else kc * w_cell)
-            for (kc, kct), m in zip(kb, m_all)]
+    m_all = tuple(_pick(kb3) for kb3 in kb)
+    cost = [_cost(m, kb3) for kb3, m in zip(kb, m_all)]
     perm = tuple(sorted(range(icfg.n_dirs),
                         key=lambda i: (m_all[i], cost[i])))
     m_sorted = [m_all[i] for i in perm]
-    k_sorted = [(kb[i][1] if m_all[i] == "colct" else kb[i][0])
-                for i in perm]
+    k_sorted = [kb[i][_KIDX[m_all[i]]] for i in perm]
     groups = []
     start = 0
     n_groups = 4
@@ -2721,8 +2891,10 @@ def plan_march(grid, icfg, dirs):
     jumps = sorted((k_sorted[i] - k_sorted[i - 1], i)
                    for i in range(1, icfg.n_dirs)
                    if i not in splits)
-    for _, i in reversed(jumps):
-        if len(splits) >= n_groups - 1:
+    for jmp, i in reversed(jumps):
+        # a zero jump splits identical bounds: no iteration savings,
+        # one more fori's fixed cost
+        if len(splits) >= n_groups - 1 or jmp <= 0:
             break
         splits.append(i)
     for end in sorted(splits) + [icfg.n_dirs]:
@@ -2757,9 +2929,19 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
         # (see PallasConfig.flux_abs_2d)
         pcfg = dataclasses.replace(pcfg, flux_abs_2d=True)
     if intensity_config is not None:
-        # small march blocks: the per-crossing gather unrolls block_rows
-        # MXU dots inside each direction's fori body, and the remote
-        # Mosaic compiler scales badly with program size
+        # Radiance launch geometry: LE cost is per BLOCK-STEP (every live
+        # block marches all directions every step), so lane OCCUPANCY
+        # dominates -- a wide wave with tiny per-lane quota idles
+        # thousands of lanes behind the last straggler photon while the
+        # per-direction marches keep running. Trading wave width for
+        # per-lane quota at equal batch size (rows 512 -> 32, ppl 2 -> 64)
+        # measured 35.7k -> 115.4k photons/s at 64 directions and
+        # 440k -> 922k at 6 (tools/exp_radiance.py, round 4).
+        total_ph = config.n_lanes * config.photons_per_lane
+        rows_i = min(pcfg.rows, 32)
+        ppl = -(-total_ph // (rows_i * 128))
+        pcfg = dataclasses.replace(pcfg, rows=rows_i,
+                                   block_rows=min(rows_i, 32))
         icfg = intensity_config
         phase = ("hybrid" if icfg.use_hybrid_phase
                  else ("analytic" if domain.all_hg else "orig"))
@@ -2780,7 +2962,7 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
             groups = perm = ()
         pcfg = _dc.replace(
             pcfg, n_dirs=icfg.n_dirs,
-            block_rows=min(pcfg.block_rows, 16),
+            block_rows=min(pcfg.block_rows, 32),
             k_dda=k_max, k_dda_dirs=k_list,
             march_mode=m_list[0], march_dirs=m_list,
             dir_groups=groups, dir_perm=perm,

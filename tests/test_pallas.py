@@ -1266,6 +1266,21 @@ class TestColumnCTMarch:
         np.testing.assert_allclose(i_auto, i_cell, rtol=5e-3,
                                    atol=2e-4 * scale)
 
+    def test_colscan_same_key_pixelwise_agreement(self):
+        # closed-form column scan (ny == 1 eligibility): the mu = 0.45
+        # directions unwrap past nx columns (W = 2 periodic wraps), so
+        # the wrap arithmetic (sigma-residue -> first unwrapped cell per
+        # wrap) is exercised alongside the steep no-wrap case
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        g = make_step_cloud().grid
+        s = float(np.sqrt(1.0 - 0.45 ** 2))
+        assert pk.march_bound_for_dir(g, s, 0.0, 0.45, "colscan") > 32
+        i_cell = self._run("cell")
+        i_cs = self._run("colscan")
+        scale = float(np.max(i_cell))
+        np.testing.assert_allclose(i_cs, i_cell, rtol=5e-3,
+                                   atol=2e-4 * scale)
+
     def test_rr_same_key_agreement(self):
         # with Iwabuchi RR the tau rounding can flip rare branch
         # decisions (the tau comparisons against tau_free/tau_max), so

@@ -93,6 +93,10 @@ def main():
                 debug_parts="all,noint")
     run_variant(domain, icfg, dirs, "noletally (march, no tally)", nph,
                 debug_parts="all,noletally")
+    run_variant(domain, icfg, dirs, "letallysum (no onehot/dot)", nph,
+                debug_parts="all,letallysum")
+    run_variant(domain, icfg, dirs, "lestatictally (static acc row)", nph,
+                debug_parts="all,lestatictally")
     run_variant(domain, icfg, dirs, "fori (no early-exit while)", nph,
                 march_while=False)
     run_variant(domain, icfg, dirs, "blk=8", nph, block_rows=8)

@@ -333,6 +333,32 @@ def bench_intensity():
 
     emit("step_cloud_radiance_throughput_64dir", measure(once64, 2))
 
+    # 128-direction grid via direction-chunked transport passes (the
+    # reference's grids reach 648 dirs, Drivers/monteCarloDriver.f95:61;
+    # chunks of MAX_KERNEL_DIRS re-trace the same photons). The first
+    # chunk IS dirs64, so its compiled launch is reused; only the
+    # second chunk compiles fresh.
+    import jax.numpy as jnp
+    phis128 = phis64 + [(p + 30.0) % 360.0 for p in phis64]
+    dirs128 = jnp.concatenate(
+        [dirs64, make_intensity_directions(mus64, phis128[64:])], axis=1)
+    icfg128 = IntensityConfig(n_dirs=128, use_russian_roulette=True,
+                              use_hybrid_phase=True, pallas_min_mu=0.4)
+
+    def once128(b):
+        t = run_batch(domain, surface, source, rng.batch_key(1, b),
+                      config64, intensity_config=icfg128,
+                      intensity_dirs=dirs128)
+        assert t.intensity.shape[-1] == 128
+        # each chunk is its own XLA program: syncing n_photons (chunk
+        # 0's output) would NOT await the later chunks -- force the
+        # concatenated image
+        float(jnp.sum(t.intensity))
+        return int(t.n_photons)
+
+    emit("step_cloud_radiance_throughput_128dir_chunked",
+         measure(once128, 2))
+
 
 def bench_lw_flagship():
     """The reference's broadband-LW flagship shape: 325 x 325 x 150
@@ -550,7 +576,7 @@ def main():
     # separable kernel (2-5 min) precede the first measurement
     sweep = [("--step-cloud", 360), ("--multi", 300), ("--lw", 300),
              ("--tabulated", 300), ("--radar", 300), ("--landsat", 300),
-             ("--intensity", 420), ("--broadband", 480), ("--flagship", 900)]
+             ("--intensity", 540), ("--broadband", 480), ("--flagship", 900)]
     headline = None
     sweep_deadline = t_start + 35 * 60.0  # global sweep budget: 35 min
     if not wait_for_device(max_wait_s=240.0):

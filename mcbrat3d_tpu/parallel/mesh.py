@@ -77,6 +77,20 @@ def run_batch_sharded(domain: OpticalDomain,
             "intensity requested but the domain has no forward phase "
             "tables; build the domain with compute_intensity_tables=True")
     dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
+    if (intensity_config is not None
+            and intensity_config.n_dirs > _pk.MAX_KERNEL_DIRS):
+        # direction-chunked radiance (see integrator.run_batch): each
+        # chunk is a full sharded pass over the same global photon set
+        from mcbrat3d_tpu.transport.integrator import (
+            _run_batch_dir_chunked)
+        chunked = _run_batch_dir_chunked(
+            domain, surface, source, config, intensity_config,
+            intensity_dirs, dirs_mu_ok,
+            lambda icfg_c, dirs_c: run_batch_sharded(
+                domain, surface, source, seed, global_batch, config,
+                mesh, icfg_c, dirs_c, n_photons))
+        if chunked is not None:
+            return chunked
     # Per-direction march plan from CONCRETE direction cosines: inside the
     # jitted sharded impl the dirs are tracers and plan_march would return
     # None, silently losing the per-direction bound optimization on

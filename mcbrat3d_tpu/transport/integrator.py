@@ -290,6 +290,17 @@ def run_batch(domain: OpticalDomain,
             "intensity requested but the domain has no forward phase "
             "tables; build the domain with compute_intensity_tables=True")
     dirs_mu_ok = _pk.dirs_mu_floor_ok(intensity_config, intensity_dirs)
+    if (intensity_config is not None
+            and intensity_config.n_dirs > _pk.MAX_KERNEL_DIRS
+            and not debug_state):
+        chunked = _run_batch_dir_chunked(
+            domain, surface, source, config, intensity_config,
+            intensity_dirs, dirs_mu_ok,
+            lambda icfg_c, dirs_c: run_batch(
+                domain, surface, source, key, config, icfg_c, dirs_c,
+                n_photons))
+        if chunked is not None:
+            return chunked
     # per-direction march plan (formulation + static bound) from the
     # concrete direction cosines -- inside the jitted impl the dirs are
     # tracers and the megakernel would fall back to loose global bounds
@@ -304,6 +315,56 @@ def run_batch(domain: OpticalDomain,
                            intensity_config, intensity_dirs, n_photons,
                            debug_state=debug_state, dirs_mu_ok=dirs_mu_ok,
                            march_plan=march_plan)
+
+
+def _run_batch_dir_chunked(domain, surface, source, config,
+                           icfg, dirs, dirs_mu_ok,
+                           run_chunk) -> Optional[Tallies]:
+    """Direction-chunked radiance: split a > MAX_KERNEL_DIRS direction
+    grid into in-kernel-sized transport passes over the SAME photons.
+
+    The reference's production radiance grids reach 648 directions
+    (reference: Drivers/monteCarloDriver.f95:61); the megakernel's
+    per-launch cap is MAX_KERNEL_DIRS. Re-tracing the same batch key per
+    chunk reuses the photon paths, so fluxes are identical across chunks
+    (chunk 0's are kept) and each direction's local-estimate image is
+    the standard estimator over those paths. Cross-CHUNK direction pairs
+    share per-direction RR random sites (within a chunk they differ), a
+    correlation of the same order as the path-sharing all directions
+    already have; per-direction estimates stay unbiased.
+
+    Returns None when the configuration wouldn't run in-kernel anyway --
+    a single XLA-estimator pass handles any direction count and
+    re-running transport per chunk would only add cost.
+    """
+    from mcbrat3d_tpu.transport import pallas_kernel as _pk
+    if dirs is None or isinstance(dirs, jax.core.Tracer):
+        return None
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not (on_tpu or config.use_pallas == "on") \
+            or config.use_pallas == "off":
+        return None
+    max_dirs = _pk.MAX_KERNEL_DIRS
+    icfg0 = dataclasses.replace(icfg, n_dirs=min(icfg.n_dirs, max_dirs))
+    if not _pk.pallas_intensity_eligible(
+            domain, surface, source, lw_mode=config.lw_mode,
+            record_scattering_orders=config.record_scattering_orders,
+            use_ray_tracing=config.use_ray_tracing,
+            icfg=icfg0, dirs=dirs[:, :icfg0.n_dirs],
+            dirs_mu_ok=dirs_mu_ok):
+        return None
+    d_np = np.asarray(dirs)
+    first: Optional[Tallies] = None
+    images = []
+    for lo in range(0, icfg.n_dirs, max_dirs):
+        hi = min(icfg.n_dirs, lo + max_dirs)
+        icfg_c = dataclasses.replace(icfg, n_dirs=hi - lo)
+        t = run_chunk(icfg_c, jnp.asarray(d_np[:, lo:hi]))
+        images.append(t.intensity)
+        if first is None:
+            first = t
+    return dataclasses.replace(
+        first, intensity=jnp.concatenate(images, axis=-1))
 
 
 @functools.partial(

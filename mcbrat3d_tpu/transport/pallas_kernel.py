@@ -217,6 +217,16 @@ def _dyn_gather_fields(n_comp: int, uniform_ssa: bool, uniform_hg: bool,
             + (2 if n_comp == 3 else 0))
 
 
+# In-kernel radiance direction cap per LAUNCH: the per-direction Iwabuchi
+# RR murmur sites are 16 + 2d (d < (_N_SITES - 16) // 2) and the radiance
+# accumulator carries n_dirs * hti_pad VMEM rows. Larger direction grids
+# (the reference's go to 648, Drivers/monteCarloDriver.f95:61) run as
+# multiple chunked transport passes over the same photon paths
+# (integrator.run_batch splits them; tests may lower this to exercise the
+# chunking cheaply).
+MAX_KERNEL_DIRS = 64
+
+
 def dirs_mu_floor_ok(icfg, dirs) -> bool:
     """Host-side validation of the in-kernel local-estimation mu floor.
 
@@ -275,7 +285,8 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
          "compute_intensity_tables=True and, for all-HG domains, a single "
          "shared table row)", hyb_ok),
         ("n_orders_orig_phase > 0", icfg.n_orders_orig_phase == 0),
-        (f"n_dirs={icfg.n_dirs} > 64", icfg.n_dirs <= 64),
+        (f"n_dirs={icfg.n_dirs} > {MAX_KERNEL_DIRS}",
+         icfg.n_dirs <= MAX_KERNEL_DIRS),
         ("intensity_dirs is None" if dirs is None else
          f"dirs shape {tuple(dirs.shape)} != (3, {icfg.n_dirs})",
          dirs is not None and tuple(dirs.shape) == (3, icfg.n_dirs)),
@@ -2723,9 +2734,7 @@ def dda_iteration_bound(grid, min_mu: float) -> int:
     mu = max(min_mu, 1e-3)
     sin_max = float(np.sqrt(max(0.0, 1.0 - mu * mu)))
     try:
-        lz = float(grid.z_edges[-1] - grid.z_edges[0])
-        dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
-        dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+        lz, dxc, dyc = _grid_march_scalars(grid)
         return int(np.ceil(nz + lz / mu * sin_max / min(dxc, dyc))) + 8
     except (jax.errors.ConcretizationTypeError,
             jax.errors.TracerArrayConversionError):
@@ -2741,9 +2750,7 @@ def colct_iteration_bound(grid, min_mu: float) -> int:
     mu = max(min_mu, 1e-3)
     sin_max = float(np.sqrt(max(0.0, 1.0 - mu * mu)))
     try:
-        lz = float(grid.z_edges[-1] - grid.z_edges[0])
-        dxc = float(grid.x_edges[-1] - grid.x_edges[0]) / nx
-        dyc = float(grid.y_edges[-1] - grid.y_edges[0]) / ny
+        lz, dxc, dyc = _grid_march_scalars(grid)
         horiz = lz / mu * sin_max
         return int(np.ceil(horiz / dxc) + np.ceil(horiz / dyc)) + 6
     except (jax.errors.ConcretizationTypeError,

@@ -1340,3 +1340,79 @@ class TestGroupedDirections:
                                    atol=2e-4 * sc)
         np.testing.assert_allclose(c[:, :, 4:], b, rtol=5e-3,
                                    atol=2e-4 * sc)
+
+
+class TestDirChunkedRadiance:
+    """Direction grids above MAX_KERNEL_DIRS split into chunked
+    transport passes over the same photons (the reference's production
+    radiance grids reach 648 directions,
+    Drivers/monteCarloDriver.f95:61). Each chunk must be bit-identical
+    to a direct run_batch at that chunk's directions, and the flux
+    tallies must be chunk 0's (same key => same photon histories)."""
+
+    def _setup(self):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True)
+        mus = [1.0, 0.6, 0.45, 0.8, 0.45, 0.9, 0.5, 0.7]
+        phis = [0.0, 135.0, 225.0, 315.0, 45.0, 90.0, 180.0, 270.0]
+        dirs = make_intensity_directions(mus, phis)
+        cfg = KernelConfig(n_lanes=1 << 9, photons_per_lane=2,
+                           max_steps=6000, use_pallas="on")
+        return dom, dirs, cfg, IntensityConfig
+
+    def test_chunked_matches_manual_chunks(self, monkeypatch):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        dom, dirs, cfg, IntensityConfig = self._setup()
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        key = rng.batch_key(9, 0)
+        monkeypatch.setattr(pk, "MAX_KERNEL_DIRS", 3)
+        icfg8 = IntensityConfig(n_dirs=8, use_russian_roulette=True,
+                                use_hybrid_phase=False, pallas_min_mu=0.4)
+        t = run_batch(dom, sfc, src, key, cfg, intensity_config=icfg8,
+                      intensity_dirs=dirs)
+        assert t.intensity.shape[-1] == 8
+        # manual chunks (3, 3, 2) with the same key: bit-identical
+        imgs = []
+        fluxes = []
+        for lo, hi in ((0, 3), (3, 6), (6, 8)):
+            icfg_c = IntensityConfig(n_dirs=hi - lo,
+                                     use_russian_roulette=True,
+                                     use_hybrid_phase=False,
+                                     pallas_min_mu=0.4)
+            tc = run_batch(dom, sfc, src, key, cfg,
+                           intensity_config=icfg_c,
+                           intensity_dirs=dirs[:, lo:hi])
+            imgs.append(np.asarray(tc.intensity))
+            fluxes.append(np.asarray(tc.flux_up))
+        np.testing.assert_array_equal(np.asarray(t.intensity),
+                                      np.concatenate(imgs, axis=-1))
+        # transport identical across chunks; fluxes are chunk 0's
+        np.testing.assert_array_equal(fluxes[0], fluxes[1])
+        np.testing.assert_array_equal(np.asarray(t.flux_up), fluxes[0])
+        assert int(t.n_photons) == int(tc.n_photons)
+
+    def test_ineligible_falls_through_to_xla(self, monkeypatch):
+        # per-pixel albedo surface: in-kernel LE is ineligible, so the
+        # chunker must decline and the XLA estimator runs once for all
+        # directions (any count)
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        dom, dirs, cfg, IntensityConfig = self._setup()
+        nx, ny = dom.grid.shape[0], dom.grid.shape[1]
+        import jax.numpy as jnp
+        alb = (0.2 + 0.1 * np.arange(nx * ny).reshape(nx, ny)
+               / (nx * ny)).astype(np.float32)
+        sfc = Surface(params=jnp.asarray(alb)[:, :, None],
+                      brdf_name="Lambertian")
+        src = illumination.directional(0.5, 0.0)
+        monkeypatch.setattr(pk, "MAX_KERNEL_DIRS", 3)
+        icfg8 = IntensityConfig(n_dirs=8, use_russian_roulette=False,
+                                use_hybrid_phase=False)
+        cfg_auto = KernelConfig(n_lanes=1 << 7, photons_per_lane=1,
+                                max_steps=1500)
+        t = run_batch(dom, sfc, src, rng.batch_key(9, 0), cfg_auto,
+                      intensity_config=icfg8, intensity_dirs=dirs)
+        i = np.asarray(t.intensity)
+        assert i.shape == (nx, ny, 8) and np.all(np.isfinite(i))

@@ -113,3 +113,42 @@ def test_sharded_n_photons_exact():
                           seed=0, global_batch=0, config=cfg, mesh=mesh,
                           n_photons=n_req)
     assert int(t.n_photons) == n_req
+
+
+def test_sharded_dir_chunked_radiance():
+    """> MAX_KERNEL_DIRS radiance on the mesh: chunked sharded passes
+    concatenate per-chunk images and keep chunk 0's fluxes (same photon
+    histories across chunks)."""
+    from mcbrat3d_tpu.transport import pallas_kernel as pk
+    from mcbrat3d_tpu.transport.local_estimate import (
+        IntensityConfig, make_intensity_directions)
+    dom = make_step_cloud(ssa=0.99, macro_factor=8,
+                          compute_intensity_tables=True)
+    sfc = Surface.lambertian(0.0)
+    src = illumination.directional(0.5, 0.0)
+    mesh = make_mesh()
+    cfg = KernelConfig(n_lanes=1 << 8, photons_per_lane=1, max_steps=4000,
+                       use_pallas="on")
+    dirs = make_intensity_directions([1.0, 0.8, 0.6, 0.45],
+                                     [0.0, 90.0, 180.0, 315.0])
+    orig_cap = pk.MAX_KERNEL_DIRS
+    pk.MAX_KERNEL_DIRS = 2
+    try:
+        icfg = IntensityConfig(n_dirs=4, use_russian_roulette=False,
+                               use_hybrid_phase=False, pallas_min_mu=0.4)
+        t = run_batch_sharded(dom, sfc, src, seed=7, global_batch=0,
+                              config=cfg, mesh=mesh,
+                              intensity_config=icfg, intensity_dirs=dirs)
+        icfg2 = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                                use_hybrid_phase=False, pallas_min_mu=0.4)
+        t2 = run_batch_sharded(dom, sfc, src, seed=7, global_batch=0,
+                               config=cfg, mesh=mesh,
+                               intensity_config=icfg2,
+                               intensity_dirs=dirs[:, 2:])
+    finally:
+        pk.MAX_KERNEL_DIRS = orig_cap
+    assert t.intensity.shape[-1] == 4
+    np.testing.assert_array_equal(np.asarray(t.intensity[:, :, 2:]),
+                                  np.asarray(t2.intensity))
+    np.testing.assert_array_equal(np.asarray(t.flux_up),
+                                  np.asarray(t2.flux_up))

@@ -476,6 +476,39 @@ def _gather_records(cell_blk, oh_lo, tables, iota_w_div, iota_w_mod,
     return {r: jnp.sum(s * (iota_w_mod == r), axis=2) for r in fields}
 
 
+def _hif_gather2(tab_ref, hp_t, hi_idx, lo_idx, blk):
+    """Hi-first factorized gather of two stacked f32 table fields.
+
+    ``tab_ref`` is [256, hp_t] f32: sublanes [0:128] hold field A
+    TRANSPOSED (tab[l, h] = A[h*128 + l]) and [128:256] field B, for flat
+    entry index i = h*128 + l. Per block row, the hi one-hot lives in
+    SUBLANES ([hp_t, 128] iota-compare against the lane-resident hi -- no
+    transpose), one [256, hp_t] @ [hp_t, 128] MXU dot pulls BOTH fields'
+    full lo-columns for each lane's hi row, and a [128, 128] sublane
+    masked reduce extracts lo. Exact f32 (a one-hot contraction selects
+    single entries; no bf16 hi/lo split needed).
+
+    This replaces the lo-first orientation (contract lo by per-row
+    [n_fields*hp, 128] @ [128, 128] dots, then full-height hi masked
+    reduces) whose [blk, n_fields*hp, 128] f32 intermediate dominates at
+    big tables: at the reference-default 9001x5 inverse-CDF table
+    (hp = 352) that stack is ~8.6 MB/step written + re-read by three
+    full-height reduces, ~20x this form's traffic at equal MACs.
+
+    Returns (A_vals, B_vals), each [blk, 128] f32.
+    """
+    a_rows, b_rows = [], []
+    for bb in range(blk):
+        ohhi = (jax.lax.broadcasted_iota(jnp.int32, (hp_t, 128), 0)
+                == hi_idx[bb][None, :]).astype(jnp.float32)
+        t2 = jnp.dot(tab_ref[:], ohhi, preferred_element_type=jnp.float32)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                == lo_idx[bb][None, :]).astype(jnp.float32)
+        a_rows.append(jnp.sum(t2[:128] * mask, axis=0))
+        b_rows.append(jnp.sum(t2[128:] * mask, axis=0))
+    return jnp.stack(a_rows, axis=0), jnp.stack(b_rows, axis=0)
+
+
 def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
                     ht: int = 128):
     """Transposed factorized scatter-add for one block.
@@ -570,6 +603,11 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     if "cheapu" in part_set:
         hw_rng = False
     oh_dtype = jnp.bfloat16 if pcfg.bf16 else jnp.float32
+    # hi-first table gathers (_hif_gather2) for the big stacked tables
+    # (inverse CDF, forward phase, emission alias); "nohif" forces the
+    # lo-first one-hot form for A/B. Must agree with the packing choice
+    # in run_batch_pallas (both derive from pcfg.debug_parts).
+    hif = "nohif" not in part_set
 
     n_dirs, k_dda = pcfg.n_dirs, pcfg.k_dda
     # per-direction march formulation ("cell"/"colct"): the combined
@@ -711,29 +749,37 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 jbin = jnp.minimum(
                     (u_bin * np.float32(n_cells_t)).astype(jnp.int32),
                     np.int32(n_cells_t - 1))
-                # gather (prob hi/lo, alias hi/lo) rows for this bin:
+                # gather (prob, alias) for this bin. hif: exact-f32
+                # hi-first gather ([256, ha] transposed table); else
                 # ea_ref rows [0:ha] prob_hi, [ha:2ha] prob_lo,
                 # [2ha:3ha] alias_hi, [3ha:4ha] alias_lo -- bf16 hi/lo
                 # splits reconstruct both to f32/integer exactness
                 lo_b = jnp.bitwise_and(jbin, 127)
                 hi_b = jnp.right_shift(jbin, 7)
-                iota_sub_e = jax.lax.broadcasted_iota(
-                    jnp.int32, (blk, 128, 128), 1)
-                ohs_e = (lo_b[:, None, :] == iota_sub_e).astype(oh_dtype)
-                rws_e = [jnp.dot(ea_ref[:], ohs_e[b_i3],
-                                 preferred_element_type=jnp.float32)
-                         for b_i3 in range(blk)]
-                t3e = jnp.stack(rws_e, axis=0)  # [blk, 4*ha, 128]
-                rows_e = jax.lax.broadcasted_iota(
-                    jnp.int32, (blk, 4 * ha, 128), 1)
-                p_j = (jnp.sum(t3e * (rows_e == hi_b[:, None, :]), axis=1)
-                       + jnp.sum(t3e * (rows_e == (ha + hi_b)[:, None, :]),
-                                 axis=1))
-                a_j = (jnp.sum(
-                    t3e * (rows_e == (2 * ha + hi_b)[:, None, :]), axis=1)
-                    + jnp.sum(
-                        t3e * (rows_e == (3 * ha + hi_b)[:, None, :]),
-                        axis=1))
+                if hif:
+                    p_j, a_j = _hif_gather2(ea_ref, ha, hi_b, lo_b, blk)
+                else:
+                    iota_sub_e = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 128, 128), 1)
+                    ohs_e = (lo_b[:, None, :] == iota_sub_e).astype(
+                        oh_dtype)
+                    rws_e = [jnp.dot(ea_ref[:], ohs_e[b_i3],
+                                     preferred_element_type=jnp.float32)
+                             for b_i3 in range(blk)]
+                    t3e = jnp.stack(rws_e, axis=0)  # [blk, 4*ha, 128]
+                    rows_e = jax.lax.broadcasted_iota(
+                        jnp.int32, (blk, 4 * ha, 128), 1)
+                    p_j = (jnp.sum(t3e * (rows_e == hi_b[:, None, :]),
+                                   axis=1)
+                           + jnp.sum(t3e * (rows_e
+                                            == (ha + hi_b)[:, None, :]),
+                                     axis=1))
+                    a_j = (jnp.sum(
+                        t3e * (rows_e == (2 * ha + hi_b)[:, None, :]),
+                        axis=1)
+                        + jnp.sum(
+                            t3e * (rows_e == (3 * ha + hi_b)[:, None, :]),
+                            axis=1))
                 v_cell = jnp.where(u_acc < p_j, jbin,
                                    (a_j + 0.5).astype(jnp.int32))
                 # decompose v = (ix*ny + iy)*nz + iz. f32-exact floored
@@ -1161,25 +1207,34 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                               * np.int32(inv_n_steps) + k_i)
                     lo_i = jnp.bitwise_and(flat_i, 127)
                     hi_i = jnp.right_shift(flat_i, 7)
-                    iota_sub_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (blk, 128, 128), 1)
-                    ohs_i = (lo_i[:, None, :] == iota_sub_i).astype(
-                        oh_dtype)
-                    rws_i = [jnp.dot(inv_ref[:], ohs_i[b_i2],
-                                     preferred_element_type=jnp.float32)
-                             for b_i2 in range(blk)]
-                    t3i = jnp.stack(rws_i, axis=0)  # [blk, 3*hp, 128p]
-                    rows_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (blk, 3 * inv_hp, 128), 1)
-                    a0h = jnp.sum(
-                        t3i * (rows_i == hi_i[:, None, :]), axis=1)
-                    a0l = jnp.sum(
-                        t3i * (rows_i == (inv_hp + hi_i)[:, None, :]),
-                        axis=1)
-                    dd = jnp.sum(
-                        t3i * (rows_i == (2 * inv_hp + hi_i)[:, None, :]),
-                        axis=1)
-                    angle = (a0h + a0l) + frac_i * dd
+                    if hif:
+                        a0, dd = _hif_gather2(inv_ref, inv_hp, hi_i,
+                                              lo_i, blk)
+                    else:
+                        iota_sub_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk, 128, 128), 1)
+                        ohs_i = (lo_i[:, None, :] == iota_sub_i).astype(
+                            oh_dtype)
+                        rws_i = [jnp.dot(
+                            inv_ref[:], ohs_i[b_i2],
+                            preferred_element_type=jnp.float32)
+                            for b_i2 in range(blk)]
+                        # [blk, 3*hp, 128p]
+                        t3i = jnp.stack(rws_i, axis=0)
+                        rows_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk, 3 * inv_hp, 128), 1)
+                        a0h = jnp.sum(
+                            t3i * (rows_i == hi_i[:, None, :]), axis=1)
+                        a0l = jnp.sum(
+                            t3i * (rows_i
+                                   == (inv_hp + hi_i)[:, None, :]),
+                            axis=1)
+                        dd = jnp.sum(
+                            t3i * (rows_i
+                                   == (2 * inv_hp + hi_i)[:, None, :]),
+                            axis=1)
+                        a0 = a0h + a0l
+                    angle = a0 + frac_i * dd
                     cos_theta = jnp.cos(angle)
                 sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
                 cos_phi = jnp.cos(phi_rot)
@@ -1399,30 +1454,37 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                                       * np.int32(fwd_n_s) + k_f)
                         lo_f = jnp.bitwise_and(flat_f, 127)
                         hi_f = jnp.right_shift(flat_f, 7)
-                        ohs_f = (lo_f[:, None, :] == iota_sub_m).astype(
-                            oh_dtype)
-                        rws_f = [jnp.dot(
-                            fwd_ref[:], ohs_f[b_i2],
-                            preferred_element_type=jnp.float32)
-                            for b_i2 in range(blk)]
-                        # one shared fwd_hf-row hi mask, applied to the
-                        # three stacked fields (v0 hi, v0 lo, delta) as
-                        # SLICED views: they share the hi row index, so
-                        # each reduce runs over fwd_hf rows instead of
-                        # 3*fwd_hf -- the previous three full-height
-                        # reduces were 3x the VPU work and showed up as
-                        # per-direction fixed cost
-                        t3f = jnp.stack(rws_f, axis=0)
-                        rows_f = jax.lax.broadcasted_iota(
-                            jnp.int32, (blk, fwd_hf, 128), 1)
-                        m3 = (rows_f == hi_f[:, None, :]).astype(
-                            jnp.float32)
-                        v0h = jnp.sum(t3f[:, :fwd_hf] * m3, axis=1)
-                        v0l = jnp.sum(
-                            t3f[:, fwd_hf:2 * fwd_hf] * m3, axis=1)
-                        dd_f = jnp.sum(
-                            t3f[:, 2 * fwd_hf:3 * fwd_hf] * m3, axis=1)
-                        pv = (v0h + v0l) + frac_f * dd_f
+                        if hif:
+                            v0, dd_f = _hif_gather2(fwd_ref, fwd_hf,
+                                                    hi_f, lo_f, blk)
+                        else:
+                            ohs_f = (lo_f[:, None, :]
+                                     == iota_sub_m).astype(oh_dtype)
+                            rws_f = [jnp.dot(
+                                fwd_ref[:], ohs_f[b_i2],
+                                preferred_element_type=jnp.float32)
+                                for b_i2 in range(blk)]
+                            # one shared fwd_hf-row hi mask, applied to
+                            # the three stacked fields (v0 hi, v0 lo,
+                            # delta) as SLICED views: they share the hi
+                            # row index, so each reduce runs over fwd_hf
+                            # rows instead of 3*fwd_hf -- the previous
+                            # three full-height reduces were 3x the VPU
+                            # work and showed up as per-direction fixed
+                            # cost
+                            t3f = jnp.stack(rws_f, axis=0)
+                            rows_f = jax.lax.broadcasted_iota(
+                                jnp.int32, (blk, fwd_hf, 128), 1)
+                            m3 = (rows_f == hi_f[:, None, :]).astype(
+                                jnp.float32)
+                            v0h = jnp.sum(t3f[:, :fwd_hf] * m3, axis=1)
+                            v0l = jnp.sum(
+                                t3f[:, fwd_hf:2 * fwd_hf] * m3, axis=1)
+                            dd_f = jnp.sum(
+                                t3f[:, 2 * fwd_hf:3 * fwd_hf] * m3,
+                                axis=1)
+                            v0 = v0h + v0l
+                        pv = v0 + frac_f * dd_f
                     else:
                         q_hg = jnp.maximum(
                             1.0 + g_hg * g_hg - 2.0 * g_hg * cosb, 1e-12)
@@ -2039,7 +2101,8 @@ def _pack_tables(domain: OpticalDomain, h_cells: int, rec_cols: int):
     return b.astype(jnp.float32), w_cols
 
 
-def _pack_forward_table(domain, use_hybrid: bool, n_s: int = 2048):
+def _pack_forward_table(domain, use_hybrid: bool, n_s: int = 2048,
+                        hif: bool = False):
     """Pack the forward (radiance) phase-value table for in-kernel lookup.
 
     The stored tables are uniform in ANGLE (reference:
@@ -2050,7 +2113,9 @@ def _pack_forward_table(domain, use_hybrid: bool, n_s: int = 2048):
     to the angle grid's (ds ~ dtheta/2 at theta ~ 0). Rows:
     [0:hf] v0_hi, [hf:2hf] v0_lo, [2hf:3hf] lerp delta, each an [hf, 128]
     (hi, lo) block of flat index row * n_s + k.
-    Returns (packed [3*hf, 128] bf16, hf, n_s).
+    Returns (packed [3*hf, 128] bf16, hf, n_s); with ``hif`` the
+    hi-first layout instead: ([256, hf] f32 of (v0.T, delta.T) stacked
+    on sublanes, hf, n_s) -- see _hif_gather2.
     """
     table = (domain.tables.forward if use_hybrid
              else domain.tables.forward_orig)  # [rows, n_angles]
@@ -2069,6 +2134,10 @@ def _pack_forward_table(domain, use_hybrid: bool, n_s: int = 2048):
         vp = jnp.pad(v, (0, hf * 128 - total))
         return vp.reshape(hf, 128)
 
+    if hif:
+        packed = jnp.concatenate(
+            [block(flat).T, block(delta).T], axis=0).astype(jnp.float32)
+        return packed, hf, n_s
     v_hi = block(flat).astype(jnp.bfloat16)
     v_lo = block(flat - v_hi.astype(jnp.float32).reshape(-1)[:total]
                  ).astype(jnp.bfloat16)
@@ -2076,7 +2145,7 @@ def _pack_forward_table(domain, use_hybrid: bool, n_s: int = 2048):
     return (jnp.concatenate([v_hi, v_lo, d_b], axis=0), hf, n_s)
 
 
-def _pack_inverse_table(domain: OpticalDomain):
+def _pack_inverse_table(domain: OpticalDomain, hif: bool = False):
     """Pack the inverse-CDF angle table for in-kernel gathers.
 
     Paired layout over flat index i = row * n_steps + k:
@@ -2085,7 +2154,9 @@ def _pack_inverse_table(domain: OpticalDomain):
     angle[i+1] - angle[i] as a single bf16 (its bf16 relative error scales
     with the already-small step). Rows: [0:hp] a0_hi, [hp:2hp] a0_lo,
     [2hp:3hp] delta, each an [hp, 128] (hi, lo) block of the flat index.
-    Returns (packed [3*hp, 128] bf16, hp, n_steps).
+    Returns (packed [3*hp, 128] bf16, hp, n_steps); with ``hif`` the
+    hi-first layout instead: ([256, hp] f32 of (a0.T, delta.T) stacked on
+    sublanes, hp, n_steps) -- exact f32, no hi/lo split (_hif_gather2).
     """
     inv = domain.tables.inverse  # [n_entries, n_steps] f32 angles
     n_entries, n_steps = inv.shape
@@ -2099,6 +2170,10 @@ def _pack_inverse_table(domain: OpticalDomain):
         vp = jnp.pad(v, (0, hp * 128 - total))
         return vp.reshape(hp, 128)
 
+    if hif:
+        packed = jnp.concatenate(
+            [block(flat).T, block(delta).T], axis=0).astype(jnp.float32)
+        return packed, hp, n_steps
     a_hi = block(flat).astype(jnp.bfloat16)
     a_lo = block(flat - a_hi.astype(jnp.float32).reshape(-1)[:total]
                  ).astype(jnp.bfloat16)
@@ -2106,11 +2181,12 @@ def _pack_inverse_table(domain: OpticalDomain):
     return (jnp.concatenate([a_hi, a_lo, d_b], axis=0), hp, n_steps)
 
 
-def _pack_inverse_row(domain: OpticalDomain, row: int):
+def _pack_inverse_row(domain: OpticalDomain, row: int, hif: bool = False):
     """Single-row variant of _pack_inverse_table: pack ONE global stacked
     phase row (a template kernel's only scattering entry). Same paired
     (a0 hi/lo, delta) layout; returns (packed [3*hp, 128] bf16, hp,
-    n_steps)."""
+    n_steps), or the hi-first ([256, hp] f32, hp, n_steps) with
+    ``hif`` (_hif_gather2)."""
     inv = domain.tables.inverse[row]  # [n_steps] f32 angles
     n_steps = inv.shape[0]
     flat = inv.reshape(-1)
@@ -2122,6 +2198,10 @@ def _pack_inverse_row(domain: OpticalDomain, row: int):
         vp = jnp.pad(v, (0, hp * 128 - n_steps))
         return vp.reshape(hp, 128)
 
+    if hif:
+        packed = jnp.concatenate(
+            [block(flat).T, block(delta).T], axis=0).astype(jnp.float32)
+        return packed, hp, n_steps
     a_hi = block(flat).astype(jnp.bfloat16)
     a_lo = block(flat - a_hi.astype(jnp.float32).reshape(-1)[:n_steps]
                  ).astype(jnp.bfloat16)
@@ -2184,12 +2264,16 @@ def run_batch_pallas(domain: OpticalDomain,
                          "bf16 pipeline (the f32 tally tiles hi mod ht "
                          "over 128 rows)")
     analytic_hg = bool(domain.all_hg)
+    # hi-first big-table gathers (must match _build_kernel's `hif`, which
+    # reads the same debug_parts)
+    hif = "nohif" not in frozenset(pcfg.debug_parts.split(","))
     if analytic_hg:
         inv_packed = jnp.zeros((24, 128), jnp.bfloat16)
         inv_hp, inv_n_steps = 8, 0
     else:
         inv_packed, inv_hp, inv_n_steps = _obj_cache(
-            domain, ("inv",), lambda: _pack_inverse_table(domain))
+            domain, ("inv", hif),
+            lambda: _pack_inverse_table(domain, hif=hif))
     # wide tables: shrink the block so the sublane gathers'
     # [blk, rows, 128] f32 transients stay a few MB
     if (h_cells > 128 or inv_hp > 128) and pcfg.block_rows > 16:
@@ -2214,11 +2298,16 @@ def run_batch_pallas(domain: OpticalDomain,
                                      "oldgather"}))
     if pcfg.dyn_gather != use_dyn:
         pcfg = dataclasses.replace(pcfg, dyn_gather=use_dyn)
-    if (use_dyn and pcfg.n_dirs == 0 and pcfg.block_rows < 128
-            and pcfg.rows % 128 == 0):
+    if (use_dyn and pcfg.n_dirs == 0 and analytic_hg
+            and source.kind != illumination.EMISSION
+            and pcfg.block_rows < 128 and pcfg.rows % 128 == 0):
         # without the gather one-hot, bigger blocks amortize the block
         # loop: blk=128 measured 103.6 vs 96.4 M photons/s at blk=64 on
-        # the step-cloud headline (EXPERIMENTS_1e8.md round 4)
+        # the step-cloud headline (EXPERIMENTS_1e8.md round 4). Only for
+        # analytic-HG non-emission configs (the measured shape): the
+        # inverse-CDF / emission-alias gathers unroll per block row, so
+        # re-raising blk past the wide-table cap would blow the program
+        # (and, pre-hif, a [128, 3*hp, 128] transient) up 8x.
         pcfg = dataclasses.replace(pcfg, block_rows=128)
 
     def _build_b():
@@ -2247,8 +2336,8 @@ def run_batch_pallas(domain: OpticalDomain,
     if use_fwd_table:
         _hyb = pcfg.intensity_phase == "hybrid"
         fwd_packed, fwd_hf, fwd_n_s = _obj_cache(
-            domain, ("fwd", _hyb),
-            lambda: _pack_forward_table(domain, use_hybrid=_hyb))
+            domain, ("fwd", _hyb, hif),
+            lambda: _pack_forward_table(domain, use_hybrid=_hyb, hif=hif))
         fwd_row_zero = bool(domain.all_hg)
     else:
         fwd_packed, fwd_hf, fwd_n_s = (
@@ -2273,13 +2362,17 @@ def run_batch_pallas(domain: OpticalDomain,
 
             pb = _blockify(source.em_prob)
             ab = _blockify(source.em_alias)
+            if hif:
+                # hi-first layout: [256, ha] f32 of (prob.T, alias.T)
+                # stacked on sublanes -- exact, no bf16 split
+                return jnp.concatenate([pb.T, ab.T], axis=0)
             pb_hi = pb.astype(jnp.bfloat16)
             pb_lo = (pb - pb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             ab_hi = ab.astype(jnp.bfloat16)
             ab_lo = (ab - ab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return jnp.concatenate([pb_hi, pb_lo, ab_hi, ab_lo], axis=0)
 
-        ea_packed = _obj_cache(source, ("ea", ha), _build_ea)
+        ea_packed = _obj_cache(source, ("ea", ha, hif), _build_ea)
     else:
         ha = 8
         ea_packed = jnp.zeros((4 * ha, 128), jnp.bfloat16)

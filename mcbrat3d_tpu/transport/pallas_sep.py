@@ -60,6 +60,7 @@ from mcbrat3d_tpu.physics.surface import Surface
 from mcbrat3d_tpu.sources import illumination
 from mcbrat3d_tpu.transport.pallas_kernel import (
     PallasConfig,
+    _hif_gather2,
     _make_uniform,
     _obj_cache,
 )
@@ -629,7 +630,8 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                                       2.0 * u_ang - 1.0,
                                       jnp.clip(ct, -1.0, 1.0))
             else:
-                # single packed inverse-CDF row (paired a0 hi/lo + delta;
+                # single packed inverse-CDF row, hi-first layout
+                # ([256, hp] f32 -- pallas_kernel._hif_gather2;
                 # reference: computeScatteringAngle,
                 # Integrators/monteCarloRadiativeTransfer.f95:1594-1621)
                 t_u = u_ang * np.float32(inv_n_steps - 1)
@@ -637,20 +639,8 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                 frac_i = t_u - k_i.astype(jnp.float32)
                 lo_i = jnp.bitwise_and(k_i, 127)
                 hi_i = jnp.right_shift(k_i, 7)
-                ohs_i = (lo_i[:, None, :] == iota_sub).astype(jnp.bfloat16)
-                rws_i = [jnp.dot(inv_ref[:], ohs_i[b_i2],
-                                 preferred_element_type=jnp.float32)
-                         for b_i2 in range(blk)]
-                t3i = jnp.stack(rws_i, axis=0)  # [blk, 3*hp, 128]
-                rows_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (blk, 3 * inv_hp, 128), 1)
-                a0h = jnp.sum(t3i * (rows_i == hi_i[:, None, :]), axis=1)
-                a0l = jnp.sum(
-                    t3i * (rows_i == (inv_hp + hi_i)[:, None, :]), axis=1)
-                dd = jnp.sum(
-                    t3i * (rows_i == (2 * inv_hp + hi_i)[:, None, :]),
-                    axis=1)
-                angle = (a0h + a0l) + frac_i * dd
+                a0, dd = _hif_gather2(inv_ref, inv_hp, hi_i, lo_i, blk)
+                angle = a0 + frac_i * dd
                 cos_theta = jnp.cos(angle)
             sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
             cos_phi = jnp.cos(phi_rot)
@@ -806,9 +796,9 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
 
 def _pack_sep_inverse(domain: OpticalDomain):
     """Single-row inverse-CDF pack for the cloud's tabulated phase entry
-    (delegates to pallas_kernel._pack_inverse_row)."""
+    (delegates to pallas_kernel._pack_inverse_row; hi-first layout)."""
     from mcbrat3d_tpu.transport.pallas_kernel import _pack_inverse_row
-    return _pack_inverse_row(domain, domain.sep_inv_row)
+    return _pack_inverse_row(domain, domain.sep_inv_row, hif=True)
 
 
 def run_batch_pallas_sep(domain: OpticalDomain,

@@ -882,6 +882,80 @@ class TestDynGather:
         assert bal == pytest.approx(1.0, abs=2e-3)
 
 
+class TestHiFirstGather:
+    """Hi-first big-table gathers (_hif_gather2): the inverse-CDF,
+    forward-phase, and emission-alias tables are packed transposed
+    ([256, hp] f32) and gathered by a sublane hi one-hot + one MXU dot +
+    a lo masked reduce, replacing the lo-first form whose
+    [blk, n_fields*hp, 128] intermediate dominated at big tables.
+    Exact f32 (no bf16 split), so trajectories may diverge from the
+    nohif path within the bf16 quantization band -- compare
+    statistically, never bitwise."""
+
+    def test_tabulated_flux_hif_vs_nohif(self):
+        dom = TestTabulatedPhaseFunctions()._domain(two_entries=True)
+        base = dict(rows=16, block_rows=8, steps_per_call=32,
+                    max_steps=8000, interpret=True)
+        key = rng.batch_key(21, 0)
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        hif = run_batch_pallas(dom, sfc, src, key,
+                               PallasConfig(**base), 8)
+        noh = run_batch_pallas(dom, sfc, src, key,
+                               PallasConfig(debug_parts="all,nohif",
+                                            **base), 8)
+        n = int(hif[3])
+        assert n == int(noh[3])
+        for i, name in ((0, "flux_up"), (1, "flux_down")):
+            a = float(np.asarray(hif[i]).sum())
+            b = float(np.asarray(noh[i]).sum())
+            assert abs(a - b) <= max(4.0, 0.01 * n), f"{name}: {a} vs {b}"
+        # conservation on the hif path itself (albedo 0.2 surface)
+        bal = (float(np.asarray(hif[0]).sum())
+               + 0.8 * float(np.asarray(hif[1]).sum())
+               + float(np.asarray(hif[2]).sum())) / n
+        assert bal == pytest.approx(1.0, abs=5e-3)
+
+    def test_lw_emission_hif_vs_nohif(self):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import (OpticalComponent,
+                                                build_domain)
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction, PhaseFunctionTable)
+        from mcbrat3d_tpu.spectral.weights import (absorption_coefficient,
+                                                   emission_weighting)
+        nx, ny, nz = 8, 4, 8
+        rs = np.random.RandomState(3)
+        grid = Grid.regular(nx, ny, nz, 0.5, 0.5, 0.25)
+        tbl = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+        cld = rs.rand(nx, ny, nz) * 6.0
+        comp = OpticalComponent("cloud", cld, np.full_like(cld, 0.6),
+                                np.zeros(cld.shape, np.int32), tbl)
+        temps = 250.0 + 40.0 * rs.rand(nx, ny, nz)
+        dom = build_domain(grid, [comp], temps=temps, n_cdf_steps=201)
+        kabs = absorption_coefficient([comp], grid)
+        w = emission_weighting(grid, temps, kabs, 290.0, 0.95, 10.0)
+        src = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                    grid.shape)
+        base = dict(rows=16, block_rows=8, steps_per_call=32,
+                    max_steps=8000, interpret=True)
+        key = rng.batch_key(22, 0)
+        sfc = Surface.lambertian(0.05)
+        hif = run_batch_pallas(dom, sfc, src, key, PallasConfig(**base),
+                               8, lw_mode=True)
+        noh = run_batch_pallas(dom, sfc, src, key,
+                               PallasConfig(debug_parts="all,nohif",
+                                            **base), 8, lw_mode=True)
+        n = int(hif[3])
+        assert n == int(noh[3])
+        # the emission-voxel histogram rides the volume tally (lw
+        # pre-credits): domain-total emitted-minus-absorbed must agree
+        a = float(np.asarray(hif[2]).sum())
+        b = float(np.asarray(noh[2]).sum())
+        assert abs(a - b) <= max(4.0, 0.02 * abs(b) + 0.01 * n)
+
+
 class TestRPVSurface:
     """Uniform RPV BRDF in-kernel: the record megakernel evaluates the
     Rahman-Pinty-Verstraete weight at surface bounces (trig-free form),

@@ -100,6 +100,17 @@ class Surface:
                 and self.params.shape[0] == 1 and self.params.shape[1] == 1)
 
     @property
+    def is_lambertian_grid(self) -> bool:
+        """Lambertian BRDF with a per-pixel albedo grid (any resolution).
+
+        The record megakernel covers this per-pixel form when the grid
+        divides the domain columns evenly (transport/pallas_kernel.py:
+        surface_px_ok); the XLA path covers it unconditionally.
+        Reference per-pixel surface grid: src/surfaceProperties.f95:32-36.
+        """
+        return self.brdf_name == "Lambertian" and self.params.shape[2] == 1
+
+    @property
     def is_uniform_rpv(self) -> bool:
         """Uniform scalar-parameter RPV surface (the record megakernel
         evaluates this BRDF in-kernel; see transport/pallas_kernel.py)."""

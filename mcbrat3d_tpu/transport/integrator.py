@@ -104,6 +104,12 @@ class KernelConfig:
     # the flux_abs_2d fast path (no volume rows) additionally requires
     # this to be False.
     need_absorption_profile: bool = False
+    # Comma-set of megakernel debug/ablation switches forwarded verbatim
+    # to PallasConfig.debug_parts (e.g. "all,nodyn" forces the one-hot
+    # gather, "all,nohif" the lo-first big-table form). Measurement
+    # A/B knob only; "all" (the default) is the production kernel. The
+    # XLA wave kernel ignores it.
+    pallas_debug_parts: str = "all"
 
     @property
     def photons_per_batch(self) -> int:

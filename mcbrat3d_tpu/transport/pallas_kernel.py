@@ -87,6 +87,31 @@ MAX_COMPONENTS = 3
 # Drivers/monteCarloDriver.f95 namelist monteCarlo).
 MAX_INV_ENTRIES = 1024 * 128
 
+# Per-pixel Lambertian surface budget: the albedo grid is packed per
+# DOMAIN COLUMN ([SURF_PX_MAX_ROWS, 128] f32 rows) and fetched at the
+# landing column with per-lane dynamic gathers (one take_along_axis +
+# select per row), so the cap bounds the per-step select chain.
+SURF_PX_MAX_ROWS = 32
+
+
+def surface_px_ok(surface: "Surface", grid, lw_mode: bool) -> bool:
+    """Record-megakernel eligibility of a per-pixel Lambertian surface.
+
+    Exactness contract: each surface pixel must tile a whole number of
+    domain columns (nx % nxs == 0, ny % nys == 0), so the per-column
+    packed albedo reproduces the reference's fractional surface-grid
+    lookup (src/surfaceProperties.f95:119-147) bit-for-bit. lw_mode is
+    excluded (surface BBEmission uses the uniform-albedo pre-credit).
+    """
+    if lw_mode or not surface.is_lambertian_grid:
+        return False
+    if surface.is_uniform_lambertian:
+        return False  # the scalar fast path covers it (no gather)
+    nxs, nys, _ = surface.params.shape
+    nx, ny, _ = grid.shape
+    return (nx % nxs == 0 and ny % nys == 0
+            and nx * ny <= 128 * SURF_PX_MAX_ROWS)
+
 
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
@@ -295,8 +320,12 @@ def intensity_ineligibility_reasons(domain, surface, source, lw_mode,
          dirs_mu_ok),
         # the in-kernel surface local-estimate term is Lambertian 1/pi
         # (reference: Integrators/monteCarloRadiativeTransfer.f95:1688-1694)
+        # -- albedo-independent, so the per-pixel Lambertian grid (whose
+        # albedo is already folded into w_refl at the reflection) is as
+        # exact as the uniform case
         ("intensity with a non-Lambertian surface",
-         surface.is_uniform_lambertian),
+         surface.is_uniform_lambertian
+         or surface_px_ok(surface, domain.grid, lw_mode)),
     )
     reasons.extend(name for name, ok in checks if not ok)
     return reasons
@@ -338,8 +367,11 @@ def ineligibility_reasons(domain: OpticalDomain, surface: Surface,
         ("irregular grid spacing",
          domain.grid.xy_regular and domain.grid.z_regular),
         ("non-uniform or unsupported-BRDF surface (in-kernel: uniform "
-         "Lambertian or uniform RPV)",
-         surface.is_uniform_lambertian or surface.is_uniform_rpv),
+         "Lambertian, uniform RPV, or a per-pixel Lambertian grid that "
+         f"divides the domain columns, <= {128 * SURF_PX_MAX_ROWS} "
+         "columns, not lw_mode)",
+         surface.is_uniform_lambertian or surface.is_uniform_rpv
+         or surface_px_ok(surface, domain.grid, lw_mode)),
         (f"source kind {source.kind!r} not in-kernel",
          source.kind in (illumination.DIRECTIONAL,
                          illumination.RANDOM_AZIMUTH,
@@ -536,14 +568,24 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
         # j-major layout: Mosaic rejects minor-dim insertion on 16-bit
         # operands (vh[:, :, None]), so broadcast the values along a MAJOR
         # j axis. j is a SUBLANE dim here, so it needs no 128-tiling --
-        # [ht_pad, nb] @ [nb, 128] streams ~ht_pad/128 of the full-tile
-        # MXU time (ht is 9 for the step cloud: ~8x cheaper than tiling).
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (ht_pad, 1, 1), 0)
-        ohh_j = iota_j == t_hi_blk[None, :, :]
-        a_h = jnp.where(ohh_j, vh[None, :, :], zero).reshape(ht_pad, nb)
-        a_l = jnp.where(ohh_j, vl[None, :, :], zero).reshape(ht_pad, nb)
-        return (jnp.dot(a_h, o2, preferred_element_type=jnp.float32)
-                + jnp.dot(a_l, o2, preferred_element_type=jnp.float32))
+        # [2*ht_pad, nb] @ [nb, 128] streams ~2*ht_pad/128 of the
+        # full-tile MXU time (ht is 9 for the step cloud). The value
+        # hi/lo splits are STACKED along j into ONE dot (rows [0:ht) get
+        # vh, [ht:2ht) vl) so the one-hot operand streams through the
+        # MXU once instead of twice; summing the two row-blocks in f32
+        # is bitwise-identical to the previous two-dot accumulate.
+        iota_j2 = jax.lax.broadcasted_iota(jnp.int32, (2 * ht_pad, 1, 1),
+                                           0)
+        # fold j to j % ht_pad with ONE compare (no device mod, no i1 OR
+        # -- boolean ops on masks are a known Mosaic hardware hazard,
+        # see PERF_NOTES round 4): j_fold = j - ht_pad*(j >= ht_pad)
+        j_fold = iota_j2 - np.int32(ht_pad) * (
+            iota_j2 >= ht_pad).astype(jnp.int32)
+        ohh_j2 = j_fold == t_hi_blk[None, :, :]
+        vstk = jnp.where(iota_j2 < ht_pad, vh[None, :, :], vl[None, :, :])
+        a2 = jnp.where(ohh_j2, vstk, zero).reshape(2 * ht_pad, nb)
+        t2 = jnp.dot(a2, o2, preferred_element_type=jnp.float32)
+        return t2[:ht_pad] + t2[ht_pad:]
     ohh = t_hi_blk[:, :, None] == jmod.reshape(1, 1, 128)
     a = jnp.where(ohh, val_blk[:, :, None], 0.0).reshape(nb, 128)
     dn = (((0,), (0,)), ((), ()))  # contract the lane rows
@@ -566,7 +608,8 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                   use_fwd_table: bool = False, fwd_hf: int = 8,
                   fwd_n_s: int = 0, fwd_row_zero: bool = True,
                   hm_ct: int = 0, hb_cell: int = 0, nzp: int = 0,
-                  brdf: str = "lambertian", cs_rows: int = 0):
+                  brdf: str = "lambertian", cs_rows: int = 0,
+                  sa_rows: int = 0):
     """Close over static shapes; returns the pallas kernel function.
 
     Grid EDGES are traced (read from the SMEM params vector per program) so
@@ -622,7 +665,7 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bl_in,
                b_hi_ref, b_lo_ref, bm_hi_ref, bm_lo_ref, inv_ref, ea_ref,
-               fwd_ref, jmod_ref, acc_in, acci_in, acce_in,
+               fwd_ref, sa_ref, jmod_ref, acc_in, acci_in, acce_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bl_ref, acc_ref, acci_ref, acce_ref,
                nstat_ref):
@@ -1306,6 +1349,25 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                 refl = (rho0 * minnaert * hg_l
                         * (1.0 + (1.0 - rho0) / (1.0 + cap_g)))
                 w_refl = w_down * refl
+            elif brdf == "px":
+                # Per-pixel Lambertian: the surface grid divides the
+                # domain columns evenly (surface_px_ok), so the packed
+                # per-COLUMN albedo row keyed by the landing column
+                # col_e reproduces the reference's fractional surface
+                # lookup exactly (src/surfaceProperties.f95:119-147).
+                # Per-lane dynamic gather (tpu.dynamic_gather), f32.
+                lo_sa = jnp.bitwise_and(col_e, 127)
+                row0_sa = jnp.broadcast_to(sa_ref[0:1, :], (blk, 128))
+                alb_px = jnp.take_along_axis(row0_sa, lo_sa, axis=1)
+                if sa_rows > 1:
+                    hi_sa = jnp.right_shift(col_e, 7)
+                    for h_sa in range(1, sa_rows):
+                        row_sa = jnp.broadcast_to(
+                            sa_ref[h_sa:h_sa + 1, :], (blk, 128))
+                        got_sa = jnp.take_along_axis(row_sa, lo_sa,
+                                                     axis=1)
+                        alb_px = jnp.where(hi_sa == h_sa, got_sa, alb_px)
+                w_refl = w_down * alb_px
             else:
                 w_refl = w_down * albedo
             died_surface = exit_bot & (w_refl <= _TINY)
@@ -1959,22 +2021,30 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                     # dots contracted over the photon-lane dim
                     # (~11 us/step vs ~38 for the j-major layout).
                     ht_pad = -(-ht // 8) * 8
-                    iota_j = jax.lax.broadcasted_iota(
-                        jnp.int32, (ht_pad, 1, 1), 0)
-                    ohh_j = iota_j == hi_t[None, :, :]
+                    # value hi/lo splits STACKED along the sublane j axis
+                    # (rows [0:ht) vh, [ht:2ht) vl): ONE dot per block row
+                    # instead of two, so each row's lo one-hot streams
+                    # through the MXU once. j folds to j % ht_pad with a
+                    # single compare (no device mod, no i1 OR -- Mosaic
+                    # hazards). c + (H + L) reassociates the old
+                    # (c + H) + L -- within f32 rounding, not bitwise.
+                    iota_j2t = jax.lax.broadcasted_iota(
+                        jnp.int32, (2 * ht_pad, 1, 1), 0)
+                    jf_t = iota_j2t - np.int32(ht_pad) * (
+                        iota_j2t >= ht_pad).astype(jnp.int32)
+                    ohh_j2t = jf_t == hi_t[None, :, :]
                     vh_t, vl_t = _bf16_split(t_val)
                     zero_b = jnp.bfloat16(0)
-                    a_h3 = jnp.where(ohh_j, vh_t[None, :, :], zero_b)
-                    a_l3 = jnp.where(ohh_j, vl_t[None, :, :], zero_b)
+                    vstk_t = jnp.where(iota_j2t < ht_pad,
+                                       vh_t[None, :, :], vl_t[None, :, :])
+                    a_s3 = jnp.where(ohh_j2t, vstk_t, zero_b)
                     dn_t = (((1,), (1,)), ((), ()))
                     contrib = acc_ref[:]
                     for b_i in range(blk):
-                        contrib = contrib + jax.lax.dot_general(
-                            a_h3[:, b_i, :], ohs_tal[b_i], dn_t,
+                        t_2 = jax.lax.dot_general(
+                            a_s3[:, b_i, :], ohs_tal[b_i], dn_t,
                             preferred_element_type=jnp.float32)
-                        contrib = contrib + jax.lax.dot_general(
-                            a_l3[:, b_i, :], ohs_tal[b_i], dn_t,
-                            preferred_element_type=jnp.float32)
+                        contrib = contrib + (t_2[:ht_pad] + t_2[ht_pad:])
                     acc_ref[:] = contrib
                 else:
                     oh_lo_t = (oh_lo if oh_lo is not None
@@ -2377,6 +2447,29 @@ def run_batch_pallas(domain: OpticalDomain,
         ha = 8
         ea_packed = jnp.zeros((4 * ha, 128), jnp.bfloat16)
     lw = bool(lw_mode) and source.kind == illumination.EMISSION
+    # per-pixel Lambertian surface: pack the albedo grid per DOMAIN
+    # column ([sa_rows, 128] f32; surface_px_ok guarantees each surface
+    # pixel tiles whole columns, so nearest-neighbor replication is the
+    # reference's fractional lookup exactly)
+    surface_px = surface_px_ok(surface, grid, lw)
+    if surface_px:
+        def _build_sa():
+            # jnp ops only: runs under trace when run_batch's jitted impl
+            # dispatches here (surface.params is a tracer there)
+            p = jnp.asarray(surface.params[:, :, 0], jnp.float32)
+            nxs, nys = p.shape
+            col = jnp.repeat(jnp.repeat(p, nx // nxs, axis=0),
+                             ny // nys, axis=1)
+            flat = col.reshape(-1)
+            rows_sa = max(1, -(-nxy // 128))
+            pad = rows_sa * 128 - nxy
+            return jnp.pad(flat, (0, pad)).reshape(rows_sa, 128)
+
+        sa_packed = _obj_cache(surface, ("sa", nx, ny), _build_sa)
+        sa_rows = int(sa_packed.shape[0])
+    else:
+        sa_packed = jnp.zeros((8, 128), jnp.float32)
+        sa_rows = 0
     hti_pad = -(-(-(-nxy // 128)) // 8) * 8  # ceil8(ceil(nxy / 128))
     # march table for in-kernel local estimation (bm_hi/bm_lo slots):
     # "colct" packs per-COLUMN cumulative vertical optical depth
@@ -2524,7 +2617,9 @@ def run_batch_pallas(domain: OpticalDomain,
         use_fwd_table=use_fwd_table, fwd_hf=fwd_hf,
         fwd_n_s=fwd_n_s, fwd_row_zero=fwd_row_zero,
         hm_ct=hm_ct, hb_cell=hb_cell, nzp=nzp, cs_rows=cs_rows,
-        brdf="rpv" if surface.is_uniform_rpv else "lambertian")
+        brdf=("rpv" if surface.is_uniform_rpv
+              else ("px" if surface_px else "lambertian")),
+        sa_rows=sa_rows)
     # One jitted launch per static configuration: the kernel is a fresh
     # closure every _build_kernel call, so an uncached launch re-traces
     # the whole megakernel (plus the outer while_loop) EVERY batch --
@@ -2557,7 +2652,7 @@ def run_batch_pallas(domain: OpticalDomain,
                   domain.max_extinction, smu, sphi,
                   russian_roulette_weight, atms_frac, spot_x, spot_y,
                   dirs_a, b_hi, b_lo, bm_hi, bm_lo, inv_packed,
-                  ea_packed, fwd_packed, key, n_ph_arg)
+                  ea_packed, fwd_packed, sa_packed, key, n_ph_arg)
 
 
 # Bounded LRU of jitted launches, keyed by the full static configuration
@@ -2595,7 +2690,7 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
     def launch(xe, ye, ze, records, surf_params, max_ext, smu, sphi,
                rr_weight, atms_frac, spot_x, spot_y, dirs_a,
                b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
-               fwd_packed, key, n_ph_in):
+               fwd_packed, sa_packed, key, n_ph_in):
         beta_max = jnp.maximum(jnp.asarray(max_ext, jnp.float32), _TINY)
         smu_f = jnp.asarray(smu, jnp.float32)
         sphi_f = jnp.asarray(sphi, jnp.float32)
@@ -2669,7 +2764,7 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 8),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3 + 9),
             out_specs=(
                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3)
                 + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -2687,9 +2782,9 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
         ]
         # alias state + acc inputs onto outputs (in-place VMEM residency)
         aliases = {3 + i: i for i in range(n_state)}
-        aliases[3 + n_state + 8] = n_state      # acc
-        aliases[3 + n_state + 9] = n_state + 1  # acc_i
-        aliases[3 + n_state + 10] = n_state + 2  # acc_e (capped excess)
+        aliases[3 + n_state + 9] = n_state       # acc
+        aliases[3 + n_state + 10] = n_state + 1  # acc_i
+        aliases[3 + n_state + 11] = n_state + 2  # acc_e (capped excess)
 
         call = pl.pallas_call(
             kernel,
@@ -2713,7 +2808,7 @@ def _make_launch(kernel, pcfg: PallasConfig, shape, ht: int, hti_pad: int,
                 jnp.int32)
             outs = call(scal, params, dirs_a, *[state[k] for k in keys],
                         b_hi, b_lo, bm_hi, bm_lo, inv_packed, ea_packed,
-                        fwd_packed, jmod, acc, acci, acce)
+                        fwd_packed, sa_packed, jmod, acc, acci, acce)
             new_state = dict(zip(keys, outs[:n_state]))
             acc = outs[n_state]
             acci = outs[n_state + 1]
@@ -3021,6 +3116,9 @@ def run_batch_pallas_tallies(domain, surface, source, key, config,
 
     pcfg, ppl = config_for(config.n_lanes, config.photons_per_lane,
                            config.max_steps, interpret)
+    if getattr(config, "pallas_debug_parts", "all") != "all":
+        pcfg = dataclasses.replace(pcfg,
+                                   debug_parts=config.pallas_debug_parts)
     if (not config.need_volume_absorption
             and not config.need_absorption_profile
             and not config.lw_mode and pcfg.bf16):

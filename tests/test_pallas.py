@@ -7,6 +7,7 @@ Hardware performance is covered by bench.py; these tests run the kernel
 through the Pallas interpreter so CI needs no TPU.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -224,6 +225,36 @@ class TestPipelineVariants:
                                            np.asarray(ref[i]),
                                            atol=5e-4, rtol=1e-3,
                                            err_msg=f"{name} ({variant})")
+
+
+class TestKernelConfigDebugParts:
+    """KernelConfig.pallas_debug_parts must reach PallasConfig.debug_parts
+    through the run_batch-compatible entry (the measurement-harness A/B
+    channel; tools/exp_hif.py drives hardware A/Bs through it)."""
+
+    def test_threads_to_pallas_config(self, step_cloud):
+        from mcbrat3d_tpu.transport.pallas_kernel import (
+            run_batch_pallas_tallies)
+
+        key = rng.batch_key(11, 0)
+        out = []
+        for parts in ("all", "all,oldtally"):
+            cfg = KernelConfig(n_lanes=1024, photons_per_lane=4,
+                               max_steps=4096, pallas_debug_parts=parts)
+            t = run_batch_pallas_tallies(
+                step_cloud, Surface.lambertian(0.2),
+                illumination.directional(0.5, 0.0), key, cfg,
+                interpret=True)
+            out.append(t)
+        a, b = out
+        assert int(a.n_photons) == int(b.n_photons)
+        # oldtally shares streams and record tables with the default:
+        # only the tally contraction layout differs, so per-pixel values
+        # agree to f32 summation noise (proves the knob engaged a real
+        # kernel variant AND that the variant is correct end-to-end)
+        np.testing.assert_allclose(np.asarray(b.flux_up),
+                                   np.asarray(a.flux_up),
+                                   atol=5e-4, rtol=1e-3)
 
 
 class TestMegakernelIntensity:
@@ -954,6 +985,112 @@ class TestHiFirstGather:
         a = float(np.asarray(hif[2]).sum())
         b = float(np.asarray(noh[2]).sum())
         assert abs(a - b) <= max(4.0, 0.02 * abs(b) + 0.01 * n)
+
+
+class TestPerPixelSurface:
+    """Per-pixel Lambertian albedo in the record megakernel: the packed
+    per-column albedo (surface grid divides the domain columns) is
+    fetched at the landing column with per-lane dynamic gathers.
+    Reference per-pixel surface grid: src/surfaceProperties.f95:32-36,
+    119-147."""
+
+    def _checker(self, nxs, lo=0.05, hi=0.65):
+        alb = np.where(np.arange(nxs) % 2 == 0, lo, hi).astype(np.float32)
+        return Surface(params=jnp.asarray(alb.reshape(nxs, 1, 1)),
+                       brdf_name="Lambertian")
+
+    def test_eligibility_envelope(self, step_cloud):
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        src = illumination.directional(0.5, 0.0)
+        sfc = self._checker(8)
+        assert sfc.is_lambertian_grid and not sfc.is_uniform_lambertian
+        assert pk.pallas_eligible(
+            step_cloud, sfc, src, lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False)
+        # non-divisible surface grid (32 % 5 != 0) falls off
+        assert not pk.pallas_eligible(
+            step_cloud, self._checker(5), src, lw_mode=False,
+            compute_intensity=False, record_scattering_orders=0,
+            use_ray_tracing=False)
+        # lw_mode excluded (surface BBEmission uses the uniform albedo)
+        assert not pk.surface_px_ok(sfc, step_cloud.grid, lw_mode=True)
+
+    def test_uniform_valued_grid_matches_scalar_bitwise(self, step_cloud):
+        """A [4,1] grid holding one value everywhere must reproduce the
+        uniform-Lambertian megakernel run bit-for-bit (same streams, and
+        the gathered f32 albedo equals the scalar): proves the packing,
+        the column keying, and the gather plumbing with zero tolerance."""
+        src = illumination.directional(0.5, 0.0)
+        cfg = KernelConfig(n_lanes=2048, photons_per_lane=8,
+                           max_steps=6000, use_pallas="on",
+                           tail_compaction=False)
+        key = rng.batch_key(3, 0)
+        grid_sfc = Surface(
+            params=jnp.full((4, 1, 1), 0.3, jnp.float32),
+            brdf_name="Lambertian")
+        tG = run_batch(step_cloud, grid_sfc, src, key, cfg)
+        tU = run_batch(step_cloud, Surface.lambertian(0.3), src, key, cfg)
+        assert int(tG.n_photons) == int(tU.n_photons)
+        np.testing.assert_array_equal(np.asarray(tG.flux_up),
+                                      np.asarray(tU.flux_up))
+        np.testing.assert_array_equal(np.asarray(tG.flux_down),
+                                      np.asarray(tU.flux_down))
+
+    def test_checkerboard_matches_xla(self, step_cloud):
+        sfc = self._checker(8)
+        src = illumination.directional(0.5, 0.0)
+        cfgP = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                            max_steps=6000, use_pallas="on",
+                            tail_compaction=False)
+        cfgX = KernelConfig(n_lanes=2048, photons_per_lane=16,
+                            max_steps=6000, use_pallas="off",
+                            tail_compaction=False)
+        tP = run_batch(step_cloud, sfc, src, rng.batch_key(0, 0), cfgP)
+        tX = run_batch(step_cloud, sfc, src, rng.batch_key(1, 0), cfgX)
+        nP, nX = float(tP.n_photons), float(tX.n_photons)
+        for aP, aX in ((tP.flux_up, tX.flux_up),
+                       (tP.flux_down, tX.flux_down)):
+            a = np.asarray(aP) / nP
+            b = np.asarray(aX) / nX
+            sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
+            assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.5
+        # the checkerboard really discriminates: bright-stripe columns
+        # reflect more than dark-stripe columns (x-resolved flux_up)
+        up = np.asarray(tP.flux_up)[:, 0]
+        stripe = np.repeat(np.arange(8) % 2 == 0, 4)
+        assert up[~stripe].mean() > up[stripe].mean()
+
+    def test_intensity_stays_eligible(self, step_cloud):
+        """The in-kernel surface LE term (Lambertian 1/pi) is albedo-
+        independent; the per-pixel albedo rides w_refl, so radiance
+        keeps megakernel eligibility and matches XLA."""
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True)
+        sfc = self._checker(8, lo=0.1, hi=0.8)
+        src = illumination.directional(0.5, 0.0)
+        dirs = make_intensity_directions([1.0, 0.6], [0.0, 180.0])
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=False,
+                               use_hybrid_phase=False, pallas_min_mu=0.3)
+        assert not pk.intensity_ineligibility_reasons(
+            dom, sfc, src, False, 0, False, icfg, dirs, True)
+        cfgP = KernelConfig(n_lanes=2048, photons_per_lane=8,
+                            max_steps=6000, use_pallas="on",
+                            tail_compaction=False)
+        cfgX = KernelConfig(n_lanes=2048, photons_per_lane=8,
+                            max_steps=6000, use_pallas="off",
+                            tail_compaction=False)
+        tP = run_batch(dom, sfc, src, rng.batch_key(0, 0), cfgP,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        tX = run_batch(dom, sfc, src, rng.batch_key(1, 0), cfgX,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        nP, nX = float(tP.n_photons), float(tX.n_photons)
+        a = np.asarray(tP.intensity) / nP
+        b = np.asarray(tX.intensity) / nX
+        sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
+        assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 6.0
 
 
 class TestRPVSurface:

@@ -359,6 +359,32 @@ def bench_intensity():
     emit("step_cloud_radiance_throughput_128dir_chunked",
          measure(once128, 2))
 
+    # 648-direction grid: the REFERENCE'S PRODUCTION MAXIMUM
+    # (numberOfDirections hard cap, Drivers/monteCarloDriver.f95:61).
+    # 8 zeniths x 81 azimuths ordered so every full 64-dir chunk holds
+    # the same 8-mu pattern (identical march statics -> the 10 full
+    # chunks share ONE compiled launch; only the 8-dir tail chunk
+    # compiles separately).
+    mus648 = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4] * 81
+    phis648 = [(i * 360.0 / 81.0) % 360.0 for i in range(81)
+               for _ in range(8)]
+    dirs648 = make_intensity_directions(mus648, phis648)
+    icfg648 = IntensityConfig(n_dirs=648, use_russian_roulette=True,
+                              use_hybrid_phase=True, pallas_min_mu=0.4)
+    config648 = KernelConfig(n_lanes=1 << 14, photons_per_lane=4,
+                             max_steps=100_000)
+
+    def once648(b):
+        t = run_batch(domain, surface, source, rng.batch_key(2, b),
+                      config648, intensity_config=icfg648,
+                      intensity_dirs=dirs648)
+        assert t.intensity.shape[-1] == 648
+        float(jnp.sum(t.intensity))  # await every chunk's program
+        return int(t.n_photons)
+
+    emit("step_cloud_radiance_throughput_648dir_chunked",
+         measure(once648, 2))
+
 
 def bench_lw_flagship():
     """The reference's broadband-LW flagship shape: 325 x 325 x 150

@@ -89,7 +89,7 @@ def measure(domain, source, lw, ppl, parts, reps=3):
 
     config = KernelConfig(n_lanes=1 << 16, photons_per_lane=ppl,
                           max_steps=800_000, use_pallas="on",
-                          lw_mode=lw, debug_parts=parts)
+                          lw_mode=lw, pallas_debug_parts=parts)
     sfc = Surface.lambertian(0.05 if lw else 0.0)
     t = run_batch(domain, sfc, source, rng.batch_key(0, 0), config)
     n = int(t.n_photons)  # sync (compile + warm)

@@ -53,12 +53,20 @@ def _tallies_to_arrays(t):
         "flux_up": np.asarray(t.flux_up),
         "flux_down": np.asarray(t.flux_down),
         "flux_absorbed": np.asarray(t.flux_absorbed),
-        "volume_absorption": np.asarray(t.volume_absorption),
     }
+    # volume_absorption is None on the flux_abs_2d / column fast paths
+    # (the z marginal or 2D tally replaces the full 3D field); mirror
+    # driver/run.py's guarded layout so every tally shape accumulates.
+    if t.volume_absorption is not None:
+        arrays["volume_absorption"] = np.asarray(t.volume_absorption)
     arrays["mean_flux_up"] = arrays["flux_up"].mean()
     arrays["mean_flux_down"] = arrays["flux_down"].mean()
     arrays["mean_flux_absorbed"] = arrays["flux_absorbed"].mean()
-    arrays["absorption_profile"] = arrays["volume_absorption"].mean(axis=(0, 1))
+    if getattr(t, "absorption_profile", None) is not None:
+        arrays["absorption_profile"] = np.asarray(t.absorption_profile)
+    elif t.volume_absorption is not None:
+        arrays["absorption_profile"] = arrays[
+            "volume_absorption"].mean(axis=(0, 1))
     if t.intensity is not None:
         arrays["intensity"] = np.asarray(t.intensity)
     return arrays

@@ -240,6 +240,30 @@ class TestCommonDomainIO:
 
 
 class TestBroadbandEndToEnd:
+    def test_tallies_to_arrays_fast_path_layouts(self):
+        """Accumulation must accept every tally layout: the record
+        megakernel's flux_abs_2d path (volume_absorption=None, no
+        profile) and the column path (z-marginal absorption_profile
+        only). Regression: r4 hardware broadband crashed on
+        np.asarray(None).mean."""
+        import jax.numpy as jnp
+
+        from mcbrat3d_tpu.spectral.broadband import _tallies_to_arrays
+        from mcbrat3d_tpu.transport.integrator import Tallies
+
+        f = jnp.ones((4, 4))
+        base = dict(flux_up=f, flux_down=f, flux_absorbed=f,
+                    n_photons=jnp.int32(16), n_bad=jnp.int32(0))
+        flat = _tallies_to_arrays(Tallies(volume_absorption=None, **base))
+        assert "volume_absorption" not in flat
+        assert "absorption_profile" not in flat
+        col = _tallies_to_arrays(Tallies(
+            volume_absorption=None, absorption_profile=jnp.ones(5), **base))
+        assert col["absorption_profile"].shape == (5,)
+        full = _tallies_to_arrays(Tallies(
+            volume_absorption=jnp.ones((4, 4, 5)), **base))
+        assert full["absorption_profile"].shape == (5,)
+
     def test_sw_broadband_conserves(self, tmp_path):
         """Two-wavelength SW broadband run over a scattering slab: with a
         black surface, up+down per photon == 1, so scaled fluxes sum to the

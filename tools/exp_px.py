@@ -56,8 +56,15 @@ def main():
     # (1 - albedo_px) * w -- surface absorption = T-weighted mean albedo
     # complement, so R + A + (surface-absorbed) == 1; we only check the
     # atmospheric budget brackets and stripe ordering here.
+    # R+T+A > 1 is expected with a reflecting surface (T counts every
+    # downward surface crossing, including re-descents of reflected
+    # photons); the conserved identity is R + A + surface-absorbed = 1,
+    # so the T-weighted mean surface albedo back-solves as
+    # 1 - (1 - R - A)/T ~ the 0.35 grid mean.
+    rho_eff = 1.0 - (1.0 - R - A) / max(T, 1e-9)
     print(f"checkerboard: R={R:.4f} T={T:.4f} A={A:.4f} "
-          f"(R+T+A={R + T + A:.4f}, <= 1 + eps)", flush=True)
+          f"T-weighted mean albedo={rho_eff:.4f} (grid mean 0.35)",
+          flush=True)
     up = np.asarray(t.flux_up)[:, 0]
     stripe = np.repeat(np.arange(8) % 2 == 0, 4)
     print("bright stripes reflect more:",

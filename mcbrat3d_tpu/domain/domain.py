@@ -213,10 +213,18 @@ class OpticalDomain:
     sep_em_alias: Optional[jax.Array] = None  # [nx*ny] f32 column targets
     sep_em_zpa: Optional[jax.Array] = None    # [4, nz] cloudP,cloudA,gasP,gasA
     sep_em_pb: Optional[jax.Array] = None     # [1] f32 P(cloud branch)
+    # Component count when the per-cell fields are absent
+    # (build_domain(device_fields="compact") skips the 3D device arrays:
+    # a flagship bin is ~1 GB of cell records/cum_ext/ssa/phase_index
+    # uploads the separable megakernel never reads).
+    ncomp_hint: int = dataclasses.field(metadata=dict(static=True),
+                                        default=0)
 
     @property
     def n_components(self) -> int:
-        return self.cum_ext.shape[-1]
+        if self.cum_ext is not None:
+            return self.cum_ext.shape[-1]
+        return self.ncomp_hint
 
     @property
     def max_extinction(self):
@@ -227,10 +235,11 @@ _SEP_NONE = dict(sep_amp=None, sep_pz=None, sep_qz=None, sep_block=None,
                  sep_tz=None, sep_scalars=None, sep_template=False,
                  sep_zb=0, sep_zt=0, sep_analytic_hg=False, sep_inv_row=0,
                  sep_tz_uniform=False, sep_em_prob=None, sep_em_alias=None,
-                 sep_em_zpa=None, sep_em_pb=None)
+                 sep_em_zpa=None, sep_em_pb=None, _sep_em_atm=0.0)
 
 
-def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz):
+def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz,
+                         dz_km):
     """Host-side separable BBEmission aliases (see OpticalDomain.sep_em_*).
 
     Reference sampling being replaced: the 3-level CDF scan of
@@ -247,6 +256,13 @@ def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz):
     w_gas = float(nxy * q1.sum())
     tot = w_cloud + w_gas
     pb = w_cloud / tot if tot > 0 else 0.0
+    # Total atmospheric emission, summed over all voxels in
+    # emission_weighting's units (contribution = 4 pi B kabs dz,
+    # kabs = a*p*(1-ssa) + q): the factorized equivalent of its
+    # 15.8M-voxel Kahan scan, used by illumination.emission_separable
+    # for the atmosphere/surface power split (fracAtmsPower; reference:
+    # src/monteCarloIllumination.f95:457-522).
+    atm_total = 4.0 * np.pi * float(dz_km) * tot
     asum = a.sum()
     prob_c, alias_c = _walker_alias(
         a / asum if asum > 0 else np.full(nxy, 1.0 / nxy))
@@ -262,7 +278,8 @@ def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz):
         sep_em_alias=jnp.asarray(alias_c, jnp.float32),
         sep_em_zpa=jnp.asarray(
             np.stack([zp_c, za_c, zp_g, za_g]), jnp.float32),
-        sep_em_pb=jnp.asarray([pb], jnp.float32))
+        sep_em_pb=jnp.asarray([pb], jnp.float32),
+        _sep_em_atm=atm_total)
 
 
 def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
@@ -368,12 +385,14 @@ def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
             tz = t[0, 0, :].astype(np.float32)
 
     em = dict(sep_em_prob=None, sep_em_alias=None, sep_em_zpa=None,
-              sep_em_pb=None)
+              sep_em_pb=None, _sep_em_atm=0.0)
     if tz_uniform and lambda_um > 0.0:
+        ze = np.asarray(grid.z_edges, np.float64)
         em = _sep_emission_tables(
             a.reshape(-1).astype(np.float64), p.astype(np.float64),
             q.astype(np.float64), tz.astype(np.float64), ssa_cloud,
-            float(lambda_um), nx * ny, nz)
+            float(lambda_um), nx * ny, nz,
+            dz_km=(ze[-1] - ze[0]) / nz)
 
     return dict(
         **em,
@@ -398,16 +417,29 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                  hybrid_width_deg: float = 0.0,
                  temps: Optional[np.ndarray] = None,
                  lambda_um: float = 0.0,
-                 macro_factor: int = 0) -> OpticalDomain:
+                 macro_factor: int = 0,
+                 device_fields: str = "full") -> OpticalDomain:
     """Flatten components into the solver arrays and stack phase tables.
 
     Cumulative extinction is *fractional*: cum_ext[..., -1] == 1 wherever
     total extinction is positive (reference:
     src/opticalProperties.f95:1055-1061); component selection in the kernel
     bisects a uniform deviate against it.
+
+    ``device_fields="compact"`` skips the per-cell device arrays
+    (total_ext/cum_ext/ssa/phase_index/cell_records/temps are None) and
+    builds ONLY the separable-template tables: a flagship 325x325x150 bin
+    is ~1 GB of device uploads the separable megakernel never reads, so
+    broadband loops rebuild per-bin domains compactly once the sep path is
+    confirmed. Raises if the domain is not separable; a compact domain is
+    usable only by transport/pallas_sep.py (run_batch rejects it
+    elsewhere).
     """
     if not components:
         raise ValueError("need at least one optical component")
+    if device_fields not in ("full", "compact"):
+        raise ValueError(f"device_fields={device_fields!r} "
+                         "(expected 'full' or 'compact')")
     nx, ny, nz = grid.shape
     ncomp = len(components)
 
@@ -432,10 +464,6 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         pfi[:, :, z0:z1, c] = p
 
     total = ext.sum(axis=-1)
-    cum = np.cumsum(ext, axis=-1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        cum_frac = np.where(total[..., None] > 0, cum / np.maximum(total[..., None], 1e-300), 1.0)
-    cum_frac[..., -1] = 1.0
 
     # --- stacked device tables ---
     inv_list, fwd_list, offsets = [], [], []
@@ -472,6 +500,48 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                  for comp in components
                  for p in comp.phase_function_table.phase_functions)
     n_cells = nx * ny * nz
+
+    if device_fields == "compact":
+        # Separable-only domain: uniformity flags from the component
+        # arrays directly (the packed records they normally come from are
+        # skipped), then the sep detection and nothing else.
+        occ = total > 0.0
+        uniform_ssa = uniform_hg = False
+        if ncomp == 1:
+            sv = ssa[..., 0][occ] if occ.any() else ssa.flat[:1]
+            gs = np.array(
+                [pf.hg_g if pf.hg_g is not None else 0.0
+                 for pf in components[0].phase_function_table.phase_functions],
+                np.float32)
+            gv = gs[pfi[..., 0][occ]] if occ.any() else gs[:1]
+            uniform_ssa = bool(np.all(sv == sv.flat[0]))
+            uniform_hg = bool(np.all(gv == gv.flat[0]))
+        sep = _detect_separable(grid, components, ext, ssa, pfi, all_hg,
+                                macro_factor, temps, False,
+                                lambda_um=float(lambda_um))
+        sep_atm = sep.pop("_sep_em_atm", 0.0)
+        if not sep["sep_template"]:
+            raise ValueError(
+                "build_domain(device_fields='compact') requires a "
+                "separable domain (beta = a[col]*p[z] + q[z], one rank-1 "
+                "scattering component plus at most one horizontally "
+                "uniform pure absorber); this one is not -- rebuild with "
+                "device_fields='full'")
+        dom = OpticalDomain(
+            grid=grid, total_ext=None, cum_ext=None, ssa=None,
+            phase_index=None, cell_records=None, tables=tables,
+            all_hg=all_hg, uniform_ssa=uniform_ssa, uniform_hg=uniform_hg,
+            macro_factor=int(macro_factor), temps=None,
+            lambda_um=float(lambda_um), ncomp_hint=ncomp, **sep)
+        object.__setattr__(dom, "sep_em_atm", sep_atm)
+        return dom
+
+    cum = np.cumsum(ext, axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cum_frac = np.where(
+            total[..., None] > 0,
+            cum / np.maximum(total[..., None], 1e-300), 1.0)
+    cum_frac[..., -1] = 1.0
 
     # Local majorant field for two-level Woodcock: max extinction over each
     # cell's macro block. Requires a regular grid (the kernel computes
@@ -654,8 +724,9 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
     sep = _detect_separable(grid, components, ext, ssa, pfi, all_hg,
                             macro_factor, temps, col_template,
                             lambda_um=float(lambda_um))
+    sep_atm = sep.pop("_sep_em_atm", 0.0)
 
-    return OpticalDomain(
+    dom = OpticalDomain(
         grid=grid,
         total_ext=jnp.asarray(total, jnp.float32),
         **sep,
@@ -677,3 +748,8 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
         **col_em,
         **col_gas,
     )
+    # Host-side scalar for illumination.emission_separable (NOT a pytree
+    # leaf: per-bin values must not retrigger jit, and only host setup
+    # code reads it).
+    object.__setattr__(dom, "sep_em_atm", sep_atm)
+    return dom

@@ -48,6 +48,10 @@ class SimulationConfig:
     zeta_min: float = 0.3
     limit_intensity_contributions: bool = False
     max_intensity_contribution: float = 77.0
+    # framework extension (no reference equivalent): megakernel dispatch
+    # policy -- "auto" (fast path on TPU when eligible), "on" (require a
+    # megakernel; raise naming the failing predicates), "off" (XLA kernel)
+    use_pallas: str = "auto"
 
     # --- namelist /output/ ---
     report_volume_absorption: bool = False
@@ -138,6 +142,7 @@ _KEY_MAP = {
     "userussianrouletteforintensity": "use_russian_roulette_intensity",
     "zetamin": "zeta_min",
     "limitintensitycontributions": "limit_intensity_contributions",
+    "usepallas": "use_pallas",
     "maxintensitycontribution": "max_intensity_contribution",
     # output
     "reportvolumeabsorption": "report_volume_absorption",

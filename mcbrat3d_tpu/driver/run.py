@@ -80,6 +80,7 @@ def kernel_config_from(cfg: SimulationConfig,
         # the column/separable kernels tally the profile natively
         need_absorption_profile=(cfg.report_absorption_profile
                                  or bool(cfg.output_abs_prof_file)),
+        use_pallas=cfg.use_pallas,
     )
 
 

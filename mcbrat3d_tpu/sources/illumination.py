@@ -70,6 +70,11 @@ class Source:
     # [n_vox, 2] stack of (em_prob, em_alias) so the XLA sampling path
     # fetches both with ONE row gather (HBM gathers cost per row index).
     em_packed: jax.Array = None
+    # Emission backed by the domain's separable tables (sep_em_*) instead
+    # of a per-voxel alias: no voxel CDF or alias arrays exist; only the
+    # separable megakernel can sample this source.
+    em_sep: bool = dataclasses.field(metadata=dict(static=True),
+                                     default=False)
 
 
 def directional(solar_mu: float, solar_azimuth_deg: float) -> Source:
@@ -133,6 +138,45 @@ def emission(voxel_cdf, atms_fraction, grid_shape) -> Source:
                   grid_shape=(int(nx), int(ny), int(nz)),
                   em_prob=em_prob, em_alias=em_alias,
                   em_packed=em_packed)
+
+
+def emission_separable(domain, surface_temp: float,
+                       surface_emissivity: float) -> Source:
+    """Thermal emission source backed by the domain's separable tables.
+
+    Skips emission_weighting's full per-voxel Planck CDF (a 15.8M-voxel
+    Kahan scan per wavelength bin at flagship scale) and the per-voxel
+    Walker alias upload: the separable megakernel samples the emission
+    voxel from domain.sep_em_* directly, so the source only needs the
+    atmosphere/surface power split. That split is exact in the factorized
+    form (domain.sep_em_atm, built host-side in build_domain):
+      frac = atm / (atm + pi * emissivity * B(Tsfc))
+    (fracAtmsPower; reference: src/monteCarloIllumination.f95:457-522).
+
+    Requires a domain built with temps + lambda_um (sep_em_prob present).
+    Usable ONLY with the separable megakernel (transport/pallas_sep.py).
+    """
+    from mcbrat3d_tpu.core.planck import planck_radiance
+
+    if getattr(domain, "sep_em_prob", None) is None:
+        raise ValueError(
+            "emission_separable needs a separable domain built with "
+            "temps and lambda_um (domain.sep_em_prob is None)")
+    nx, ny, nz = domain.grid.shape
+    # per-column mean, matching emission_weighting's
+    # atms_power = atms_total * area / (nx*ny) vs pi*e*B*area
+    atm = float(getattr(domain, "sep_em_atm", 0.0)) / (nx * ny)
+    if surface_emissivity > 0.0 and surface_temp > 0.0:
+        sfc = np.pi * surface_emissivity * planck_radiance(
+            float(domain.lambda_um), float(surface_temp))
+    else:
+        sfc = 0.0
+    tot = atm + sfc
+    frac = atm / tot if tot > 0.0 else 0.0
+    return Source(kind=EMISSION,
+                  atms_fraction=jnp.float32(frac),
+                  grid_shape=(int(nx), int(ny), int(nz)),
+                  em_sep=True)
 
 
 def _load_alias_native():

@@ -72,6 +72,37 @@ def _tallies_to_arrays(t):
     return arrays
 
 
+def _sep_path_confirmed(domain, surface, source, kcfg, icfg) -> bool:
+    """True when this bin's run dispatches to the separable megakernel
+    (on TPU with use_pallas='auto', or anywhere with 'on') -- the record
+    and column kernels take precedence in run_batch's dispatch order, so
+    they must be INELIGIBLE for the sep path to be the one that runs."""
+    import jax
+
+    from mcbrat3d_tpu.transport import pallas_col as _pc
+    from mcbrat3d_tpu.transport import pallas_kernel as _pk
+    from mcbrat3d_tpu.transport import pallas_sep as _psep
+
+    if kcfg.use_pallas == "off":
+        return False
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not (on_tpu or kcfg.use_pallas == "on"):
+        return False
+    compute_intensity = icfg is not None
+    common = dict(lw_mode=kcfg.lw_mode, compute_intensity=compute_intensity,
+                  record_scattering_orders=kcfg.record_scattering_orders,
+                  use_ray_tracing=kcfg.use_ray_tracing)
+    if not _pk.ineligibility_reasons(domain, surface, source, **common):
+        return False
+    if _pc.pallas_col_eligible(
+            domain, surface, source,
+            need_volume_absorption=kcfg.need_volume_absorption, **common):
+        return False
+    return _psep.pallas_sep_eligible(
+        domain, surface, source,
+        need_volume_absorption=kcfg.need_volume_absorption, **common)
+
+
 def run_broadband(cfg: SimulationConfig,
                   common=None, ssp_tables=None, mesh=None,
                   accumulator=None, start_batch: int = 0,
@@ -153,6 +184,12 @@ def run_broadband(cfg: SimulationConfig,
 
     acc = accumulator if accumulator is not None else MomentAccumulator()
     global_batch = 0
+    # Per-bin domains start "full" (every kernel path available); once a
+    # bin proves the separable megakernel dispatches, later bins rebuild
+    # with device_fields="compact" (skipping ~1 GB/bin of per-cell device
+    # uploads at flagship scale) and separable-backed emission sources
+    # (skipping the per-bin 15.8M-voxel Planck CDF + alias build).
+    compact = False
     for li in range(n_lambda):
         if freq[li] <= 0:
             continue
@@ -164,22 +201,40 @@ def run_broadband(cfg: SimulationConfig,
         comps, albedo, lam_um = components_from_ssp(
             common, ssp_tables, li, setup=False,
             calc_rayleigh=cfg.calc_rayleigh)
-        domain = build_domain(
-            grid, comps, n_cdf_steps=cfg.n_phase_intervals,
+        build = dict(
+            n_cdf_steps=cfg.n_phase_intervals,
             compute_intensity_tables=cfg.compute_intensity,
             hybrid_width_deg=(cfg.hybrid_phase_fun_width
                               if cfg.use_hybrid_phase_funs else 0.0),
             temps=common.temps, lambda_um=lam_um)
+        if compact:
+            try:
+                domain = build_domain(grid, comps, device_fields="compact",
+                                      **build)
+            except ValueError:  # this bin broke the separable structure
+                compact = False
+                domain = build_domain(grid, comps, **build)
+        else:
+            domain = build_domain(grid, comps, **build)
         surface = Surface.lambertian(albedo, temperature=cfg.surface_temp,
                                      emissivity=1.0 - albedo)
         if cfg.is_longwave:
-            kabs = absorption_coefficient(comps, grid)
-            w = emission_weighting(grid, common.temps, kabs,
-                                   cfg.surface_temp, 1.0 - albedo, lam_um)
-            source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
-                                           grid.shape)
+            if compact:
+                source = illumination.emission_separable(
+                    domain, cfg.surface_temp, 1.0 - albedo)
+            else:
+                kabs = absorption_coefficient(comps, grid)
+                w = emission_weighting(grid, common.temps, kabs,
+                                       cfg.surface_temp, 1.0 - albedo,
+                                       lam_um)
+                source = illumination.emission(w.voxel_cdf,
+                                               w.frac_atms_power,
+                                               grid.shape)
         else:
             source = illumination.directional(cfg.solar_mu, cfg.solar_azimuth)
+        if not compact:
+            compact = _sep_path_confirmed(domain, surface, source, kcfg,
+                                          icfg)
 
         remaining = int(freq[li])
         while remaining > 0:

@@ -465,6 +465,23 @@ def _run_batch_impl(domain: OpticalDomain,
                 "megakernel envelope; failing predicates: "
                 + "; ".join(reasons))
 
+    # Compact domains / separable-backed emission sources carry no
+    # per-cell fields -- only the separable megakernel can run them.
+    if domain.cell_records is None or getattr(source, "em_sep", False):
+        from mcbrat3d_tpu.transport import pallas_sep as _psep
+        reasons = _psep.sep_ineligibility_reasons(
+            domain, surface, source, cfg.lw_mode,
+            intensity_config is not None, cfg.record_scattering_orders,
+            cfg.use_ray_tracing, cfg.need_volume_absorption)
+        what = ("domain was built with device_fields='compact'"
+                if domain.cell_records is None
+                else "source is emission_separable")
+        raise ValueError(
+            f"{what}, which only the separable megakernel supports, but "
+            "the run did not dispatch there "
+            + ("(use_pallas != 'on' and not on TPU)" if not reasons else
+               "; failing predicates: " + "; ".join(reasons)))
+
     grid = domain.grid
     nx, ny, nz = grid.shape
     nxy = nx * ny

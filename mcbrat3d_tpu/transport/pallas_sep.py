@@ -84,7 +84,7 @@ def sep_ineligibility_reasons(domain: OpticalDomain, surface: Surface,
     f = domain.macro_factor if domain.macro_factor > 0 else max(nx, ny)
     nbx, nby = -(-nx // f), -(-ny // f)
     em_ok = (source.kind != illumination.EMISSION
-             or (source.em_prob is not None
+             or ((source.em_prob is not None or source.em_sep)
                  and domain.sep_em_prob is not None))
     checks = (
         ("domain is not separable (beta != a[col]*p[z] + q[z]; "

@@ -288,6 +288,121 @@ class TestMultiSlice:
             f"slice-1 emission share {r_got} vs {r_dens}")
 
 
+class TestCompactDomain:
+    """build_domain(device_fields='compact') skips the ~1 GB/bin per-cell
+    device arrays at flagship scale; the separable megakernel only reads
+    the sep_* tables, so a compact domain must run IDENTICALLY to the
+    full build, and illumination.emission_separable must reproduce
+    emission_weighting's power split without the per-voxel Planck CDF
+    (broadband rebuild loop; reference: Drivers/monteCarloDriver.f95:889-1129)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        grid, comps, temps = lw_flagship_scene(
+            nx=16, ny=16, nz=150, cloud_base_level=55, cloud_top_level=85)
+        kw = dict(temps=temps, macro_factor=8, n_cdf_steps=201,
+                  lambda_um=10.0)
+        full = build_domain(grid, comps, **kw)
+        compact = build_domain(grid, comps, device_fields="compact", **kw)
+        return full, compact, comps, temps
+
+    def test_tables_match_full_build(self, pair):
+        full, compact, _, _ = pair
+        assert compact.cell_records is None
+        assert compact.total_ext is None and compact.cum_ext is None
+        assert compact.sep_template
+        assert compact.n_components == full.n_components
+        for f in ("sep_amp", "sep_pz", "sep_qz", "sep_block", "sep_tz",
+                  "sep_scalars", "sep_em_prob", "sep_em_alias",
+                  "sep_em_zpa", "sep_em_pb"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, f)),
+                np.asarray(getattr(compact, f)), err_msg=f)
+        assert (full.sep_zb, full.sep_zt) == (compact.sep_zb, compact.sep_zt)
+        assert full.sep_analytic_hg == compact.sep_analytic_hg
+        assert full.uniform_ssa == compact.uniform_ssa
+        assert compact.sep_em_atm == pytest.approx(full.sep_em_atm)
+        assert compact.sep_em_atm > 0.0
+
+    def test_sw_run_bitwise_matches_full(self, pair):
+        full, compact, _, _ = pair
+        cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2,
+                           max_steps=4096, use_pallas="on",
+                           need_volume_absorption=False)
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        a = run_batch(full, sfc, src, rng.batch_key(5, 0), cfg)
+        b = run_batch(compact, sfc, src, rng.batch_key(5, 0), cfg)
+        np.testing.assert_array_equal(np.asarray(a.flux_up),
+                                      np.asarray(b.flux_up))
+        np.testing.assert_array_equal(np.asarray(a.flux_down),
+                                      np.asarray(b.flux_down))
+        np.testing.assert_array_equal(np.asarray(a.absorption_profile),
+                                      np.asarray(b.absorption_profile))
+
+    def test_emission_separable_power_split(self, pair):
+        full, compact, comps, temps = pair
+        kabs = absorption_coefficient(comps, full.grid)
+        w = emission_weighting(full.grid, temps, kabs, 288.0, 0.95, 10.0)
+        src = illumination.emission_separable(compact, 288.0, 0.95)
+        assert src.em_sep and src.voxel_cdf is None and src.em_prob is None
+        assert float(src.atms_fraction) == pytest.approx(
+            w.frac_atms_power, rel=1e-5)
+
+    def test_lw_run_matches_full_alias_emission(self, pair):
+        full, compact, comps, temps = pair
+        kabs = absorption_coefficient(comps, full.grid)
+        w = emission_weighting(full.grid, temps, kabs, 288.0, 0.95, 10.0)
+        src_full = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                         full.grid.shape)
+        src_sep = illumination.emission_separable(compact, 288.0, 0.95)
+        sfc = Surface.lambertian(0.05)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=4,
+                           max_steps=20_000, use_pallas="on", lw_mode=True,
+                           need_volume_absorption=False)
+        a = run_batch(full, sfc, src_full, rng.batch_key(41, 0), cfg)
+        b = run_batch(compact, sfc, src_sep, rng.batch_key(41, 1), cfg)
+        na, nb = int(a.n_photons), int(b.n_photons)
+        for fa, fb, name in ((a.flux_up, b.flux_up, "up"),
+                             (a.flux_down, b.flux_down, "down")):
+            ra = float(np.asarray(fa).sum()) / na
+            rb = float(np.asarray(fb).sum()) / nb
+            sigma = 2.0 * np.sqrt(0.25 / na + 0.25 / nb)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name
+        pa = np.asarray(a.absorption_profile) / na
+        pb = np.asarray(b.absorption_profile) / nb
+        np.testing.assert_allclose(pa, pb, atol=8e-3)
+
+    def test_compact_rejects_nonseparable(self):
+        from mcbrat3d_tpu.core.grid import Grid
+        from mcbrat3d_tpu.domain.domain import OpticalComponent
+        from mcbrat3d_tpu.physics.phase_function import (
+            PhaseFunction,
+            PhaseFunctionTable,
+        )
+        r = np.random.RandomState(3)
+        ext = 0.5 + r.rand(8, 8, 12)  # full-rank 3D field: not separable
+        table = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 32)], key=[1.0])
+        comp = OpticalComponent(
+            name="random", extinction=ext,
+            single_scattering_albedo=np.full_like(ext, 0.9),
+            phase_function_index=np.zeros(ext.shape, np.int32),
+            phase_function_table=table)
+        with pytest.raises(ValueError, match="separable"):
+            build_domain(Grid.regular(8, 8, 12, 0.1, 0.1, 0.1), [comp],
+                         device_fields="compact")
+
+    def test_compact_off_pallas_raises(self, pair):
+        _, compact, _, _ = pair
+        cfg = KernelConfig(n_lanes=256, photons_per_lane=1, max_steps=512,
+                           use_pallas="off", need_volume_absorption=False)
+        with pytest.raises(ValueError, match="compact"):
+            run_batch(compact, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(0, 0), cfg)
+
+
 def test_public_dispatch_use_pallas_on():
     """run_batch routes separable domains beyond the record envelope
     through the separable kernel when use_pallas='on'."""

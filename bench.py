@@ -547,8 +547,98 @@ def bench_broadband(n_lam=16, n_phase=9001, ppb=1 << 18, n_batches=16,
     return res, dt
 
 
+def bench_broadband_lw(n_lam=16, n_phase=2001, ppb=1 << 20, n_batches=16,
+                       nx=128, ny=128, nz=150, emit_metric=True):
+    """End-to-end broadband LW: per-bin SSP rebuild + Planck frequency
+    distribution + thermal transport + moment accumulation, on a
+    flagship-structure scene (rank-1 stratocumulus amplitude x vertical
+    profile + horizontally uniform gas absorber, z-uniform lapse temps --
+    the separable class of run/I3RC_bench_LW.deck:45). Rate is total
+    photons / total wall-clock INCLUDING all setup. Bin 0 runs a full
+    domain build; once the separable megakernel dispatch is confirmed,
+    later bins rebuild with device_fields='compact' (no per-cell device
+    arrays) and emission_separable sources (no per-voxel Planck CDF) --
+    the setup path the reference pays per (rank, bin)
+    (reference: Drivers/monteCarloDriver.f95:889-1129)."""
+    import numpy as np
+
+    from mcbrat3d_tpu.core.grid import Grid
+    from mcbrat3d_tpu.domain.common import CommonDomain
+    from mcbrat3d_tpu.domain.ssp import SSPComponent, SSPTable
+    from mcbrat3d_tpu.driver.config import SimulationConfig
+    from mcbrat3d_tpu.spectral.broadband import run_broadband
+
+    C = 2.99792458e8
+    lambdas = np.linspace(8.0, 13.0, n_lam)
+    rs = np.random.RandomState(7)
+    # LW Mie-class cloud entries: modest-g Legendre rows per (Reff, lambda)
+    n_reff = 3
+    starts = np.zeros((n_reff, n_lam))
+    lengths = np.zeros((n_reff, n_lam))
+    cmat = np.zeros((n_reff * 32, n_lam))
+    for li in range(n_lam):
+        pos = 1
+        for e in range(n_reff):
+            g1 = 0.80 + 0.02 * e + 0.003 * li
+            l = np.arange(1, 33, dtype=np.float64)
+            cmat[pos - 1:pos + 31, li] = g1 ** l
+            starts[e, li] = pos
+            lengths[e, li] = 32
+            pos += 32
+    cloud = SSPComponent(
+        name="cloud water", ext_type="volExt",
+        key=np.linspace(5.0, 25.0, n_reff),
+        extinction=2.0 + 0.5 * rs.rand(n_reff, n_lam),
+        ssa=np.full((n_reff, n_lam), 0.6),
+        legendre_start=starts, legendre_length=lengths,
+        legendre_coeffs=cmat)
+    gas = SSPComponent(name="gas", ext_type="absXsec",
+                       xsec=2e-26 * (1.0 + 0.2 * rs.rand(nz, n_lam)))
+    tbl = SSPTable(freq_hz=C * 1e6 / lambdas,
+                   surface_albedo=np.full(n_lam, 0.05),
+                   components=[cloud, gas])
+
+    grid = Grid.regular(nx, ny, nz, 0.1, 0.1, 0.04)
+    # rank-1 cloud: correlated horizontal amplitude x LWC-like z ramp
+    f = rs.rand(nx, ny)
+    for _ in range(4):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    amp = (f - f.min()) / max(f.max() - f.min(), 1e-9)
+    amp = amp * (f > np.quantile(f, 0.3))
+    zprof = np.zeros(nz)
+    zprof[55:85] = np.linspace(0.3, 1.0, 30)
+    mass = np.zeros((1, nx, ny, nz))
+    mass[0] = amp[:, :, None] * zprof[None, None, :]
+    # exponential gas density + lapse temps, horizontally uniform
+    zc = 0.04 * (np.arange(nz) + 0.5)
+    numc = 1.2e25 * np.exp(-zc / 2.0)
+    temps = 288.0 - 6.5 * zc
+    common = CommonDomain(
+        grid=grid,
+        temps=np.broadcast_to(temps, (nx, ny, nz)).copy(),
+        num_conc=np.broadcast_to(numc, (nx, ny, nz)).copy(),
+        mass_conc=mass,
+        reff=np.full((1, nx, ny, nz), 10.0))
+
+    cfg = SimulationConfig(
+        surface_temp=288.0, num_lambda=n_lam, lw_flag=1.0,
+        calc_rayleigh=False,
+        num_photons_per_batch=ppb, num_batches=n_batches, iseed=11,
+        n_phase_intervals=n_phase, n_lanes=1 << 16, max_steps=200_000,
+        use_pallas="on", report_volume_absorption=False)
+    t0 = time.time()
+    res = run_broadband(cfg, common=common, ssp_tables=[tbl])
+    dt = time.time() - t0
+    if emit_metric:
+        emit(f"broadband_lw_{n_lam}bin_end_to_end_throughput",
+             res.total_photons / dt, setup_included=True)
+    return res, dt
+
+
 SELECTIVE = {
     "--broadband": bench_broadband,
+    "--broadband-lw": bench_broadband_lw,
     "--intensity": bench_intensity,
     "--landsat": bench_landsat,
     "--lw": bench_lw_emission,
@@ -602,9 +692,10 @@ def main():
     # separable kernel (2-5 min) precede the first measurement
     sweep = [("--step-cloud", 360), ("--multi", 300), ("--lw", 300),
              ("--tabulated", 300), ("--radar", 300), ("--landsat", 300),
-             ("--intensity", 540), ("--broadband", 480), ("--flagship", 900)]
+             ("--intensity", 540), ("--broadband", 480),
+             ("--broadband-lw", 480), ("--flagship", 900)]
     headline = None
-    sweep_deadline = t_start + 35 * 60.0  # global sweep budget: 35 min
+    sweep_deadline = t_start + 40 * 60.0  # global sweep budget: 40 min
     if not wait_for_device(max_wait_s=240.0):
         _emit_raw({"metric": "step_cloud_photon_throughput", "value": 0.0,
                    "unit": "photons/sec/chip", "vs_baseline": 0.0,

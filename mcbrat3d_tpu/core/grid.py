@@ -44,23 +44,58 @@ class Grid:
             d = np.diff(e)
             return bool(np.all(np.abs(d - d[0]) <= 4 * np.spacing(e[-1]))) and e.size > 1
 
-        return Grid(
+        g = Grid(
             x_edges=jnp.asarray(xe),
             y_edges=jnp.asarray(ye),
             z_edges=jnp.asarray(ze),
             xy_regular=_regular(xe) and _regular(ye),
             z_regular=_regular(ze),
         )
+        g._cache_edges(xe, ye, ze)
+        return g
 
     @staticmethod
     def regular(nx, ny, nz, dx, dy, dz, x0=0.0, y0=0.0, z0=0.0) -> "Grid":
-        return Grid(
-            x_edges=jnp.asarray(x0 + dx * np.arange(nx + 1), jnp.float32),
-            y_edges=jnp.asarray(y0 + dy * np.arange(ny + 1), jnp.float32),
-            z_edges=jnp.asarray(z0 + dz * np.arange(nz + 1), jnp.float32),
+        xe = (x0 + dx * np.arange(nx + 1)).astype(np.float32)
+        ye = (y0 + dy * np.arange(ny + 1)).astype(np.float32)
+        ze = (z0 + dz * np.arange(nz + 1)).astype(np.float32)
+        g = Grid(
+            x_edges=jnp.asarray(xe),
+            y_edges=jnp.asarray(ye),
+            z_edges=jnp.asarray(ze),
             xy_regular=True,
             z_regular=True,
         )
+        g._cache_edges(xe, ye, ze)
+        return g
+
+    def _cache_edges(self, xe, ye, ze):
+        object.__setattr__(self, "_edges_np",
+                           (np.asarray(xe, np.float64),
+                            np.asarray(ye, np.float64),
+                            np.asarray(ze, np.float64)))
+
+    # ---- host-side geometry (setup code; NOT for traced values) ----
+    def edges_np(self):
+        """(x_edges, y_edges, z_edges) as float64 NumPy arrays, memoized.
+
+        Host setup code (emission weighting, netCDF writers, separable
+        detection) reads grid edges repeatedly; each naive
+        ``np.asarray(grid.z_edges)`` is a device fetch that can block for
+        MINUTES behind a wedged TPU relay (measured 121 s per 129-element
+        fetch; the plan_march hazard,
+        transport/pallas_kernel._grid_march_scalars). Grids built through
+        from_edges/regular cache the host copies eagerly at construction
+        (zero fetches); this lazy path only runs for grids rebuilt by
+        pytree unflattening. Only call with concrete edges (never inside
+        jit)."""
+        cached = object.__getattribute__(self, "__dict__").get("_edges_np")
+        if cached is None:
+            cached = (np.asarray(self.x_edges, np.float64),
+                      np.asarray(self.y_edges, np.float64),
+                      np.asarray(self.z_edges, np.float64))
+            object.__setattr__(self, "_edges_np", cached)
+        return cached
 
     # ---- static shape info (usable at trace time) ----
     @property

@@ -131,7 +131,12 @@ class OpticalDomain:
     # per macro cell along each axis; 0 disables the local-majorant field.
     macro_factor: int = dataclasses.field(metadata=dict(static=True), default=0)
     temps: Optional[jax.Array] = None  # [nx, ny, nz] f32 (broadband/LW)
-    lambda_um: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    # Wavelength is a pytree LEAF, not a static field: broadband loops
+    # sweep per-bin domains through one jitted launch, and a static
+    # lambda_um would retrace + recompile the megakernel for EVERY bin
+    # (measured ~30 s/bin at 64x64x150). Only host-side setup code reads
+    # it (float(domain.lambda_um)); nothing branches on it in-trace.
+    lambda_um: float = 0.0
     # Column-template structure (big-domain megakernel fast path; detected
     # at build time): extinction is exactly
     #   beta(x, y, z) = col_scale[ix*ny+iy] * (iz < col_height[ix*ny+iy]),
@@ -387,7 +392,7 @@ def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
     em = dict(sep_em_prob=None, sep_em_alias=None, sep_em_zpa=None,
               sep_em_pb=None, _sep_em_atm=0.0)
     if tz_uniform and lambda_um > 0.0:
-        ze = np.asarray(grid.z_edges, np.float64)
+        ze = grid.edges_np()[2]
         em = _sep_emission_tables(
             a.reshape(-1).astype(np.float64), p.astype(np.float64),
             q.astype(np.float64), tz.astype(np.float64), ssa_cloud,

@@ -149,9 +149,7 @@ def write_domain(path: str, grid: Grid, components, temps=None,
                  n_lambda: int = 1, surface_albedo: float = 0.0) -> None:
     """Write a reference-schema domain file
     (reference: write_Domain, src/opticalProperties.f95:1087-1249)."""
-    xe = np.asarray(grid.x_edges, np.float64)
-    ye = np.asarray(grid.y_edges, np.float64)
-    ze = np.asarray(grid.z_edges, np.float64)
+    xe, ye, ze = grid.edges_np()
     nx, ny, nz = xe.size - 1, ye.size - 1, ze.size - 1
 
     with netcdf_file(path, "w") as nc:

@@ -56,7 +56,7 @@ def write_flux_file(path: str, results: Results, grid) -> None:
 
 def write_absorption_profile_file(path: str, results: Results, grid) -> None:
     """Horizontally averaged absorption profile (W m^-3 per incident flux)."""
-    z = np.asarray(grid.z_edges)
+    z = grid.edges_np()[2]
     prof = results.mean["absorption_profile"]
     err = results.stderr["absorption_profile"]
     with open(path, "w") as f:

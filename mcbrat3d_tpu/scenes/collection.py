@@ -115,7 +115,8 @@ def inhomog_bb_scene(pattern: str = "gaussian", beta_max: float = 30.0,
         single_scattering_albedo=np.full_like(ext, float(ssa)),
         phase_function_index=np.zeros(ext.shape, np.int32),
         phase_function_table=_hg_table(g, n_legendre))
-    z_mid = 0.5 * (np.asarray(grid.z_edges[:-1]) + np.asarray(grid.z_edges[1:]))
+    ze = grid.edges_np()[2]
+    z_mid = 0.5 * (ze[:-1] + ze[1:])
     temps = np.broadcast_to(
         surface_temp - lapse_rate_k_per_km * z_mid, (nx, ny, nz)).copy()
     return grid, [comp], temps

@@ -80,9 +80,7 @@ def emission_weighting(grid, temps, absorption_coeff, surface_temp,
     nx, ny, nz = grid.shape
     temps = np.asarray(temps, np.float64)
     kabs = np.asarray(absorption_coeff, np.float64)
-    xe = np.asarray(grid.x_edges, np.float64)
-    ye = np.asarray(grid.y_edges, np.float64)
-    ze = np.asarray(grid.z_edges, np.float64)
+    xe, ye, ze = grid.edges_np()
     dz = np.diff(ze)
     area_m2 = (xe[-1] - xe[0]) * (ye[-1] - ye[0]) * 1000.0**2
 
@@ -157,7 +155,7 @@ def lw_setup_fluxes(common, ssp_tables, d_lambda, surface_temp,
     nx, ny, nz = grid.shape
     nxy = nx * ny
     temps = np.asarray(common.temps, np.float64)
-    ze = np.asarray(grid.z_edges, np.float64)
+    ze = grid.edges_np()[2]
     dz = np.diff(ze)
 
     lambdas = lambda_um_from_freq(ssp_tables[0].freq_hz)

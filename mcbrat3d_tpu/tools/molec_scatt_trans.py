@@ -30,7 +30,7 @@ def rayleigh_transmission(common: CommonDomain, lambdas_um) -> np.ndarray:
     come from the z-edge spacing. Rayleigh SSA is identically 1 and the
     tool passes zero gas absorption (absx = 0), matching the reference.
     """
-    ze = np.asarray(common.grid.z_edges, np.float64)
+    ze = common.grid.edges_np()[2]
     depths_km = np.diff(ze) / 1000.0  # grid stores meters
     if common.num_conc is None:
         raise ValueError("common domain has no pressure/number "

@@ -2962,9 +2962,7 @@ def _grid_march_scalars(grid) -> tuple:
     if memo is not None:
         return memo
     nx, ny, nz = grid.shape
-    xe = np.asarray(grid.x_edges, np.float64)
-    ye = np.asarray(grid.y_edges, np.float64)
-    ze = np.asarray(grid.z_edges, np.float64)
+    xe, ye, ze = grid.edges_np()
     memo = (float(ze[-1] - ze[0]), float(xe[-1] - xe[0]) / nx,
             float(ye[-1] - ye[0]) / ny)
     try:

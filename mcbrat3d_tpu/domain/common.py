@@ -50,9 +50,7 @@ def write_common(path: str, common: CommonDomain,
     (reference: read_Common, src/opticalProperties.f95:347-451: lowercase
     dims x-edges/..., vars Temperatures, Pressures, Density, massConc, Reff)."""
     g = common.grid
-    xe = np.asarray(g.x_edges, np.float64)
-    ye = np.asarray(g.y_edges, np.float64)
-    ze = np.asarray(g.z_edges, np.float64)
+    xe, ye, ze = g.edges_np()
     nx, ny, nz = xe.size - 1, ye.size - 1, ze.size - 1
 
     with netcdf_file(path, "w") as nc:

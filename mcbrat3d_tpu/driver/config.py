@@ -52,6 +52,10 @@ class SimulationConfig:
     # policy -- "auto" (fast path on TPU when eligible), "on" (require a
     # megakernel; raise naming the failing predicates), "off" (XLA kernel)
     use_pallas: str = "auto"
+    # framework extension: two-level Woodcock macro-cell factor (fine
+    # cells per majorant block along x/y; 0 = single global majorant).
+    # Perf only -- transport is exact under any majorant.
+    macro_factor: int = 8
 
     # --- namelist /output/ ---
     report_volume_absorption: bool = False
@@ -143,6 +147,7 @@ _KEY_MAP = {
     "zetamin": "zeta_min",
     "limitintensitycontributions": "limit_intensity_contributions",
     "usepallas": "use_pallas",
+    "macrofactor": "macro_factor",
     "maxintensitycontribution": "max_intensity_contribution",
     # output
     "reportvolumeabsorption": "report_volume_absorption",

@@ -61,6 +61,7 @@ def simulate_from_config(cfg: SimulationConfig) -> Tuple[Results, List[str]]:
         hybrid_width_deg=(cfg.hybrid_phase_fun_width
                           if cfg.use_hybrid_phase_funs else 0.0),
         temps=temps,
+        macro_factor=cfg.macro_factor,
         lambda_um=attrs.get("lambda_um", 0.0))
     surface = Surface.lambertian(attrs.get("surface_albedo", 0.0))
     source = illumination.directional(cfg.solar_mu, cfg.solar_azimuth)

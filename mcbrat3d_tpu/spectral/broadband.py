@@ -206,7 +206,8 @@ def run_broadband(cfg: SimulationConfig,
             compute_intensity_tables=cfg.compute_intensity,
             hybrid_width_deg=(cfg.hybrid_phase_fun_width
                               if cfg.use_hybrid_phase_funs else 0.0),
-            temps=common.temps, lambda_um=lam_um)
+            temps=common.temps, macro_factor=cfg.macro_factor,
+            lambda_um=lam_um)
         if compact:
             try:
                 domain = build_domain(grid, comps, device_fields="compact",

@@ -17,6 +17,24 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state():
+    """Drop compiled executables after every test module.
+
+    The suite compiles hundreds of XLA CPU programs (three Pallas kernel
+    families in interpret mode are the big ones); with all of them pinned
+    by jit caches in one long process, XLA's CPU backend segfaulted
+    inside backend_compile_and_load twice near the ~40-minute mark
+    (cumulative JIT state -- the same compiles are fine standalone).
+    Clearing per module bounds the live-executable set."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -350,6 +350,12 @@ class TestCompactDomain:
             w.frac_atms_power, rel=1e-5)
 
     def test_lw_run_matches_full_alias_emission(self, pair):
+        # Drive the kernel entry with TestLWEmission's proven small
+        # launch geometry (rows=8): a fresh production-size interpret
+        # compile here has crashed XLA's CPU backend late in long suite
+        # processes (cumulative LLVM JIT state; fine standalone). The
+        # production-geometry dispatch itself is covered by
+        # test_sw_run_bitwise_matches_full + the TPU verify recipe.
         full, compact, comps, temps = pair
         kabs = absorption_coefficient(comps, full.grid)
         w = emission_weighting(full.grid, temps, kabs, 288.0, 0.95, 10.0)
@@ -357,20 +363,24 @@ class TestCompactDomain:
                                          full.grid.shape)
         src_sep = illumination.emission_separable(compact, 288.0, 0.95)
         sfc = Surface.lambertian(0.05)
-        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=4,
-                           max_steps=20_000, use_pallas="on", lw_mode=True,
-                           need_volume_absorption=False)
-        a = run_batch(full, sfc, src_full, rng.batch_key(41, 0), cfg)
-        b = run_batch(compact, sfc, src_sep, rng.batch_key(41, 1), cfg)
-        na, nb = int(a.n_photons), int(b.n_photons)
-        for fa, fb, name in ((a.flux_up, b.flux_up, "up"),
-                             (a.flux_down, b.flux_down, "down")):
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out_a = ps.run_batch_pallas_sep(full, sfc, src_full,
+                                        rng.batch_key(41, 0), pcfg, 16,
+                                        lw_mode=True)
+        out_b = ps.run_batch_pallas_sep(compact, sfc, src_sep,
+                                        rng.batch_key(41, 1), pcfg, 16,
+                                        lw_mode=True)
+        na, nb = int(out_a[4]), int(out_b[4])
+        assert na == nb == 8 * 128 * 16
+        for fa, fb, name in ((out_a[0], out_b[0], "up"),
+                             (out_a[1], out_b[1], "down")):
             ra = float(np.asarray(fa).sum()) / na
             rb = float(np.asarray(fb).sum()) / nb
             sigma = 2.0 * np.sqrt(0.25 / na + 0.25 / nb)
             assert ra == pytest.approx(rb, abs=4 * sigma), name
-        pa = np.asarray(a.absorption_profile) / na
-        pb = np.asarray(b.absorption_profile) / nb
+        pa = np.asarray(out_a[3]) / na
+        pb = np.asarray(out_b[3]) / nb
         np.testing.assert_allclose(pa, pb, atol=8e-3)
 
     def test_compact_rejects_nonseparable(self):

@@ -395,8 +395,11 @@ class TestBroadbandCheckpointMesh:
         r_serial = run_broadband(cfg)
         r_mesh = run_broadband(cfg, mesh="auto")
         assert r_mesh.total_photons == r_serial.total_photons
-        assert abs(r_mesh.mean["mean_flux_up"] - r_serial.mean["mean_flux_up"]) \
-            < 0.05 * r_serial.mean["mean_flux_up"]
+        # independent RNG streams: the difference is ~N(0, se_s^2+se_m^2)
+        sigma = np.sqrt(r_serial.stderr["mean_flux_up"] ** 2
+                        + r_mesh.stderr["mean_flux_up"] ** 2)
+        diff = abs(r_mesh.mean["mean_flux_up"] - r_serial.mean["mean_flux_up"])
+        assert diff < max(5.0 * sigma, 0.02 * r_serial.mean["mean_flux_up"])
 
     def test_checkpoint_resume_bitwise(self, tmp_path):
         from mcbrat3d_tpu.driver import checkpoint as ckpt

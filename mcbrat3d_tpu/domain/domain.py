@@ -244,12 +244,17 @@ _SEP_NONE = dict(sep_amp=None, sep_pz=None, sep_qz=None, sep_block=None,
 
 
 def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz,
-                         dz_km):
+                         dz_km, col_alias=None):
     """Host-side separable BBEmission aliases (see OpticalDomain.sep_em_*).
 
     Reference sampling being replaced: the 3-level CDF scan of
     src/monteCarloIllumination.f95:495-498 over 15.8M voxels becomes one
-    column alias + two z aliases (O(1) draws, ~1 MB instead of 250 MB)."""
+    column alias + two z aliases (O(1) draws, ~1 MB instead of 250 MB).
+
+    ``col_alias``: optional precomputed (prob, alias) over the normalized
+    column amplitudes -- the only O(nxy) piece, and lambda-INDEPENDENT, so
+    broadband loops build it once (domain/sep_plan.py) and every later
+    bin's emission tables are O(nz)."""
     from mcbrat3d_tpu.core.planck import planck_radiance
     from mcbrat3d_tpu.sources.illumination import _walker_alias
 
@@ -268,9 +273,12 @@ def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz,
     # for the atmosphere/surface power split (fracAtmsPower; reference:
     # src/monteCarloIllumination.f95:457-522).
     atm_total = 4.0 * np.pi * float(dz_km) * tot
-    asum = a.sum()
-    prob_c, alias_c = _walker_alias(
-        a / asum if asum > 0 else np.full(nxy, 1.0 / nxy))
+    if col_alias is not None:
+        prob_c, alias_c = col_alias
+    else:
+        asum = a.sum()
+        prob_c, alias_c = _walker_alias(
+            a / asum if asum > 0 else np.full(nxy, 1.0 / nxy))
 
     def z_alias(dens):
         s = dens.sum()
@@ -285,6 +293,27 @@ def _sep_emission_tables(a, p, q, tz, ssa_cloud, lambda_um, nxy, nz,
             np.stack([zp_c, za_c, zp_g, za_g]), jnp.float32),
         sep_em_pb=jnp.asarray([pb], jnp.float32),
         _sep_em_atm=atm_total)
+
+
+def _sep_blockmax(a, nx, ny, macro_factor):
+    """Per-xy-macro-block max of the column amplitude field [nbx, nby]."""
+    f = macro_factor if macro_factor > 0 else max(nx, ny)
+    nbx, nby = -(-nx // f), -(-ny // f)
+    a2 = np.zeros((nbx * f, nby * f), np.float32)
+    a2[:nx, :ny] = a
+    return a2.reshape(nbx, f, nby, f).max(axis=(1, 3))
+
+
+def _sep_block_ceiling(blockmax, pmax, qmax_slab):
+    """In-slab extinction ceiling per block, bumped UP so the bound
+    survives the kernel's bf16 table (same scheme as the column-template
+    table)."""
+    import ml_dtypes
+    bceil = blockmax * pmax + qmax_slab
+    b16 = bceil.astype(ml_dtypes.bfloat16).astype(np.float32)
+    bump = (bceil * (1.0 + 2.0 ** -6)).astype(
+        ml_dtypes.bfloat16).astype(np.float32)
+    return np.where(b16 < bceil, bump, b16)
 
 
 def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
@@ -368,17 +397,8 @@ def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
 
     # per-xy-block in-slab ceilings (bumped UP so the bound survives the
     # kernel's bf16 table; same scheme as the column-template table)
-    f = macro_factor if macro_factor > 0 else max(nx, ny)
-    nbx, nby = -(-nx // f), -(-ny // f)
-    a2 = np.zeros((nbx * f, nby * f), np.float32)
-    a2[:nx, :ny] = a
-    bceil = (a2.reshape(nbx, f, nby, f).max(axis=(1, 3)) * pmax
-             + qmax_slab)
-    import ml_dtypes
-    b16 = bceil.astype(ml_dtypes.bfloat16).astype(np.float32)
-    bump = (bceil * (1.0 + 2.0 ** -6)).astype(
-        ml_dtypes.bfloat16).astype(np.float32)
-    bceil16 = np.where(b16 < bceil, bump, b16)
+    bceil16 = _sep_block_ceiling(
+        _sep_blockmax(a, nx, ny, macro_factor), pmax, qmax_slab)
     ceil_in_max = float(bceil16.max())
 
     tz_uniform = False
@@ -413,6 +433,42 @@ def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
         sep_template=True, sep_zb=zb, sep_zt=zt,
         sep_analytic_hg=bool(analytic), sep_inv_row=inv_row,
         sep_tz_uniform=tz_uniform)
+
+
+def _build_device_tables(phase_tables, n_cdf_steps: int,
+                         n_forward_angles: int,
+                         compute_intensity_tables: bool,
+                         hybrid_width_deg: float) -> "DeviceTables":
+    """Stack per-component phase tables into the solver's device tables
+    (inverse-CDF rows; forward rows when radiance is computed)."""
+    inv_list, fwd_list, offsets = [], [], []
+    row = 0
+    angles = np.linspace(0.0, np.pi, n_forward_angles)
+    for tbl in phase_tables:
+        offsets.append(row)
+        row += tbl.n_entries
+        inv_list.append(inverse_cdf_table(tbl, n_cdf_steps))
+        if compute_intensity_tables:
+            fwd_list.append(forward_tabulate(tbl, n_forward_angles))
+    inverse = np.concatenate(inv_list, axis=0)
+
+    if compute_intensity_tables:
+        forward_orig = np.concatenate(fwd_list, axis=0)
+        if hybrid_width_deg > 0.0:
+            forward = hybrid_phase_values(angles, forward_orig,
+                                          hybrid_width_deg)
+        else:
+            forward = forward_orig
+    else:
+        forward_orig = np.zeros((row, 1), np.float64)
+        forward = forward_orig
+
+    return DeviceTables(
+        inverse=jnp.asarray(inverse, jnp.float32),
+        forward=jnp.asarray(forward, jnp.float32),
+        forward_orig=jnp.asarray(forward_orig, jnp.float32),
+        offsets=jnp.asarray(np.asarray(offsets, np.int32)),
+    )
 
 
 def build_domain(grid: Grid, components: Sequence[OpticalComponent],
@@ -471,34 +527,10 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
     total = ext.sum(axis=-1)
 
     # --- stacked device tables ---
-    inv_list, fwd_list, offsets = [], [], []
-    row = 0
-    angles = np.linspace(0.0, np.pi, n_forward_angles)
-    for comp in components:
-        tbl = comp.phase_function_table
-        offsets.append(row)
-        row += tbl.n_entries
-        inv_list.append(inverse_cdf_table(tbl, n_cdf_steps))
-        if compute_intensity_tables:
-            fwd_list.append(forward_tabulate(tbl, n_forward_angles))
-    inverse = np.concatenate(inv_list, axis=0)
-
-    if compute_intensity_tables:
-        forward_orig = np.concatenate(fwd_list, axis=0)
-        if hybrid_width_deg > 0.0:
-            forward = hybrid_phase_values(angles, forward_orig, hybrid_width_deg)
-        else:
-            forward = forward_orig
-    else:
-        forward_orig = np.zeros((row, 1), np.float64)
-        forward = forward_orig
-
-    tables = DeviceTables(
-        inverse=jnp.asarray(inverse, jnp.float32),
-        forward=jnp.asarray(forward, jnp.float32),
-        forward_orig=jnp.asarray(forward_orig, jnp.float32),
-        offsets=jnp.asarray(np.asarray(offsets, np.int32)),
-    )
+    tables = _build_device_tables(
+        [comp.phase_function_table for comp in components],
+        n_cdf_steps, n_forward_angles, compute_intensity_tables,
+        hybrid_width_deg)
 
     # --- packed per-cell collision records (one gather per event) ---
     all_hg = all(p.hg_g is not None

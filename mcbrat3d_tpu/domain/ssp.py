@@ -173,6 +173,25 @@ def read_ssp_table(path: str) -> SSPTable:
         return SSPTable(freq_hz=freq, surface_albedo=alb, components=comps)
 
 
+def particle_phase_table(c: SSPComponent, li: int) -> PhaseFunctionTable:
+    """Per-wavelength PhaseFunctionTable for a volExt SSP component
+    (the Legendre-row assembly of read_SSPTable; reference:
+    src/opticalProperties.f95:267-311)."""
+    ext_t = c.extinction[:, li]
+    ssa_t = c.ssa[:, li]
+    pfs = []
+    for e in range(c.key.size):
+        s = int(c.legendre_start[e, li]) - 1
+        L = int(c.legendre_length[e, li])
+        pfs.append(PhaseFunction(
+            coefficients=c.legendre_coeffs[s:s + L, li],
+            extinction=float(ext_t[e]),
+            single_scattering_albedo=float(ssa_t[e])))
+    return PhaseFunctionTable(
+        pfs, key=c.key, extinction=ext_t,
+        single_scattering_albedo=ssa_t, description=c.description)
+
+
 def components_from_ssp(common: CommonDomain,
                         ssp_tables: Sequence[SSPTable],
                         lambda_index: int,
@@ -264,17 +283,7 @@ def components_from_ssp(common: CommonDomain,
                                            key=[0.0], description="dummy")
                 pfi = np.zeros_like(pfi)
             else:
-                pfs = []
-                for e in range(key.size):
-                    s = int(c.legendre_start[e, li]) - 1
-                    L = int(c.legendre_length[e, li])
-                    pfs.append(PhaseFunction(
-                        coefficients=c.legendre_coeffs[s:s + L, li],
-                        extinction=float(ext_t[e]),
-                        single_scattering_albedo=float(ssa_t[e])))
-                table = PhaseFunctionTable(
-                    pfs, key=key, extinction=ext_t,
-                    single_scattering_albedo=ssa_t, description=c.description)
+                table = particle_phase_table(c, li)
 
             components.append(OpticalComponent(
                 name=c.name, extinction=ext, single_scattering_albedo=ssa,

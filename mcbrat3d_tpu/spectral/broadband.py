@@ -25,6 +25,8 @@ from mcbrat3d_tpu.core import rng
 from mcbrat3d_tpu.core.accumulate import MomentAccumulator, kahan_cumsum
 from mcbrat3d_tpu.domain.common import read_common
 from mcbrat3d_tpu.domain.domain import build_domain
+from mcbrat3d_tpu.domain.sep_plan import (build_domain_from_plan,
+                                          make_separable_bin_plan)
 from mcbrat3d_tpu.domain.ssp import components_from_ssp, read_ssp_table
 from mcbrat3d_tpu.driver.config import SimulationConfig
 from mcbrat3d_tpu.driver.run import Results, kernel_config_from
@@ -137,6 +139,16 @@ def run_broadband(cfg: SimulationConfig,
     if cfg.instr_response_file:
         srf = solar_io.read_spectral_response(cfg.instr_response_file, n_lambda)
 
+    # Lambda-independent factorization of the physical fields: when it
+    # exists, per-bin domain rebuilds are O(nz) (domain/sep_plan.py)
+    # instead of multiple full-grid host sweeps, and the LW setup Planck
+    # sweep factorizes too. None on structures the separable kernel
+    # cannot carry -- those fall back to the generic per-bin builds.
+    plan = None
+    if cfg.use_pallas != "off":
+        plan = make_separable_bin_plan(common, ssp_tables,
+                                       cfg.calc_rayleigh, cfg.macro_factor)
+
     # ---------------- spectral CDF ----------------
     if cfg.is_longwave:
         # Setup pass: per-lambda total emitted flux (atmosphere + surface),
@@ -144,7 +156,7 @@ def run_broadband(cfg: SimulationConfig,
         # rank-parallel per-bin loop
         # (reference: Drivers/monteCarloDriver.f95:304-450)
         fluxes = lw_setup_fluxes(common, ssp_tables, d_lambda,
-                                 cfg.surface_temp)
+                                 cfg.surface_temp, plan=plan)
         if srf is not None:
             fluxes = fluxes * srf
         cdf = kahan_cumsum(fluxes)
@@ -190,6 +202,47 @@ def run_broadband(cfg: SimulationConfig,
     # uploads at flagship scale) and separable-backed emission sources
     # (skipping the per-bin 15.8M-voxel Planck CDF + alias build).
     compact = False
+    # With a plan, probe sep-kernel eligibility on an O(nz) plan-built
+    # domain BEFORE the loop: when the record kernel is structurally out
+    # (cells > MAX_CELLS, so the sep kernel is the fast path that would
+    # run anyway), bin 0 skips the full-domain build + upload + per-voxel
+    # emission weighting entirely (~2-5 min at flagship scale).
+    if plan is not None and kcfg.use_pallas != "off":
+        import jax as _jax
+
+        from mcbrat3d_tpu.transport import pallas_kernel as _pk
+        from mcbrat3d_tpu.transport import pallas_sep as _psep
+        nx_, ny_, nz_ = grid.shape
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        li0 = next((int(li) for li in range(n_lambda) if freq[li] > 0), None)
+        if ((on_tpu or kcfg.use_pallas == "on")
+                and nx_ * ny_ * nz_ > _pk.MAX_CELLS and li0 is not None):
+            lam0 = float(ssp_tables[0].lambdas_um[li0])
+            alb0 = float(ssp_tables[0].surface_albedo[li0])
+            d0 = build_domain_from_plan(
+                grid, plan, li0, lam0, n_cdf_steps=cfg.n_phase_intervals,
+                compute_intensity_tables=cfg.compute_intensity,
+                hybrid_width_deg=(cfg.hybrid_phase_fun_width
+                                  if cfg.use_hybrid_phase_funs else 0.0))
+            if d0 is not None:
+                s0 = Surface.lambertian(alb0, temperature=cfg.surface_temp,
+                                        emissivity=1.0 - alb0)
+                try:
+                    src0 = (illumination.emission_separable(
+                                d0, cfg.surface_temp, 1.0 - alb0)
+                            if cfg.is_longwave else
+                            illumination.directional(cfg.solar_mu,
+                                                     cfg.solar_azimuth))
+                except ValueError:
+                    src0 = None  # no emission tables (non-uniform temps)
+                if src0 is not None:
+                    compact = _psep.pallas_sep_eligible(
+                        d0, s0, src0, lw_mode=kcfg.lw_mode,
+                        compute_intensity=icfg is not None,
+                        record_scattering_orders=(
+                            kcfg.record_scattering_orders),
+                        use_ray_tracing=kcfg.use_ray_tracing,
+                        need_volume_absorption=kcfg.need_volume_absorption)
     for li in range(n_lambda):
         if freq[li] <= 0:
             continue
@@ -198,25 +251,39 @@ def run_broadband(cfg: SimulationConfig,
         if global_batch + n_chunks <= start_batch:
             global_batch += n_chunks
             continue
-        comps, albedo, lam_um = components_from_ssp(
-            common, ssp_tables, li, setup=False,
-            calc_rayleigh=cfg.calc_rayleigh)
-        build = dict(
-            n_cdf_steps=cfg.n_phase_intervals,
-            compute_intensity_tables=cfg.compute_intensity,
-            hybrid_width_deg=(cfg.hybrid_phase_fun_width
-                              if cfg.use_hybrid_phase_funs else 0.0),
-            temps=common.temps, macro_factor=cfg.macro_factor,
-            lambda_um=lam_um)
-        if compact:
-            try:
-                domain = build_domain(grid, comps, device_fields="compact",
-                                      **build)
-            except ValueError:  # this bin broke the separable structure
-                compact = False
+        hybrid_width = (cfg.hybrid_phase_fun_width
+                        if cfg.use_hybrid_phase_funs else 0.0)
+        domain = comps = None
+        if compact and plan is not None:
+            # O(nz) factorized rebuild: no 3D host arrays, no per-bin
+            # re-detection (the plan proved the lambda-independent
+            # structure once)
+            lam_um = float(ssp_tables[0].lambdas_um[li])
+            albedo = float(ssp_tables[0].surface_albedo[li])
+            domain = build_domain_from_plan(
+                grid, plan, li, lam_um,
+                n_cdf_steps=cfg.n_phase_intervals,
+                compute_intensity_tables=cfg.compute_intensity,
+                hybrid_width_deg=hybrid_width)
+        if domain is None:
+            comps, albedo, lam_um = components_from_ssp(
+                common, ssp_tables, li, setup=False,
+                calc_rayleigh=cfg.calc_rayleigh)
+            build = dict(
+                n_cdf_steps=cfg.n_phase_intervals,
+                compute_intensity_tables=cfg.compute_intensity,
+                hybrid_width_deg=hybrid_width,
+                temps=common.temps, macro_factor=cfg.macro_factor,
+                lambda_um=lam_um)
+            if compact:
+                try:
+                    domain = build_domain(grid, comps,
+                                          device_fields="compact", **build)
+                except ValueError:  # this bin broke the separable structure
+                    compact = False
+                    domain = build_domain(grid, comps, **build)
+            else:
                 domain = build_domain(grid, comps, **build)
-        else:
-            domain = build_domain(grid, comps, **build)
         surface = Surface.lambertian(albedo, temperature=cfg.surface_temp,
                                      emissivity=1.0 - albedo)
         if cfg.is_longwave:

@@ -241,15 +241,23 @@ def build_domain_from_plan(grid: Grid, plan: SeparableBinPlan, li: int,
     Equivalent to components_from_ssp + build_domain(
     device_fields='compact') for this bin (tests assert the equivalence);
     no 3D array is built or verified -- the plan already proved the
-    lambda-independent structure. Returns None when this bin's cloud
-    extinction scale is zero (degenerate; caller falls back to the
-    generic build)."""
+    lambda-independent structure. A zero cloud-extinction bin builds as
+    gas-only transport (p=0); returns None only when the slab would be
+    a total vacuum (caller falls back to the generic build)."""
     nx, ny, nz = grid.shape
     k, ssa_cloud = plan_bin_scalars(plan, li)
-    if not k > 0.0:
-        return None
-    p = (plan.mprof * k).astype(np.float32)
     q = plan_gas_profile(plan, li, nz).astype(np.float32)
+    if not k > 0.0:
+        # Zero cloud extinction at this bin: the factorization
+        # degenerates cleanly to p=0 (gas-only transport), which the
+        # separable kernel handles -- EXCEPT when the in-slab Woodcock
+        # majorant would also be 0 (no gas inside the slab either);
+        # that total-vacuum slab needs the generic build.
+        k = 0.0
+        slab_q = q[plan.zb:plan.zt]
+        if slab_q.size == 0 or not float(slab_q.max()) > 0.0:
+            return None
+    p = (plan.mprof * k).astype(np.float32)
 
     # per-lambda phase tables, flattened in component order
     cloud_tbl = particle_phase_table(plan.cloud, li)

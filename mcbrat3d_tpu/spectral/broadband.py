@@ -19,6 +19,8 @@ stream layouts and agree statistically, not bitwise.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from mcbrat3d_tpu.core import rng
@@ -254,6 +256,8 @@ def run_broadband(cfg: SimulationConfig,
         hybrid_width = (cfg.hybrid_phase_fun_width
                         if cfg.use_hybrid_phase_funs else 0.0)
         domain = comps = None
+        bin_compact = compact
+        bin_kcfg = kcfg
         if compact and plan is not None:
             # O(nz) factorized rebuild: no 3D host arrays, no per-bin
             # re-detection (the plan proved the lambda-independent
@@ -265,6 +269,16 @@ def run_broadband(cfg: SimulationConfig,
                 n_cdf_steps=cfg.n_phase_intervals,
                 compute_intensity_tables=cfg.compute_intensity,
                 hybrid_width_deg=hybrid_width)
+            if domain is None:
+                # degenerate bin (vacuum slab): fall back for THIS bin
+                # only -- the plan still covers later bins. The generic
+                # domain at plan scale is typically outside every
+                # megakernel envelope, so a forced use_pallas='on' must
+                # not make a physically-trivial bin a hard error.
+                bin_compact = False
+                if kcfg.use_pallas == "on":
+                    bin_kcfg = dataclasses.replace(kcfg,
+                                                   use_pallas="auto")
         if domain is None:
             comps, albedo, lam_um = components_from_ssp(
                 common, ssp_tables, li, setup=False,
@@ -275,19 +289,21 @@ def run_broadband(cfg: SimulationConfig,
                 hybrid_width_deg=hybrid_width,
                 temps=common.temps, macro_factor=cfg.macro_factor,
                 lambda_um=lam_um)
-            if compact:
+            if bin_compact:
                 try:
                     domain = build_domain(grid, comps,
                                           device_fields="compact", **build)
                 except ValueError:  # this bin broke the separable structure
-                    compact = False
+                    bin_compact = False
+                    if plan is None:
+                        compact = False
                     domain = build_domain(grid, comps, **build)
             else:
                 domain = build_domain(grid, comps, **build)
         surface = Surface.lambertian(albedo, temperature=cfg.surface_temp,
                                      emissivity=1.0 - albedo)
         if cfg.is_longwave:
-            if compact:
+            if bin_compact:
                 source = illumination.emission_separable(
                     domain, cfg.surface_temp, 1.0 - albedo)
             else:
@@ -313,12 +329,12 @@ def run_broadband(cfg: SimulationConfig,
                 continue
             if mesh is not None:
                 t = run_batch_sharded(domain, surface, source, cfg.iseed,
-                                      global_batch, kcfg, mesh, icfg, idirs,
-                                      n_photons=n)
+                                      global_batch, bin_kcfg, mesh, icfg,
+                                      idirs, n_photons=n)
             else:
                 t = run_batch(domain, surface, source,
-                              rng.batch_key(cfg.iseed, global_batch), kcfg,
-                              icfg, idirs, n_photons=n)
+                              rng.batch_key(cfg.iseed, global_batch),
+                              bin_kcfg, icfg, idirs, n_photons=n)
             t = t.normalized(grid)
             got = int(t.n_photons)
             acc.add(float(got), _tallies_to_arrays(t))

@@ -429,3 +429,68 @@ def test_public_dispatch_use_pallas_on():
     assert t.volume_absorption is None  # the separable-kernel signature
     assert t.absorption_profile is not None
     assert int(t.n_photons) == cfg.photons_per_batch
+
+
+class TestGasOnlyDegenerateBin:
+    """A zero-cloud-extinction bin built from a SeparableBinPlan (p=0,
+    gas-only transport) must match the XLA kernel on the generic full
+    domain for the same bin -- the field-level equivalence chain breaks
+    here (the generic rank-1 detection rejects a zero cloud field), so
+    the proof is a direct statistical transport A/B."""
+
+    def test_plan_p0_matches_xla(self):
+        import dataclasses
+
+        from mcbrat3d_tpu.domain.sep_plan import (
+            build_domain_from_plan, make_separable_bin_plan)
+        from mcbrat3d_tpu.domain.ssp import components_from_ssp
+        from mcbrat3d_tpu.scenes.collection import lw_flagship_physical
+
+        common, tbl, _ = lw_flagship_physical(
+            nx=16, ny=16, nz=48, cloud_base_level=12, cloud_top_level=28,
+            n_lambda=3, seed=7)
+        comps_t = list(tbl.components)
+        ci = next(i for i, c in enumerate(comps_t)
+                  if c.ext_type == "volExt")
+        ext = comps_t[ci].extinction.copy()
+        ext[:, 1] = 0.0
+        comps_t[ci] = dataclasses.replace(comps_t[ci], extinction=ext)
+        tbl = dataclasses.replace(tbl, components=comps_t)
+
+        plan = make_separable_bin_plan(common, [tbl],
+                                       calc_rayleigh=False, macro_factor=4)
+        assert plan is not None
+        lam = float(tbl.lambdas_um[1])
+        dom_p = build_domain_from_plan(common.grid, plan, 1, lam,
+                                       n_cdf_steps=201)
+        assert dom_p is not None
+        assert float(np.asarray(dom_p.sep_pz).max()) == 0.0
+
+        comps, _, _ = components_from_ssp(common, [tbl], 1, setup=False,
+                                          calc_rayleigh=False)
+        dom_f = build_domain(common.grid, comps, temps=common.temps,
+                             macro_factor=4, n_cdf_steps=201,
+                             lambda_um=lam)
+
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                           max_steps=20_000, use_pallas="off")
+        t = run_batch(dom_f, sfc, src, rng.batch_key(9, 0), cfg)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                            max_steps=20_000, interpret=True)
+        out = ps.run_batch_pallas_sep(dom_p, sfc, src,
+                                      rng.batch_key(9, 1), pcfg, 32)
+        fu, fd, ac, az, n, nbad, _ = out
+        n = int(n)
+        assert n == cfg.photons_per_batch
+        assert int(nbad) == 0
+        nx = int(t.n_photons)
+        for a, b, name, p in (
+                (fu, t.flux_up, "R", 0.1),
+                (fd, t.flux_down, "T", 0.7),
+                (ac, t.flux_absorbed, "A", 0.3)):
+            ra = float(np.asarray(a).sum()) / n
+            rb = float(np.asarray(b).sum()) / nx
+            sigma = 2.0 * np.sqrt(max(p * (1 - p), 0.01) / n)
+            assert ra == pytest.approx(rb, abs=4 * sigma), name

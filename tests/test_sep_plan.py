@@ -170,3 +170,72 @@ class TestBroadbandIntegration:
         assert res.mean["mean_flux_up"] > 0
         assert res.mean["mean_flux_down"] > 0
         assert np.isfinite(res.mean["mean_flux_absorbed"])
+
+    @staticmethod
+    def _degenerate_scene(zero_gas: bool):
+        """Flagship-class scene whose middle lambda bin has zero cloud
+        extinction (and, with zero_gas, zero gas absorption too)."""
+        import dataclasses
+
+        common, tbl, _ = lw_flagship_physical(
+            nx=32, ny=32, nz=48, cloud_base_level=12, cloud_top_level=28,
+            n_lambda=3, seed=7)
+        comps = list(tbl.components)
+        ci = next(i for i, c in enumerate(comps) if c.ext_type == "volExt")
+        ext = comps[ci].extinction.copy()
+        ext[:, 1] = 0.0  # middle bin: cloud optically inert
+        comps[ci] = dataclasses.replace(comps[ci], extinction=ext)
+        if zero_gas:
+            gi = next(i for i, c in enumerate(comps)
+                      if c.ext_type == "absXsec")
+            xs = comps[gi].xsec.copy()
+            xs[:, 1] = 0.0  # middle bin: total vacuum
+            comps[gi] = dataclasses.replace(comps[gi], xsec=xs)
+        return common, dataclasses.replace(tbl, components=comps)
+
+    @staticmethod
+    def _run_spying(common, tbl, monkeypatch):
+        from mcbrat3d_tpu.driver.config import SimulationConfig
+        from mcbrat3d_tpu.spectral import broadband as bb
+
+        seen = {}
+        real = bb.build_domain_from_plan
+
+        def spy(grid, plan, li, *a, **kw):
+            out = real(grid, plan, li, *a, **kw)
+            seen[int(li)] = out is not None
+            return out
+
+        monkeypatch.setattr(bb, "build_domain_from_plan", spy)
+        cfg = SimulationConfig(
+            surface_temp=288.0, num_lambda=3, lw_flag=1.0,
+            calc_rayleigh=False,
+            num_photons_per_batch=1 << 10, num_batches=3, iseed=7,
+            n_phase_intervals=501, n_lanes=1 << 9, max_steps=4000,
+            use_pallas="on", report_volume_absorption=False)
+        res = bb.run_broadband(cfg, common=common, ssp_tables=[tbl])
+        return seen, res
+
+    def test_zero_cloud_bin_stays_on_plan_path(self, monkeypatch):
+        """Zero cloud extinction with gas still absorbing degenerates
+        cleanly to p=0 gas-only transport INSIDE the plan path."""
+        common, tbl = self._degenerate_scene(zero_gas=False)
+        seen, res = self._run_spying(common, tbl, monkeypatch)
+        assert seen.get(1) is True, \
+            "gas-only bin should build from the plan (p=0)"
+        assert seen.get(2) is True
+        assert res.total_photons == 3 * (1 << 10)
+        assert np.isfinite(res.mean["mean_flux_absorbed"])
+
+    def test_vacuum_bin_does_not_break_plan_path(self, monkeypatch):
+        """A total-vacuum bin (plan build -> None) must fall back for
+        THAT bin only -- later bins stay on the O(nz) plan path, and a
+        forced use_pallas='on' must not turn the trivial bin into a
+        hard error."""
+        common, tbl = self._degenerate_scene(zero_gas=True)
+        seen, res = self._run_spying(common, tbl, monkeypatch)
+        assert seen.get(1) is False, "vacuum bin should reject the plan"
+        assert seen.get(2) is True, \
+            "plan path must survive a degenerate earlier bin"
+        assert res.total_photons == 3 * (1 << 10)
+        assert np.isfinite(res.mean["mean_flux_absorbed"])

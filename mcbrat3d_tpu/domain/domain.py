@@ -421,6 +421,7 @@ def _detect_separable(grid, components, ext, ssa, pfi, all_hg,
 
     return dict(
         **em,
+        _sep_amp_np=a.reshape(-1).astype(np.float64),
         sep_amp=jnp.asarray(a.reshape(-1), jnp.float32),
         sep_pz=jnp.asarray(p, jnp.float32),
         sep_qz=jnp.asarray(q, jnp.float32),
@@ -557,6 +558,7 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                                 macro_factor, temps, False,
                                 lambda_um=float(lambda_um))
         sep_atm = sep.pop("_sep_em_atm", 0.0)
+        sep_amp_np = sep.pop("_sep_amp_np", None)
         if not sep["sep_template"]:
             raise ValueError(
                 "build_domain(device_fields='compact') requires a "
@@ -571,6 +573,10 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
             macro_factor=int(macro_factor), temps=None,
             lambda_um=float(lambda_um), ncomp_hint=ncomp, **sep)
         object.__setattr__(dom, "sep_em_atm", sep_atm)
+        # host copy of sep_amp: the in-kernel group-rejection emission
+        # sampler's Walker tables are built host-side (sequential Vose)
+        # and must not fetch the device array under a jit trace
+        object.__setattr__(dom, "_sep_amp_np", sep_amp_np)
         return dom
 
     cum = np.cumsum(ext, axis=-1)
@@ -762,6 +768,7 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
                             macro_factor, temps, col_template,
                             lambda_um=float(lambda_um))
     sep_atm = sep.pop("_sep_em_atm", 0.0)
+    sep_amp_np = sep.pop("_sep_amp_np", None)
 
     dom = OpticalDomain(
         grid=grid,
@@ -789,4 +796,5 @@ def build_domain(grid: Grid, components: Sequence[OpticalComponent],
     # leaf: per-bin values must not retrigger jit, and only host setup
     # code reads it).
     object.__setattr__(dom, "sep_em_atm", sep_atm)
+    object.__setattr__(dom, "_sep_amp_np", sep_amp_np)
     return dom

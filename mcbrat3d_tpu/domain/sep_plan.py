@@ -321,4 +321,6 @@ def build_domain_from_plan(grid: Grid, plan: SeparableBinPlan, li: int,
         sep_analytic_hg=bool(analytic), sep_inv_row=inv_row,
         sep_tz_uniform=tz_uniform)
     object.__setattr__(dom, "sep_em_atm", sep_atm)
+    object.__setattr__(dom, "_sep_amp_np",
+                       np.asarray(plan.amp, np.float64))
     return dom

@@ -49,6 +49,8 @@ BBEmission source of src/monteCarloIllumination.f95:431-522.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -215,6 +217,72 @@ def _pack_sep_emission(domain: OpticalDomain, n_sl: int):
     return m_ea, m_eaz, domain.sep_em_pb[0]
 
 
+def _pack_sep_emission_z(domain: OpticalDomain):
+    """(m_eaz [16,128] bf16, p_cloud_branch): the z-alias + branch-split
+    part of _pack_sep_emission, for the group-rejection column sampler
+    that does not need the per-column alias upload."""
+    nz = domain.grid.shape[2]
+
+    def z_alias_rows(pr, al):
+        prp = jnp.pad(pr.astype(jnp.float32), (0, 256 - nz))
+        alp = jnp.pad(al.astype(jnp.float32), (0, 256 - nz))
+        pr_h = prp.astype(jnp.bfloat16).astype(jnp.float32)
+        return [pr_h.reshape(2, 128), (prp - pr_h).reshape(2, 128),
+                alp.reshape(2, 128)]
+
+    zpa = domain.sep_em_zpa
+    m_eaz = jnp.concatenate(
+        z_alias_rows(zpa[0], zpa[1]) + z_alias_rows(zpa[2], zpa[3])
+        + [jnp.zeros((4, 128), jnp.float32)], axis=0).astype(jnp.bfloat16)
+    return m_eaz, domain.sep_em_pb[0]
+
+
+def _pack_sep_emission_groups(domain: OpticalDomain):
+    """[24,128] f32 group-proposal tables for the in-kernel rejection
+    column sampler.
+
+    The cloud-branch emission column density is exactly proportional to
+    sep_amp (separability: per-column cloud emission = amp * a column-
+    independent z sum), so instead of a per-column Walker alias gathered
+    over every 16384-column slice per step, the kernel samples a
+    128-column GROUP g ~ alias(weights = max amp in group), a uniform
+    lo in [0,128), and accepts with amp[col]/gmax[g] -- restart on
+    reject. The accepted marginal is exactly proportional to amp (pad
+    columns have amp 0 and auto-reject); the only cost per attempt is
+    one [8,128]-tile fetch per field plus the collision amp gather the
+    step already pays. Rows 0-7: group Walker prob; 8-15: alias target
+    (f32-exact, < 1024); 16-23: group max amp.
+    """
+    from mcbrat3d_tpu.sources.illumination import _walker_alias
+
+    nx, ny, _ = domain.grid.shape
+    nxy = nx * ny
+    n_groups = -(-nxy // 128)
+    pad = n_groups * 128 - nxy
+    # Vose is host-side and sequential: use the host amp copy stashed at
+    # build time (under a jit trace sep_amp is a tracer; a domain built
+    # without the stash falls back to the alias path -- returns None)
+    amp_np = getattr(domain, "_sep_amp_np", None)
+    if amp_np is None:
+        if isinstance(domain.sep_amp, jax.core.Tracer):
+            return None
+        amp_np = np.asarray(domain.sep_amp, np.float64)
+    # match the kernel's gathered f32 amp exactly (acceptance compares
+    # u * gmax < amp_f32; gmax must be the max of the F32 values)
+    amp_f32 = np.asarray(amp_np, np.float32).astype(np.float64)
+    gmax = np.pad(amp_f32, (0, pad)).reshape(n_groups, 128).max(axis=1)
+    if gmax.sum() > 0:
+        prob, alias = _walker_alias(gmax / gmax.sum())
+    else:  # no cloud emission anywhere: tables never drawn (p_branch=0)
+        prob = np.ones(n_groups)
+        alias = np.arange(n_groups, dtype=np.float64)
+    out = np.zeros((24, 128), np.float32)
+    out[0:8].reshape(-1)[:n_groups] = prob
+    out[8:16].reshape(-1)[:n_groups] = alias
+    out[16:24].reshape(-1)[:n_groups] = gmax
+    return jnp.asarray(out)
+
+
 def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                       use_rr: bool, n_sl: int, macro_f: int,
                       nbx: int, nby: int, zb: int, zt: int, lw: bool,
@@ -225,14 +293,19 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
     nxy = nx * ny
     emission = source_kind == illumination.EMISSION
+    n_groups = -(-nxy // 128)       # 128-column groups (rejection refill)
+    n_hi_g = -(-n_groups // 128)
 
-    hw_rng = (not pcfg.interpret) and "swrng" not in frozenset(
-        pcfg.debug_parts.split(","))
+    part_set = frozenset(pcfg.debug_parts.split(","))
+    hw_rng = (not pcfg.interpret) and "swrng" not in part_set
+    # "oldem": force the per-column sliced alias gather for the emission
+    # refill (A/B control for the group-rejection sampler)
+    oldem = "oldem" in part_set
 
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in,
-               ma_ref, mb_ref, mz_ref, ea_ref, eaz_ref, inv_ref,
+               ma_ref, mb_ref, mz_ref, ea_ref, eaz_ref, eg_ref, inv_ref,
                acc_in, accz_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref,
@@ -330,16 +403,25 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             x, y, z = x_ref[sl], y_ref[sl], z_ref[sl]
             ux, uy, uz = ux_ref[sl], uy_ref[sl], uz_ref[sl]
             w = w_ref[sl]
-            alive = alive_ref[sl] > 0
+            # lane states: 0 dead, 1 alive, 2 committed (group-rejection
+            # refill: a cloud-branch emission draw that was proposed but
+            # not yet accepted -- it owns a quota unit and MUST retry the
+            # cloud branch, or the per-branch acceptance rates would
+            # reweight the atm/surface and cloud/gas splits)
+            alive3 = alive_ref[sl]
+            alive = alive3 == 1
+            committed = alive3 == 2
             quota = quota_ref[sl]
             bls = bls_ref[sl]  # carried in-slab block ceiling
 
             # ---- refill dead lanes from the source ----
-            need = (~alive) & (quota > 0)
+            dead_new = (alive3 == 0) & (quota > 0)
+            need = dead_new | committed
             u0 = uniform(ctr, 0)
             u1 = uniform(ctr, 1)
             atm_emit = None
             col_b = iz_b = None
+            pending = accept_gmax = cloud_br = None
             if emission:
                 # separable BBEmission refill (see _pack_sep_emission)
                 u_split = uniform(ctr, 10)
@@ -352,23 +434,64 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                 u_zacc = uniform(ctr, 17)
                 from_atm = u_split < atms_frac
                 cloud_br = u_br < p_branch
+                if not oldem:
+                    # committed lanes retry the SAME branch
+                    from_atm = from_atm | committed
+                    cloud_br = cloud_br | committed
 
-                # column: cloud branch via the sliced alias gather
-                jbin = jnp.minimum((u_bin * np.float32(nxy)).astype(
-                    jnp.int32), np.int32(nxy - 1))
-                lo_e = jnp.bitwise_and(jbin, 127)
-                hi7_e = jnp.bitwise_and(jnp.right_shift(jbin, 7), 127)
-                sl_e = jnp.right_shift(jbin, 14)
-                ohh_e = (iota_hi3 == hi7_e[None, :, :]).astype(
-                    jnp.bfloat16)
-                g3e = sliced_gather(ea_ref, ohh_e, sl_e, 4)
-                ohs_e = (lo_e[:, None, :] == iota_sub).astype(jnp.float32)
-                p_j = jnp.sum((g3e[:, 0:128] + g3e[:, 128:256]) * ohs_e,
-                              axis=1)
-                a_j = jnp.sum((g3e[:, 256:384] + g3e[:, 384:512]) * ohs_e,
-                              axis=1)
-                col_cloud = jnp.where(u_acc < p_j, jbin,
-                                      (a_j + 0.5).astype(jnp.int32))
+                if oldem:
+                    # column: cloud branch via the sliced alias gather
+                    jbin = jnp.minimum((u_bin * np.float32(nxy)).astype(
+                        jnp.int32), np.int32(nxy - 1))
+                    lo_e = jnp.bitwise_and(jbin, 127)
+                    hi7_e = jnp.bitwise_and(jnp.right_shift(jbin, 7), 127)
+                    sl_e = jnp.right_shift(jbin, 14)
+                    ohh_e = (iota_hi3 == hi7_e[None, :, :]).astype(
+                        jnp.bfloat16)
+                    g3e = sliced_gather(ea_ref, ohh_e, sl_e, 4)
+                    ohs_e = (lo_e[:, None, :] == iota_sub).astype(
+                        jnp.float32)
+                    p_j = jnp.sum((g3e[:, 0:128] + g3e[:, 128:256])
+                                  * ohs_e, axis=1)
+                    a_j = jnp.sum((g3e[:, 256:384] + g3e[:, 384:512])
+                                  * ohs_e, axis=1)
+                    col_cloud = jnp.where(u_acc < p_j, jbin,
+                                          (a_j + 0.5).astype(jnp.int32))
+                else:
+                    # column: group-rejection sampler (docstring at
+                    # _pack_sep_emission_groups). Propose a 128-column
+                    # group by Walker alias over group-max weights, a
+                    # uniform column within it, and accept against the
+                    # exact amp -- fetched by the SAME sliced collision
+                    # gather this step already pays (the lane is dead,
+                    # its gather slot is free). Rejected lanes simply
+                    # retry next step.
+                    u_lo = uniform(ctr, 18)
+                    jg = jnp.minimum(
+                        (u_bin * np.float32(n_groups)).astype(jnp.int32),
+                        np.int32(n_groups - 1))
+                    jlo = jnp.bitwise_and(jg, 127)
+                    jhi = jnp.right_shift(jg, 7)
+
+                    def eg_fetch(r0, hi_i, lo_i):
+                        v = jnp.zeros((blk, 128), jnp.float32)
+                        for r in range(n_hi_g):
+                            row = jnp.broadcast_to(
+                                eg_ref[r0 + r: r0 + r + 1, :], (blk, 128))
+                            got = jnp.take_along_axis(row, lo_i, axis=1)
+                            v = jnp.where(hi_i == r, got, v)
+                        return v
+
+                    p_j = eg_fetch(0, jhi, jlo)
+                    a_j = eg_fetch(8, jhi, jlo)
+                    g_i = jnp.where(u_acc < p_j, jg,
+                                    (a_j + 0.5).astype(jnp.int32))
+                    accept_gmax = eg_fetch(16, jnp.right_shift(g_i, 7),
+                                           jnp.bitwise_and(g_i, 127))
+                    lo_p = jnp.minimum(
+                        (u_lo * np.float32(128.0)).astype(jnp.int32),
+                        np.int32(127))
+                    col_cloud = g_i * np.int32(128) + lo_p
                 # gas branch: uniform column, re-using the (otherwise
                 # unused there) alias-bin draw -- NOT u0, which also sets
                 # the sub-cell x offset and would correlate with it
@@ -424,7 +547,15 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                 s_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - s_mu * s_mu))
                 sux = s_sin * jnp.cos(s_phi)
                 suy = s_sin * jnp.sin(s_phi)
-                atm_emit = need & from_atm
+                if oldem:
+                    atm_emit = need & from_atm
+                else:
+                    # Atmospheric refills are PENDING for one step: the
+                    # cloud-branch acceptance needs this step's amp
+                    # gather, and the LW birth pre-credit reuses the
+                    # lane's (otherwise idle) tally slot at col_b/iz_b.
+                    # Surface refills activate immediately as before.
+                    pending = need & from_atm
             else:
                 x = jnp.where(need, x0 + u0 * lx, x)
                 y = jnp.where(need, y0 + u1 * ly, y)
@@ -450,9 +581,15 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             uy = jnp.where(need, suy, uy)
             uz = jnp.where(need, jnp.broadcast_to(s_mu, (blk, 128)), uz)
             w = jnp.where(need, 1.0, w)
-            alive = alive | need
-            quota = quota - need.astype(jnp.int32)
-            started = started + jnp.sum(need.astype(jnp.float32))
+            go_now = need if pending is None else (need & ~pending)
+            alive = alive | go_now
+            # a pending lane CLAIMS its quota unit at the first proposal
+            # (committed retries claimed theirs earlier); `started` counts
+            # only actual activations (go_now here, accept below)
+            claim = (go_now if pending is None
+                     else go_now | (pending & dead_new))
+            quota = quota - claim.astype(jnp.int32)
+            started = started + jnp.sum(go_now.astype(jnp.float32))
             # fresh photons carry the (always valid) global in-slab max
             bls = jnp.where(need, ceil_in_max, bls)
 
@@ -550,6 +687,11 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
 
             exits = exit_top | exit_bot
             colT = jnp.where(exits, col_e, col)
+            if pending is not None:
+                # pending refills borrow the collision gather + tally
+                # slots (they neither move nor collide this step)
+                colT = jnp.where(pending, col_b, colT)
+                iz = jnp.where(pending, iz_b, iz)
 
             u_col = uniform(ctr, 4)
             u_ang = uniform(ctr, 5)
@@ -570,6 +712,17 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             g3a = sliced_gather(ma_ref, ohh_bf, sl_c, 2)
             amp = jnp.sum((g3a[:, 0:128] + g3a[:, 128:256]) * ohs_f32,
                           axis=1)
+
+            if pending is not None:
+                # group-rejection acceptance: gas-branch always; cloud
+                # branch with probability amp[col]/gmax[group] (exact
+                # marginal ~ amp; pad columns have amp 0). Rejected
+                # lanes stay dead and re-propose next step.
+                u_amp = uniform(ctr, 19)
+                accept = pending & ((~cloud_br)
+                                    | (u_amp * accept_gmax < amp))
+                alive = alive | accept
+                started = started + jnp.sum(accept.astype(jnp.float32))
 
             # ---- z-profile fields at the collision level ----
             izlo = jnp.bitwise_and(iz, 127)
@@ -608,6 +761,14 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             ssa_eff = jnp.where(beta > 0, beta_c * ssa_c
                                 / jnp.where(beta == 0, 1.0, beta), 0.0)
             absorbed = jnp.where(real, w * (1.0 - ssa_eff), 0.0)
+            if lw and pending is not None:
+                # LW emission pre-credit (flux-divergence accounting;
+                # reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:504-508):
+                # -1 at the birth column/level, folded into the net-
+                # absorption tallies through the pending lane's slot
+                # (colT=col_b, iz=iz_b; exact in bf16)
+                absorbed = absorbed - accept.astype(jnp.float32)
             w = jnp.where(real, w * ssa_eff, w)
 
             # ---- Russian roulette ----
@@ -692,7 +853,13 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz
             w_ref[sl] = w
             quota_ref[sl] = quota
-            alive_ref[sl] = alive.astype(jnp.int32)
+            if pending is not None:
+                # rejected cloud-branch proposals carry state 2
+                alive_ref[sl] = jnp.where(
+                    alive, 1, jnp.where(pending & ~accept, 2, 0)
+                ).astype(jnp.int32)
+            else:
+                alive_ref[sl] = alive.astype(jnp.int32)
             bls_ref[sl] = bls
 
             # ---- sectioned per-slice column tallies ----
@@ -835,14 +1002,34 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         inv_packed, inv_hp, inv_n_steps = _obj_cache(
             domain, ("sepinv",), lambda: _pack_sep_inverse(domain))
     lw = bool(lw_mode) and source.kind == illumination.EMISSION
+    oldem = "oldem" in frozenset(pcfg.debug_parts.split(","))
     if source.kind == illumination.EMISSION:
-        m_ea, m_eaz, p_branch = _obj_cache(
-            domain, ("sepea", n_sl),
-            lambda: _pack_sep_emission(domain, n_sl))
         atms_frac = source.atms_fraction
+        m_eg = None
+        if not oldem:
+            m_eg = _obj_cache(
+                domain, ("sepeg",),
+                lambda: _pack_sep_emission_groups(domain))
+            if m_eg is None:  # no host amp copy available under trace
+                oldem = True
+                pcfg = dataclasses.replace(
+                    pcfg, debug_parts=(pcfg.debug_parts + ",oldem"
+                                       if pcfg.debug_parts else "oldem"))
+        if oldem:
+            m_ea, m_eaz, p_branch = _obj_cache(
+                domain, ("sepea", n_sl),
+                lambda: _pack_sep_emission(domain, n_sl))
+            m_eg = jnp.zeros((24, 128), jnp.float32)
+        else:
+            # group-rejection refill: no per-column alias upload
+            m_eaz, p_branch = _obj_cache(
+                domain, ("sepeaz",),
+                lambda: _pack_sep_emission_z(domain))
+            m_ea = jnp.zeros((16, 128), jnp.bfloat16)
     else:
-        m_ea = jnp.zeros((n_sl * 512, 128), jnp.bfloat16)
+        m_ea = jnp.zeros((16, 128), jnp.bfloat16)
         m_eaz = jnp.zeros((16, 128), jnp.bfloat16)
+        m_eg = jnp.zeros((24, 128), jnp.float32)
         p_branch, atms_frac = np.float32(0.0), 0.0
 
     macro_f = domain.macro_factor if domain.macro_factor > 0 else max(nx,
@@ -912,7 +1099,7 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 8),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 9),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -928,8 +1115,8 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 6] = n_state      # acc
-    aliases[2 + n_state + 7] = n_state + 1  # accz
+    aliases[2 + n_state + 7] = n_state      # acc
+    aliases[2 + n_state + 8] = n_state + 1  # accz
 
     call = pl.pallas_call(
         kernel,
@@ -950,7 +1137,8 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    m_amp, m_blk, m_z, m_ea, m_eaz, inv_packed, acc, accz)
+                    m_amp, m_blk, m_z, m_ea, m_eaz, m_eg, inv_packed,
+                    acc, accz)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         accz = outs[n_state + 1]
@@ -982,7 +1170,10 @@ def run_batch_pallas_sep(domain: OpticalDomain,
     abs_profile = (jnp.concatenate([accz_f[0], accz_f[1]])
                    + jnp.concatenate([accz_f[2], accz_f[3]])
                    + jnp.concatenate([accz_f[4], accz_f[5]]))[:nz]
-    n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
+    # state 1 = started but unfinished; state 2 = a claimed-but-never-
+    # accepted emission proposal (both are lost work at max_steps)
+    n_bad = jnp.sum((state_f["alive"] > 0).astype(jnp.int32),
+                    dtype=jnp.int32)
     return (flux_up, flux_down, abs_col, abs_profile,
             n_started, n_bad, n_calls)
 

@@ -494,3 +494,61 @@ class TestGasOnlyDegenerateBin:
             rb = float(np.asarray(b).sum()) / nx
             sigma = 2.0 * np.sqrt(max(p * (1 - p), 0.01) / n)
             assert ra == pytest.approx(rb, abs=4 * sigma), name
+
+
+class TestGroupRejectionEmission:
+    """Round-4 emission refill rework: the per-column sliced alias
+    gather (4 fields x n_sl slices per step) is replaced by a group-
+    proposal + rejection sampler that reuses the collision amp gather
+    (_pack_sep_emission_groups). debug_parts='oldem' keeps the alias
+    path as the A/B control."""
+
+    def test_group_tables_sample_amp_exactly(self, scene):
+        """Host-side simulation of the in-kernel sampler against the
+        exact amp marginal (chi-square-free z-score bound)."""
+        dom, _, _ = scene
+        m = np.asarray(ps._pack_sep_emission_groups(dom))
+        amp = np.asarray(dom.sep_amp, np.float64)
+        nxy = amp.size
+        n_g = -(-nxy // 128)
+        prob = m[0:8].reshape(-1)[:n_g]
+        alias = m[8:16].reshape(-1)[:n_g].astype(int)
+        gmax = m[16:24].reshape(-1)[:n_g]
+        r = np.random.default_rng(0)
+        n = 1_000_000
+        j = r.integers(0, n_g, n)
+        g = np.where(r.random(n) < prob[j], j, alias[j])
+        col = g * 128 + r.integers(0, 128, n)
+        keep = r.random(n) * gmax[g] < np.pad(amp, (0, n_g * 128 - nxy))[col]
+        hist = np.bincount(col[keep], minlength=n_g * 128)[:nxy]
+        expect = amp / amp.sum() * keep.sum()
+        big = expect > 100
+        z = (hist[big] - expect[big]) / np.sqrt(expect[big])
+        assert np.abs(z).max() < 5.0
+
+    def test_matches_oldem_statistically(self, scene, lw_source):
+        """Same LW run through both refill samplers: fluxes and net
+        absorption must agree statistically (the round-4 branch-commit
+        bug -- restart-on-reject reweighting the atm/cloud branch splits
+        by their acceptance rates -- showed up as a 40% flux_down excess
+        here)."""
+        dom, _, _ = scene
+        sfc = Surface.lambertian(0.05)
+        res = {}
+        for parts in ("", "oldem"):
+            pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=32,
+                                max_steps=20_000, interpret=True,
+                                debug_parts=parts)
+            out = ps.run_batch_pallas_sep(dom, sfc, lw_source,
+                                          rng.batch_key(21, 1), pcfg, 32,
+                                          lw_mode=True)
+            fu, fd, ac, az, n, nbad, _ = out
+            n = int(n)
+            assert n == 8 * 128 * 32
+            assert int(nbad) == 0
+            res[parts] = [float(np.asarray(v).sum()) / n
+                          for v in (fu, fd, ac)]
+        for a, b, name in zip(res[""], res["oldem"],
+                              ("up", "down", "net_abs")):
+            sigma = 2.0 * np.sqrt(0.01 / (8 * 128 * 32))
+            assert a == pytest.approx(b, abs=6 * sigma), name

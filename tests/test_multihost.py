@@ -36,9 +36,13 @@ def worker_outputs(tmp_path_factory):
     # this environment's sitecustomize pre-imports jax and registers a TPU
     # relay backend at interpreter boot, which breaks
     # jax.distributed.initialize (must run before backend init) -- strip it
+    # keep the repo root importable: script-mode workers get sys.path[0]
+    # = tests/, so mcbrat3d_tpu must come from PYTHONPATH
+    repo_root = os.path.dirname(_HERE)
     env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p)
+        [repo_root] + [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p and p != repo_root])
     env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [
         subprocess.Popen(

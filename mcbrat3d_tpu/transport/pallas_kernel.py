@@ -593,6 +593,40 @@ def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
                                preferred_element_type=jnp.float32)
 
 
+def _tally_contract_sub(ohs_sub, t_hi_blk, val_blk, ht: int):
+    """Sublane-oriented factorized scatter-add for one block.
+
+    acc[j, lo] += sum_{b,p} (t_hi(b,p) == j % ht) * val(b,p)
+                            * ohs_sub[b, lo, p]
+
+    Same math as _tally_contract, but the photon index stays in the LANE
+    dim end-to-end: ``ohs_sub`` is the [blk, 128lo(sublane), p(lane)]
+    one-hot (cheap to build -- no photon-lane -> sublane transpose) and
+    the contraction is per-sublane-row dots over the photon-lane dim,
+    the layout the flux tally measured at ~11 us/step vs ~38 for the
+    j-major merged-row form (whose one-hot build transposes every
+    lane-resident index). Value hi/lo bf16 splits are stacked along j
+    (rows [0:ht) hi, [ht:2ht) lo) so each block row's one-hot streams
+    through the MXU once.
+    """
+    blk = val_blk.shape[0]
+    ht_pad = -(-ht // 8) * 8
+    iota_j2 = jax.lax.broadcasted_iota(jnp.int32, (2 * ht_pad, 1, 1), 0)
+    j_fold = iota_j2 - np.int32(ht_pad) * (
+        iota_j2 >= ht_pad).astype(jnp.int32)
+    ohh_j2 = j_fold == t_hi_blk[None, :, :]
+    vh, vl = _bf16_split(val_blk)
+    vstk = jnp.where(iota_j2 < ht_pad, vh[None, :, :], vl[None, :, :])
+    a = jnp.where(ohh_j2, vstk, jnp.bfloat16(0))  # [2*ht_pad, blk, p]
+    dn = (((1,), (1,)), ((), ()))
+    out = None
+    for b_i in range(blk):
+        t2 = jax.lax.dot_general(a[:, b_i, :], ohs_sub[b_i], dn,
+                                 preferred_element_type=jnp.float32)
+        out = t2 if out is None else out + t2
+    return out[:ht_pad] + out[ht_pad:]
+
+
 # ---------------------------------------------------------------------------
 # The megakernel
 # ---------------------------------------------------------------------------
@@ -1886,28 +1920,39 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         acci_ref[pl.ds(0, hti_pad)] = (
                             acci_ref[pl.ds(0, hti_pad)] + jnp.sum(contrib))
                         return
-                    # K-merged factorized scatter (same structure as the
-                    # flux tally): ONE [hti_pad, blk*128] x [blk*128, 128]
-                    # dot pair for the whole block. The round-2 form
-                    # looped `for b in range(blk)` over per-row skinny
-                    # dots with mid-dim slices (a[:, b, :]) -- each slice
-                    # relayouts, and the 2*blk dots per DIRECTION per
-                    # program cost ~92 us/dir, 66x the whole flux step.
                     hi_e = jnp.right_shift(ex_col, 7)
-                    # [blk, LANE, lo] orientation (matches _onehot_lo):
-                    # _tally_contract's K-merge reshapes (blk, lane) into
-                    # the contraction dim and keeps lo as the output
                     lo_e = jnp.bitwise_and(ex_col, 127)
-                    iota_lane_e = jax.lax.broadcasted_iota(
-                        jnp.int32, (blk, 128, 128), 2)
-                    ohs_e = (lo_e[:, :, None] == iota_lane_e).astype(
-                        jnp.bfloat16)
+                    if "oldletally" in part_set:
+                        # A/B control: the round-4 K-merged form. Its
+                        # [blk, LANE, lo] one-hot build transposes the
+                        # lane-resident lo index into the sublane dim
+                        # (the known ~38-vs-11 us/step layout hazard the
+                        # flux tally avoids); measured ~31 us/dir/step.
+                        iota_lane_e = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk, 128, 128), 2)
+                        ohs_e = (lo_e[:, :, None] == iota_lane_e).astype(
+                            jnp.bfloat16)
+
+                        def le_tally(v):
+                            return _tally_contract(ohs_e, hi_e, v, None,
+                                                   True, ht=hti_pad)
+                    else:
+                        # production: sublane-oriented scatter (photon
+                        # index stays in the lane dim; same layout as the
+                        # flux fast tally)
+                        iota_sub_e = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk, 128, 128), 1)
+                        ohs_e = (lo_e[:, None, :] == iota_sub_e).astype(
+                            jnp.bfloat16)
+
+                        def le_tally(v):
+                            return _tally_contract_sub(ohs_e, hi_e, v,
+                                                       hti_pad)
                     if "lestatictally" in part_set:
                         # perf-bisection: full one-hot + contraction but a
                         # STATIC accumulator row (isolates the dynamic
                         # pl.ds read-modify-write; statistics wrong)
-                        iout = _tally_contract(ohs_e, hi_e, contrib, None,
-                                               True, ht=hti_pad)
+                        iout = le_tally(contrib)
                         acci_ref[pl.ds(0, hti_pad)] = (
                             acci_ref[pl.ds(0, hti_pad)] + iout)
                         return
@@ -1936,14 +1981,12 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                         for c in range(n_comp + 1):
                             contrib_c = jnp.where(slot_ev == c, contrib,
                                                   0.0)
-                            iout = _tally_contract(ohs_e, hi_e, contrib_c,
-                                                   None, True, ht=hti_pad)
+                            iout = le_tally(contrib_c)
                             r0c = (c * n_dirs + d_i) * hti_pad
                             acci_ref[pl.ds(r0c, hti_pad)] = (
                                 acci_ref[pl.ds(r0c, hti_pad)] + iout)
                     else:
-                        iout = _tally_contract(ohs_e, hi_e, contrib, None,
-                                               True, ht=hti_pad)
+                        iout = le_tally(contrib)
                         r0 = d_i * hti_pad
                         acci_ref[pl.ds(r0, hti_pad)] = (
                             acci_ref[pl.ds(r0, hti_pad)] + iout)

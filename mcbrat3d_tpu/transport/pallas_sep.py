@@ -708,8 +708,23 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             ohh_bf = (iota_hi3 == hi7_c[None, :, :]).astype(
                 jnp.bfloat16)                       # [hi, blk, p]
 
+            # per-slice MASKED hi one-hots, built once and shared by the
+            # amplitude gather and the column tally (the per-slice mask
+            # multiply is the minimal slice-decomposition cost: it rides
+            # the 128-row hi side, not the 512-row value side)
+            ohm = [[ohh_bf[:, b_i, :]
+                    * (sl_c[b_i] == s).astype(jnp.bfloat16)[None, :]
+                    for b_i in range(blk)] for s in range(n_sl)]
+
             # ---- amplitude gather (hi/lo split summed in-gather) ----
-            g3a = sliced_gather(ma_ref, ohh_bf, sl_c, 2)
+            g3a = None
+            for s in range(n_sl):
+                part = [jnp.dot(ma_ref[s * 256:(s + 1) * 256],
+                                ohm[s][b_i],
+                                preferred_element_type=jnp.float32)
+                        for b_i in range(blk)]
+                p3 = jnp.stack(part, axis=0)  # [blk, 256, p]
+                g3a = p3 if g3a is None else g3a + p3
             amp = jnp.sum((g3a[:, 0:128] + g3a[:, 128:256]) * ohs_f32,
                           axis=1)
 
@@ -863,28 +878,31 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
             bls_ref[sl] = bls
 
             # ---- sectioned per-slice column tallies ----
-            # acc rows [(s*4 + f)*128 : ...]: f = 0 flux-up, 1 flux-down,
-            # 2 net-absorption hi, 3 net-absorption lo
+            # acc rows [(s*4 + f)*128 + lo, hi]: f = 0 flux-up, 1 flux-
+            # down, 2 net-absorption hi, 3 net-absorption lo. Values ride
+            # the LO one-hot (built ONCE, [512, p] per block row) and the
+            # slice decomposition rides the shared masked hi one-hots --
+            # the old form replicated the value-bearing [512, blk, p]
+            # operand per slice, 7x the VPU build traffic at equal MACs.
             dn_t = (((1,), (1,)), ((), ()))
             v_up = jnp.where(exit_top, w, 0.0)
             v_dn = jnp.where(exit_bot, w_down, 0.0)
             ab_h16 = absorbed.astype(jnp.bfloat16)
             ab_l16 = (absorbed - ab_h16.astype(jnp.float32)).astype(
                 jnp.bfloat16)
+            vu16 = v_up.astype(jnp.bfloat16)
+            vd16 = v_dn.astype(jnp.bfloat16)
+            vl = [jnp.concatenate([
+                ohs_bf[b_i] * vu16[b_i][None, :],
+                ohs_bf[b_i] * vd16[b_i][None, :],
+                ohs_bf[b_i] * ab_h16[b_i][None, :],
+                ohs_bf[b_i] * ab_l16[b_i][None, :],
+            ], axis=0) for b_i in range(blk)]  # [512, p] each
             for s in range(n_sl):
-                mask_s = (sl_c == s).astype(jnp.bfloat16)
-                a_all = jnp.concatenate([
-                    ohh_bf * (v_up.astype(jnp.bfloat16)
-                              * mask_s)[None, :, :],
-                    ohh_bf * (v_dn.astype(jnp.bfloat16)
-                              * mask_s)[None, :, :],
-                    ohh_bf * (ab_h16 * mask_s)[None, :, :],
-                    ohh_bf * (ab_l16 * mask_s)[None, :, :],
-                ], axis=0)  # [512, blk, p]
                 t_out = None
                 for b_i in range(blk):
                     d_ = jax.lax.dot_general(
-                        a_all[:, b_i, :], ohs_bf[b_i], dn_t,
+                        vl[b_i], ohm[s][b_i], dn_t,
                         preferred_element_type=jnp.float32)
                     t_out = d_ if t_out is None else t_out + d_
                 acc_ref[s * 512:(s + 1) * 512] = (
@@ -929,11 +947,13 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                     jnp.bfloat16)
                 for s in range(n_sl):
                     mask_s = (sl_b2 == s).astype(jnp.bfloat16)
-                    a_e = ohh_b2 * (val_e16 * mask_s)[None, :, :]
+                    # value rides the lo one-hot; result is [lo, hi] to
+                    # match the production tally orientation
+                    a_e = ohs_b2 * (val_e16 * mask_s)[:, None, :]
                     e_out = None
                     for b_i in range(blk):
                         d_ = jax.lax.dot_general(
-                            a_e[:, b_i, :], ohs_b2[b_i], dn_t,
+                            a_e[b_i], ohh_b2[:, b_i, :], dn_t,
                             preferred_element_type=jnp.float32)
                         e_out = d_ if e_out is None else e_out + d_
                     base = s * 512 + 256  # the abs-hi section (-1 exact)
@@ -1158,10 +1178,12 @@ def run_batch_pallas_sep(domain: OpticalDomain,
     state_f, acc_f, accz_f, n_started, n_calls, _ = jax.lax.while_loop(
         cond, body, carry)
 
-    # sections: col = s*16384 + hi7*128 + lo
+    # sections: col = s*16384 + hi7*128 + lo; acc rows are [lo, hi]
+    # (values ride the lo one-hot in-kernel) so transpose before the
+    # flat col-order reshape
     def section(f):
-        parts = [acc_f[(s * 4 + f) * 128:(s * 4 + f + 1) * 128].reshape(-1)
-                 for s in range(n_sl)]
+        parts = [acc_f[(s * 4 + f) * 128:(s * 4 + f + 1) * 128].T
+                 .reshape(-1) for s in range(n_sl)]
         return jnp.concatenate(parts)[:nxy].reshape(nx, ny)
 
     flux_up = section(0)

@@ -1184,6 +1184,33 @@ class TestIntensityRRHybrid:
             a, b = iref[:, :, d].mean(), imk[:, :, d].mean()
             assert b == pytest.approx(a, rel=rel), f"dir {d}: {a} vs {b}"
 
+    def test_sublane_tally_matches_old_orientation(self):
+        """The sublane-oriented LE tally (photon index in the lane dim,
+        matching the flux fast tally's ~11-vs-38 us layout) must agree
+        per-pixel with the round-4 K-merged form (debug_parts
+        'oldletally') on the SAME key -- identical streams and identical
+        contributions, only the scatter-add association differs."""
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_step_cloud(ssa=0.99, macro_factor=8, n_cdf_steps=201,
+                              compute_intensity_tables=True,
+                              hybrid_width_deg=10.0)
+        dirs = make_intensity_directions([1.0, 0.5], [0.0, 135.0])
+        icfg = IntensityConfig(n_dirs=2, use_russian_roulette=True,
+                               use_hybrid_phase=True)
+        out = {}
+        for parts in ("all", "all,oldletally"):
+            cfg = KernelConfig(n_lanes=1 << 12, photons_per_lane=8,
+                               max_steps=20_000, use_pallas="on",
+                               pallas_debug_parts=parts)
+            t = run_batch(dom, Surface.lambertian(0.2),
+                          illumination.directional(0.5, 0.0),
+                          rng.batch_key(4, 2), cfg,
+                          intensity_config=icfg, intensity_dirs=dirs)
+            out[parts] = np.asarray(t.intensity) / int(t.n_photons)
+        np.testing.assert_allclose(out["all"], out["all,oldletally"],
+                                   rtol=5e-4, atol=1e-7)
+
     def test_rr_hybrid_matches_xla(self):
         from mcbrat3d_tpu.transport.local_estimate import (
             IntensityConfig, make_intensity_directions)

@@ -97,6 +97,8 @@ def main():
                 debug_parts="all,letallysum")
     run_variant(domain, icfg, dirs, "lestatictally (static acc row)", nph,
                 debug_parts="all,lestatictally")
+    run_variant(domain, icfg, dirs, "oldletally (round-4 K-merged form)",
+                nph, debug_parts="all,oldletally")
     run_variant(domain, icfg, dirs, "fori (no early-exit while)", nph,
                 march_while=False)
     run_variant(domain, icfg, dirs, "blk=8", nph, block_rows=8)

@@ -18,6 +18,10 @@ Usage (TPU host): python tools/exp_hif.py [--quick]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -10,6 +10,10 @@ same (seed, batch) -- n_dev == 1 means identical RNG streams.
 Usage (TPU host): python tools/exp_mesh1.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 

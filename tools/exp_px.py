@@ -11,6 +11,10 @@ Runs the record megakernel (use_pallas="on") on the step cloud with an
 Usage (TPU host): python tools/exp_px.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

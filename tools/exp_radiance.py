@@ -11,6 +11,10 @@ Usage (TPU host): python tools/exp_radiance.py [--dirs N] [--quick]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import sys
 import time
@@ -56,26 +60,28 @@ def run_variant(domain, icfg, dirs, name, n_photons, reps=2, **over):
         intensity_phase="hybrid", **{})
     pcfg = dataclasses.replace(pcfg, **over)
 
-    def once(b):
+    def once(b, n_ph):
+        t0 = time.time()
         out = pk.run_batch_pallas(
             domain, surface, source, rng.batch_key(0, b), pcfg, ppl,
-            n_photons=n_photons, use_russian_roulette=True,
+            n_photons=n_ph, use_russian_roulette=True,
             russian_roulette_weight=1.0, intensity_dirs=dirs)
-        return int(out[3])  # n_started, host fetch syncs
+        return int(out[3]), time.time() - t0  # n_started fetch syncs
 
+    # Marginal rate (n vs 4n photons) cancels the relay's fixed
+    # per-call overhead, which at radiance run sizes (<1 s of device
+    # time) otherwise dominates when the relay is degraded.
     try:
-        n0 = once(0)
-        best = 0.0
-        for r in range(reps):
-            t0 = time.time()
-            n = once(r + 1)
-            best = max(best, n / (time.time() - t0))
+        n0, _ = once(0, n_photons)            # compile + warm
+        t1 = min(once(r + 1, n_photons)[1] for r in range(reps))
+        n4, t4 = once(reps + 1, 4 * n_photons)
+        marginal = (n4 - n0) / max(t4 - t1, 1e-9)
     except Exception as e:  # noqa: BLE001
         print(f"| {name} | ERROR {type(e).__name__}: {str(e)[:120]} |",
               flush=True)
         return None
-    print(f"| {name} | {best:.0f} |", flush=True)
-    return best
+    print(f"| {name} | {marginal:.0f} (raw {n0 / t1:.0f}) |", flush=True)
+    return marginal
 
 
 def main():

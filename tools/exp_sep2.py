@@ -71,29 +71,42 @@ def main():
         print(f"domain mf={mf} built {time.time() - t0:.1f}s", flush=True)
 
     def run_cfg(name, mf, rows, ppl, blk, reps=2):
+        """Marginal-rate measurement: the axon relay adds a FIXED
+        multi-second per-call overhead when degraded (session 7 read
+        every flagship geometry as ~0.1-0.2 M/s because 1M-photon quick
+        runs were overhead-bound). Time the SAME config at n and 4n
+        photons and report the marginal rate 3n/(t4-t1), which cancels
+        any fixed dispatch+fetch cost; raw rates stay printed so the
+        overhead itself is visible."""
         domain, src = domains[mf]
         pcfg = PallasConfig(rows=rows, block_rows=blk, max_steps=200_000)
-        best, meta = 0.0, None
-        for rep in range(reps + 1):
+
+        def one(n_ph, rep):
             t0 = time.time()
             fu, fd, ac, az, n_started, n_bad, n_calls = (
                 run_batch_pallas_sep(
                     domain, surface, src, rng.batch_key(3, rep), pcfg,
-                    ppl, n_photons=n_batch, lw_mode=True))
+                    ppl, n_photons=n_ph, lw_mode=True))
             n = int(n_started)   # host fetch forces completion
             dt = time.time() - t0
-            if rep == 0:
-                meta = (float(jnp.sum(fu)) / n, float(jnp.sum(fd)) / n,
-                        float(jnp.sum(ac)) / n, int(n_calls), int(n_bad))
-                continue  # compile + warm
-            best = max(best, n / dt)
+            meta = (float(jnp.sum(fu)) / n, float(jnp.sum(fd)) / n,
+                    float(jnp.sum(ac)) / n, int(n_calls), int(n_bad))
+            return n, dt, meta
+
+        n0, _, meta = one(n_batch, 0)          # compile + warm
+        t1 = min(one(n_batch, r)[1] for r in (1, 2))
+        n4, t4a, _ = one(4 * n_batch, 3)
+        _, t4b, _ = one(4 * n_batch, 4)
+        t4 = min(t4a, t4b)
+        marginal = (n4 - n0) / max(t4 - t1, 1e-9)
         su, sd, sa, ncalls, nbad = meta
         lane_steps = ncalls * pcfg.steps_per_call * rows * 128
-        print(f"{name:40s} {best / 1e6:8.2f} M/s  "
-              f"lane-steps/ph {lane_steps / n_batch:7.1f}  "
+        print(f"{name:40s} {marginal / 1e6:8.2f} M/s marginal  "
+              f"(raw {n0 / t1 / 1e6:6.2f}/{n4 / t4 / 1e6:6.2f})  "
+              f"lane-steps/ph {lane_steps / n0:7.1f}  "
               f"up {su:.4f} dn {sd:.4f} abs {sa:+.4f} nbad {nbad}",
               flush=True)
-        return best
+        return marginal
 
     # baseline: what run_batch's config_for + sep cap produces for
     # n_lanes=1<<16 (rows=512, blk capped 16), bench ppl=32

@@ -20,6 +20,10 @@ Usage (on the TPU host):  python tools/exp_step_cost.py [--quick]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

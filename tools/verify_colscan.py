@@ -5,6 +5,10 @@ the march forced to "colscan", "cell", and "auto", asserts the in-kernel
 path dispatched (use_pallas="on"), checks pixelwise agreement, and times
 the production 6-dir / 64-dir configurations with the new auto geometry.
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax.numpy as jnp

@@ -1,11 +1,16 @@
 #!/bin/bash
-# Round-4 TPU session 8: re-run session 7's measurements with
-# (a) marginal-rate timing in exp_sep2/exp_radiance (session 7's quick
-#     runs were fixed-overhead-bound: every flagship geometry read
-#     0.1-0.2 M/s regardless of config),
-# (b) the tools' repo-root path shim (exp_radiance crashed on import),
-# (c) a STRICT health gate: the trivial 8-element probe passes even
-#     when a 4 MB fetch takes 100+ s, so gate on a timed bulk fetch.
+# Round-4 TPU session 8, reordered after session 7 (which captured the
+# flagship bench at 2.73 M/s then lost the relay):
+#   (a) FIRST the wide-column gather probes (grp8 grouped dynamic_gather
+#       vs the production sliced one-hot) -- they decide the named 7x
+#       flagship lever (PERF_NOTES: sliced gather is linear in
+#       ceil(nxy/16384));
+#   (b) then the step-cloud headline guard + radiance metrics (session
+#       7's steps 5/7 read "device unreachable");
+#   (c) then the marginal-rate sweeps (exp_sep2/exp_radiance now cancel
+#       the relay's fixed per-call overhead).
+# Health gate: a timed 4 MB bulk fetch -- the trivial 8-element probe
+# passes even when bulk fetches take 100+ s.
 cd /root/repo
 LOG=${TPU_SESSION_LOG:-/tmp/tpu_session8.log}
 WAIT_MAX=${WAIT_MAX:-10800}
@@ -21,33 +26,42 @@ print(f'bulk fetch {dt:.1f}s')
 import sys; sys.exit(0 if dt < 8.0 else 1)
 " >> $LOG 2>&1
 }
+waithealthy() {
+  deadline=$(( $(date +%s) + WAIT_MAX ))
+  until probe; do
+    if [ "$(date +%s)" -gt "$deadline" ]; then
+      echo "NEVER-HEALTHY" | tee -a $LOG; return 1
+    fi
+    sleep 90
+  done
+  return 0
+}
 
 say "0 wait for HEALTHY device (bulk-fetch gate, up to ${WAIT_MAX}s)"
-deadline=$(( $(date +%s) + WAIT_MAX ))
-until probe; do
-  if [ "$(date +%s)" -gt "$deadline" ]; then
-    echo "NEVER-HEALTHY" | tee -a $LOG; exit 1
-  fi
-  sleep 90
-done
+waithealthy || exit 1
 say "device healthy"
 
-say "1 sep flagship geometry sweep (marginal rates)"
-timeout 3600 python -u tools/exp_sep2.py --geom >> $LOG 2>&1
+say "1 gather probe: grp8 grouped dynamic_gather (832-row table)"
+timeout 900 python -u tools/probe_gather3.py grp8 >> $LOG 2>&1
 
-say "2 sep macro_factor sweep (13 and 25 divide 325)"
-timeout 2700 python -u tools/exp_sep2.py --mf 13,25 >> $LOG 2>&1
+say "2 gather probe: sliced one-hot production baseline"
+timeout 900 python -u tools/probe_gather3.py sliced >> $LOG 2>&1
 
-say "3 radiance tally A/B (new sublane vs oldletally), 64 dirs"
-timeout 3600 python -u tools/exp_radiance.py >> $LOG 2>&1
+say "3 gather probe: grp8 two fields"
+timeout 900 python -u tools/probe_gather3.py grp8x2 >> $LOG 2>&1
 
-say "4 production radiance metrics"
+say "4 step-cloud headline regression guard"
+timeout 900 python -u bench.py --step-cloud >> $LOG 2>&1
+
+say "5 production radiance metrics (new LE tally)"
+waithealthy || exit 1
 timeout 1800 python -u bench.py --intensity >> $LOG 2>&1
 
-say "5 flagship sep bench metric"
-timeout 1800 python -u bench.py --flagship >> $LOG 2>&1
+say "6 radiance tally A/B (sublane LE tally vs oldletally), 64 dirs"
+timeout 2700 python -u tools/exp_radiance.py --quick >> $LOG 2>&1
 
-say "6 step-cloud headline regression guard"
-timeout 900 python -u bench.py --step-cloud >> $LOG 2>&1
+say "7 sep flagship geometry sweep (marginal rates)"
+waithealthy || exit 1
+timeout 3600 python -u tools/exp_sep2.py --quick --geom >> $LOG 2>&1
 
 say "done"

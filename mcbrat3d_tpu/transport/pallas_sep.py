@@ -132,13 +132,18 @@ def _to_m(vals, n_entries):
 
 
 def _pack_sep_tables(domain: OpticalDomain):
-    """(m_amp [n_sl*256,128] bf16, m_blk [128,128] bf16, m_z [16,128] bf16,
-    n_sl, nbx, nby).
+    """(m_amp [n_sl*256,128] bf16, m_ampT [256,n_sl*128] bf16,
+    m_blk [128,128] bf16, m_z [16,128] bf16, n_sl, nbx, nby).
 
-    m_amp stacks per-slice (amp_hi^T, amp_lo^T); m_blk holds the
-    host-bumped per-block in-slab ceilings (<= 16384 blocks, one slice);
-    m_z rows [f*2 + zslice] hold the z profiles p_hi, p_lo, q_hi, q_lo
-    over z = zslice*128 + lo (nz padded to 256).
+    m_amp stacks per-slice (amp_hi^T, amp_lo^T); m_ampT is the hi-first
+    layout of the SAME values (rows [0:128) amp_hi^T, [128:256) amp_lo^T,
+    lanes = the full hi index h = col >> 7 across slices) -- one
+    [256, n_sl*128] @ [n_sl*128, 128] dot per block row replaces the
+    per-slice gather's n_sl dots at equal MACs but ~n_sl x less
+    intermediate traffic (see pallas_kernel._hif_gather2); m_blk holds
+    the host-bumped per-block in-slab ceilings (<= 16384 blocks, one
+    slice); m_z rows [f*2 + zslice] hold the z profiles p_hi, p_lo,
+    q_hi, q_lo over z = zslice*128 + lo (nz padded to 256).
     """
     nx, ny, nz = domain.grid.shape
     nxy = nx * ny
@@ -154,6 +159,10 @@ def _pack_sep_tables(domain: OpticalDomain):
         blocks.append(_to_m(a_hi[seg], n_e))
         blocks.append(_to_m(a_lo[seg], n_e))
     m_amp = jnp.concatenate(blocks, axis=0).astype(jnp.bfloat16)
+    m_ampT = jnp.concatenate(
+        [jnp.concatenate(blocks[0::2], axis=1),      # hi rows
+         jnp.concatenate(blocks[1::2], axis=1)],     # lo rows
+        axis=0).astype(jnp.bfloat16)
 
     f = domain.macro_factor if domain.macro_factor > 0 else max(nx, ny)
     nbx, nby = -(-nx // f), -(-ny // f)
@@ -170,7 +179,7 @@ def _pack_sep_tables(domain: OpticalDomain):
     m_z = jnp.concatenate(
         [p_h, p_l, q_h, q_l, jnp.zeros((8, 128), jnp.float32)],
         axis=0).astype(jnp.bfloat16)
-    return m_amp, m_blk, m_z, n_sl, nbx, nby
+    return m_amp, m_ampT, m_blk, m_z, n_sl, nbx, nby
 
 
 def _pack_sep_emission(domain: OpticalDomain, n_sl: int):
@@ -301,11 +310,23 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
     # "oldem": force the per-column sliced alias gather for the emission
     # refill (A/B control for the group-rejection sampler)
     oldem = "oldem" in part_set
+    # "hifamp": hi-first amplitude gather (one [256, n_sl*128] dot per
+    # block row instead of n_sl sliced dots; bitwise-equal values).
+    # "dblamp"/"dbltally": run a DUPLICATE (index-perturbed) copy of the
+    # amp gather / column tally whose result feeds only a scalar stat
+    # counter -- the marginal wall-clock of the duplicate is an honest
+    # per-part cost measurement with IDENTICAL physics and control flow
+    # (part-DISABLING changes photon lifetimes and what XLA fuses; see
+    # EXPERIMENTS_1e8.md "Lesson").
+    hifamp = "hifamp" in part_set
+    dblamp = "dblamp" in part_set
+    dbltally = "dbltally" in part_set
 
     def kernel(scal_ref, par_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in,
-               ma_ref, mb_ref, mz_ref, ea_ref, eaz_ref, eg_ref, inv_ref,
+               ma_ref, maT_ref, mb_ref, mz_ref, ea_ref, eaz_ref, eg_ref,
+               inv_ref,
                acc_in, accz_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref,
@@ -717,16 +738,56 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                     for b_i in range(blk)] for s in range(n_sl)]
 
             # ---- amplitude gather (hi/lo split summed in-gather) ----
-            g3a = None
-            for s in range(n_sl):
-                part = [jnp.dot(ma_ref[s * 256:(s + 1) * 256],
-                                ohm[s][b_i],
-                                preferred_element_type=jnp.float32)
-                        for b_i in range(blk)]
-                p3 = jnp.stack(part, axis=0)  # [blk, 256, p]
-                g3a = p3 if g3a is None else g3a + p3
-            amp = jnp.sum((g3a[:, 0:128] + g3a[:, 128:256]) * ohs_f32,
-                          axis=1)
+            if hifamp:
+                # hi-first: one [256, n_sl*128] @ [n_sl*128, 128] dot per
+                # block row pulls BOTH split fields' full lo-columns for
+                # each lane's (slice, hi) row; the lo-mask reduce then
+                # recombines hi+lo exactly (same table values as m_amp,
+                # bitwise-equal amp)
+                hi_full = jnp.right_shift(colT, 7)   # [blk, p]
+                iota_hif = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_sl * 128, 128), 0)
+                amp_rows = []
+                for b_i in range(blk):
+                    ohhi = (iota_hif == hi_full[b_i][None, :]).astype(
+                        jnp.bfloat16)
+                    t2 = jnp.dot(maT_ref[:], ohhi,
+                                 preferred_element_type=jnp.float32)
+                    amp_rows.append(jnp.sum(
+                        (t2[:128] + t2[128:]) * ohs_f32[b_i], axis=0))
+                amp = jnp.stack(amp_rows, axis=0)
+            else:
+                g3a = None
+                for s in range(n_sl):
+                    part = [jnp.dot(ma_ref[s * 256:(s + 1) * 256],
+                                    ohm[s][b_i],
+                                    preferred_element_type=jnp.float32)
+                            for b_i in range(blk)]
+                    p3 = jnp.stack(part, axis=0)  # [blk, 256, p]
+                    g3a = p3 if g3a is None else g3a + p3
+                amp = jnp.sum((g3a[:, 0:128] + g3a[:, 128:256]) * ohs_f32,
+                              axis=1)
+            if dblamp or dbltally:
+                # index-perturbed one-hots for the duplicate copies (a
+                # bit-flipped hi index: same shapes and sparsity, values
+                # differ so neither XLA nor Mosaic can CSE the dots)
+                hi7_c2 = jnp.bitwise_xor(hi7_c, 1)
+                ohm2 = [[(iota_hi3[:, b_i, :] == hi7_c2[None, b_i, :]
+                          ).astype(jnp.bfloat16)
+                         * (sl_c[b_i] == s).astype(jnp.bfloat16)[None, :]
+                         for b_i in range(blk)] for s in range(n_sl)]
+            if dblamp:
+                g3d = None
+                for s in range(n_sl):
+                    part = [jnp.dot(ma_ref[s * 256:(s + 1) * 256],
+                                    ohm2[s][b_i],
+                                    preferred_element_type=jnp.float32)
+                            for b_i in range(blk)]
+                    p3 = jnp.stack(part, axis=0)
+                    g3d = p3 if g3d is None else g3d + p3
+                amp_d = jnp.sum((g3d[:, 0:128] + g3d[:, 128:256])
+                                * ohs_f32, axis=1)
+                nstat_ref[0, 2] = nstat_ref[0, 2] + jnp.sum(amp_d)
 
             if pending is not None:
                 # group-rejection acceptance: gas-branch always; cloud
@@ -907,6 +968,18 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                     t_out = d_ if t_out is None else t_out + d_
                 acc_ref[s * 512:(s + 1) * 512] = (
                     acc_ref[s * 512:(s + 1) * 512] + t_out)
+            if dbltally:
+                # duplicate tally contraction against the perturbed hi
+                # one-hots; the scalar sink keeps the dots live without
+                # touching the real accumulator
+                dsum = jnp.float32(0.0)
+                for s in range(n_sl):
+                    for b_i in range(blk):
+                        d_ = jax.lax.dot_general(
+                            vl[b_i], ohm2[s][b_i], dn_t,
+                            preferred_element_type=jnp.float32)
+                        dsum = dsum + jnp.sum(d_)
+                nstat_ref[0, 3] = nstat_ref[0, 3] + dsum
 
             # ---- z-profile tally (net absorption over z) ----
             # accz rows: 0/1 abs hi (z slice 0/1), 2/3 abs lo, 4/5
@@ -1012,7 +1085,7 @@ def run_batch_pallas_sep(domain: OpticalDomain,
     if n_lanes * photons_per_lane >= 2 ** 31:
         raise ValueError("quota budget overflows int32; split batches")
 
-    m_amp, m_blk, m_z, n_sl, nbx, nby = _obj_cache(
+    m_amp, m_ampT, m_blk, m_z, n_sl, nbx, nby = _obj_cache(
         domain, ("sep",), lambda: _pack_sep_tables(domain))
     analytic_hg = bool(domain.sep_analytic_hg)
     if analytic_hg:
@@ -1119,7 +1192,7 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 9),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 10),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 2)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -1135,8 +1208,8 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 7] = n_state      # acc
-    aliases[2 + n_state + 8] = n_state + 1  # accz
+    aliases[2 + n_state + 8] = n_state      # acc
+    aliases[2 + n_state + 9] = n_state + 1  # accz
 
     call = pl.pallas_call(
         kernel,
@@ -1157,8 +1230,8 @@ def run_batch_pallas_sep(domain: OpticalDomain,
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
         outs = call(scal, params, *[state[k] for k in keys],
-                    m_amp, m_blk, m_z, m_ea, m_eaz, m_eg, inv_packed,
-                    acc, accz)
+                    m_amp, m_ampT, m_blk, m_z, m_ea, m_eaz, m_eg,
+                    inv_packed, acc, accz)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         accz = outs[n_state + 1]

@@ -288,6 +288,37 @@ class TestMultiSlice:
             f"slice-1 emission share {r_got} vs {r_dens}")
 
 
+class TestHiFirstAmpGather:
+    """debug_parts='hifamp' swaps the per-slice sliced amplitude gather
+    for the hi-first single-dot form (m_ampT layout). Same table values,
+    same RNG streams => every tally must be BITWISE identical; the
+    'dblamp'/'dbltally' measurement duplicates must not perturb tallies
+    at all (their dots feed only the nstat scalar sink)."""
+
+    @pytest.mark.parametrize("parts", ["hifamp", "dblamp,dbltally"])
+    def test_bitwise_vs_default(self, parts):
+        dom, comps, temps = make_sep_scene(
+            nx=132, ny=132, nz=60, cloud_base_level=20,
+            cloud_top_level=35, cloud_beta_max=0.3, gas_beta0=0.006)
+        kabs = absorption_coefficient(comps, dom.grid)
+        w = emission_weighting(dom.grid, temps, kabs, 288.0, 0.0, 10.0)
+        src = illumination.emission(w.voxel_cdf, w.frac_atms_power,
+                                    dom.grid.shape)
+        pcfg = PallasConfig(rows=8, block_rows=8, steps_per_call=16,
+                            max_steps=2048, interpret=True)
+        outs = []
+        for dp in ("", parts):
+            import dataclasses
+            cfg = dataclasses.replace(pcfg, debug_parts=dp)
+            fu, fd, ac, az, n, nbad, _ = ps.run_batch_pallas_sep(
+                dom, Surface.lambertian(0.05), src, rng.batch_key(71, 2),
+                cfg, 4, lw_mode=True)
+            outs.append((np.asarray(fu), np.asarray(fd), np.asarray(ac),
+                         np.asarray(az), int(n)))
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestCompactDomain:
     """build_domain(device_fields='compact') skips the ~1 GB/bin per-cell
     device arrays at flagship scale; the separable megakernel only reads

@@ -35,7 +35,11 @@ def main():
 
     sys.path.insert(0, ".")
     from bench import wait_for_device
-    if not wait_for_device():
+    # generous probe budgets: a concurrent CPU pytest run on this
+    # single-core host stretches the probe subprocess's jax import
+    # past the default 75 s (session 9 read DEVICE UNAVAILABLE while
+    # the device was healthy)
+    if not wait_for_device(max_wait_s=900.0, probe_timeout=240.0):
         print("DEVICE UNAVAILABLE", flush=True)
         return
 
@@ -53,7 +57,9 @@ def main():
 
     t0 = time.time()
     if "--small" in sys.argv:  # compile sanity before flagship size
-        grid, comps, temps = lw_flagship_scene(nx=132, ny=132, nz=60)
+        grid, comps, temps = lw_flagship_scene(
+            nx=132, ny=132, nz=60, cloud_base_level=20,
+            cloud_top_level=35)
     else:
         grid, comps, temps = lw_flagship_scene()
     kabs = absorption_coefficient(comps, grid)

@@ -771,8 +771,11 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
                 # index-perturbed one-hots for the duplicate copies (a
                 # bit-flipped hi index: same shapes and sparsity, values
                 # differ so neither XLA nor Mosaic can CSE the dots)
+                # NB: index with [b_i][None, :] (two getitems) -- a mixed
+                # (None, int, slice) getitem lowers to a gather primitive
+                # Mosaic rejects on hardware (interpret mode accepts it)
                 hi7_c2 = jnp.bitwise_xor(hi7_c, 1)
-                ohm2 = [[(iota_hi3[:, b_i, :] == hi7_c2[None, b_i, :]
+                ohm2 = [[(iota_hi3[:, b_i, :] == hi7_c2[b_i][None, :]
                           ).astype(jnp.bfloat16)
                          * (sl_c[b_i] == s).astype(jnp.bfloat16)[None, :]
                          for b_i in range(blk)] for s in range(n_sl)]

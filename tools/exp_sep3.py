@@ -82,11 +82,15 @@ def main():
         pcfg = dataclasses.replace(base_cfg, debug_parts=parts)
 
         def one(n_ph, rep):
+            # photons_per_lane must cover the requested quota or
+            # n_started silently caps at rows*128*ppl (the first session
+            # 9b flagship read marginal 0.00: n4 == n0 == the cap)
+            ppl = -(-n_ph // (base_cfg.rows * 128))
             t0 = time.time()
             fu, fd, ac, az, n_started, n_bad, n_calls = (
                 run_batch_pallas_sep(
                     domain, surface, src, rng.batch_key(3, rep), pcfg,
-                    64, n_photons=n_ph, lw_mode=True))
+                    ppl, n_photons=n_ph, lw_mode=True))
             n = int(n_started)   # host fetch forces completion
             dt = time.time() - t0
             meta = (float(jnp.sum(fu)) / n, float(jnp.sum(fd)) / n,
@@ -98,6 +102,11 @@ def main():
         n4, t4a, _ = one(4 * n_batch, 3)
         _, t4b, _ = one(4 * n_batch, 4)
         t4 = min(t4a, t4b)
+        if t4 - t1 < 0.2:   # both runs inside the fixed relay overhead
+            print(f"{name:28s} OVERHEAD-BOUND (t1={t1:.2f}s t4={t4:.2f}s)"
+                  " -- raise --nb", flush=True)
+            results[name] = 0.0
+            return
         marginal = (n4 - n0) / max(t4 - t1, 1e-9)
         su, sd, sa, ncalls, nbad = meta
         results[name] = marginal

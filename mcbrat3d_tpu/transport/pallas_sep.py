@@ -310,15 +310,22 @@ def _build_kernel_sep(shape, pcfg: PallasConfig, source_kind: str,
     # "oldem": force the per-column sliced alias gather for the emission
     # refill (A/B control for the group-rejection sampler)
     oldem = "oldem" in part_set
-    # "hifamp": hi-first amplitude gather (one [256, n_sl*128] dot per
-    # block row instead of n_sl sliced dots; bitwise-equal values).
+    # hi-first amplitude gather (one [256, n_sl*128] dot per block row
+    # instead of n_sl sliced dots; bitwise-equal values): the DEFAULT on
+    # multi-slice domains -- measured +36% on the 325x325x150 flagship
+    # (11.0 -> 14.9 M photons/s marginal, session 9c). "oldamp" forces
+    # the sliced form (A/B control); "hifamp" forces hi-first at n_sl=1
+    # (where the two coincide in cost).
     # "dblamp"/"dbltally": run a DUPLICATE (index-perturbed) copy of the
     # amp gather / column tally whose result feeds only a scalar stat
     # counter -- the marginal wall-clock of the duplicate is an honest
     # per-part cost measurement with IDENTICAL physics and control flow
     # (part-DISABLING changes photon lifetimes and what XLA fuses; see
-    # EXPERIMENTS_1e8.md "Lesson").
-    hifamp = "hifamp" in part_set
+    # EXPERIMENTS_1e8.md "Lesson"). NB round-4 status: the duplicate
+    # parts compile in interpret mode but hard-crash the TPU AOT
+    # compiler (array.h CHECK) -- hardware decomposition pending.
+    hifamp = ("hifamp" in part_set
+              or (n_sl >= 2 and "oldamp" not in part_set))
     dblamp = "dblamp" in part_set
     dbltally = "dbltally" in part_set
 

@@ -289,13 +289,14 @@ class TestMultiSlice:
 
 
 class TestHiFirstAmpGather:
-    """debug_parts='hifamp' swaps the per-slice sliced amplitude gather
-    for the hi-first single-dot form (m_ampT layout). Same table values,
-    same RNG streams => every tally must be BITWISE identical; the
+    """The hi-first amplitude gather (m_ampT layout) is the DEFAULT on
+    multi-slice domains; debug_parts='oldamp' forces the per-slice
+    sliced form. Same table values, same RNG streams => every tally
+    must be BITWISE identical across the two forms; the
     'dblamp'/'dbltally' measurement duplicates must not perturb tallies
     at all (their dots feed only the nstat scalar sink)."""
 
-    @pytest.mark.parametrize("parts", ["hifamp", "dblamp,dbltally"])
+    @pytest.mark.parametrize("parts", ["oldamp", "dblamp,dbltally"])
     def test_bitwise_vs_default(self, parts):
         dom, comps, temps = make_sep_scene(
             nx=132, ny=132, nz=60, cloud_base_level=20,

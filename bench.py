@@ -403,14 +403,21 @@ def bench_lw_flagship():
     from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
 
     grid, comps, temps = lw_flagship_scene()
+    # compact build (the production deck's path via SeparableBinPlan):
+    # skips the 15.8M-cell per-cell device arrays + ~1 GB relay upload
+    # the separable kernel never reads
     domain = build_domain(grid, comps, temps=temps, macro_factor=8,
-                          n_cdf_steps=201, lambda_um=10.0)
+                          n_cdf_steps=201, lambda_um=10.0,
+                          device_fields="compact")
     kabs = absorption_coefficient(comps, grid)
     w = emission_weighting(grid, temps, kabs, 288.0, 0.95, 10.0)
     source = illumination.emission(w.voxel_cdf, w.frac_atms_power,
                                    grid.shape)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=32,
-                          max_steps=200_000, lw_mode=True,
+    # ppl=256 (16.8M photons/measure) amortizes the relay's fixed
+    # per-call dispatch+fetch: at ppl=32 the metric reads the overhead,
+    # not the kernel (marginal kernel rate ~15 M/s, session 9c)
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=256,
+                          max_steps=1_600_000, lw_mode=True,
                           use_pallas="on",
                           need_volume_absorption=False)
 

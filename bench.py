@@ -666,9 +666,12 @@ def _emit_raw(obj):
 
 def main():
     if any(flag in sys.argv for flag in SELECTIVE):
-        # Selective (subprocess) mode: a short device wait only -- the
-        # parent sweep already gated on device health.
-        if not wait_for_device(max_wait_s=180.0):
+        # Selective (subprocess) mode: a moderate device wait -- the
+        # parent sweep already gated on device health, but a degraded
+        # relay can stretch a healthy probe's jax init past 75 s
+        # (session 10b: the session gate passed while bench's own
+        # 75 s-probe wait declared the device unreachable).
+        if not wait_for_device(max_wait_s=420.0, probe_timeout=180.0):
             _emit_raw({"metric": "device", "error": "unreachable"})
             return
         for flag, fn in SELECTIVE.items():

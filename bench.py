@@ -706,24 +706,11 @@ def main():
              ("--broadband-lw", 480), ("--flagship", 900)]
     headline = None
     sweep_deadline = t_start + 40 * 60.0  # global sweep budget: 40 min
-    if not wait_for_device(max_wait_s=240.0):
-        _emit_raw({"metric": "step_cloud_photon_throughput", "value": 0.0,
-                   "unit": "photons/sec/chip", "vs_baseline": 0.0,
-                   "note": "device unreachable (relay wedge, see "
-                           "PERF_NOTES.md 'Relay hazard')"})
-        return
-    for i, (flag, budget) in enumerate(sweep):
-        remaining = sweep_deadline - time.time()
-        if remaining < 90.0:
-            _emit_raw({"metric": flag.lstrip("-"),
-                       "error": "sweep budget exhausted"})
-            continue
-        budget = min(budget, remaining)
-        if i > 0 and not wait_for_device(
-                max_wait_s=min(240.0, remaining - 60.0)):
-            _emit_raw({"metric": flag.lstrip("-"),
-                       "error": "device unreachable"})
-            continue
+
+    def run_metric(flag, budget):
+        """Run one selective-mode subprocess; return the headline line if
+        this metric produced one (else None)."""
+        found = None
         try:
             r = subprocess.run([sys.executable, here, flag],
                                capture_output=True, timeout=budget,
@@ -739,13 +726,40 @@ def main():
                     # line would misreport the round's headline)
                     if ('"metric": "step_cloud_photon_throughput"' in line
                             and "error" not in line):
-                        headline = line
+                        found = line
             if r.returncode != 0:
                 _emit_raw({"metric": flag.lstrip("-"),
                            "error": (r.stderr or "")[-200:]})
         except subprocess.TimeoutExpired:
             _emit_raw({"metric": flag.lstrip("-"),
                        "error": f"timeout after {budget:.0f}s"})
+        return found
+
+    # An initial relay wedge is NOT fatal: wedges have measured 30-90 min
+    # but recover mid-window, and every metric below re-gates on its own
+    # device wait -- so a sweep that starts wedged still captures whatever
+    # the recovered tail of the window allows.
+    if not wait_for_device(max_wait_s=240.0):
+        _emit_raw({"metric": "device", "error": "initial probe unreachable "
+                   "(relay wedge, see PERF_NOTES.md); continuing sweep"})
+    for flag, budget in sweep:
+        remaining = sweep_deadline - time.time()
+        if remaining < 90.0:
+            _emit_raw({"metric": flag.lstrip("-"),
+                       "error": "sweep budget exhausted"})
+            continue
+        budget = min(budget, remaining)
+        if not wait_for_device(max_wait_s=min(240.0, remaining - 60.0)):
+            _emit_raw({"metric": flag.lstrip("-"),
+                       "error": "device unreachable"})
+            continue
+        headline = run_metric(flag, budget) or headline
+    # If the headline was lost to an early wedge but the device recovered
+    # later in the window, retry it with whatever budget remains.
+    remaining = sweep_deadline + 360.0 - time.time()
+    if headline is None and remaining > 120.0 and wait_for_device(
+            max_wait_s=min(240.0, remaining - 90.0)):
+        headline = run_metric("--step-cloud", remaining)
     if headline is not None:
         # repeat the headline as the FINAL line for the driver's parser
         print(headline, flush=True)

@@ -35,35 +35,58 @@ def _append_partial(line: str):
         pass
 
 
-def wait_for_device(max_wait_s: float = 240.0, probe_timeout: float = 75.0):
+def wait_for_device(max_wait_s: float = 240.0, probe_timeout: float = 75.0,
+                    n_probes: int = 0):
     """The remote-TPU relay in this environment wedges for tens of minutes
     at a time (every in-process jax op blocks unkillably). Probe with a
     trivial op in a subprocess and wait for recovery before importing jax
-    in-process, so the benchmark cannot hang forever."""
-    deadline = time.time() + max_wait_s
+    in-process, so the benchmark cannot hang forever.
+
+    With n_probes > 0 the budget is PROBE-COUNT based (each probe bounded
+    by probe_timeout, no sleeps between) -- the exact-budget form the
+    sweep's fast-fail accounting needs; max_wait_s is ignored. A healthy
+    probe through this relay measures ~90 s (per-process backend init),
+    so probe timeouts below ~120 s misclassify a degraded-healthy device
+    (round-4 session 10b; re-measured round 5: 89.7 s)."""
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.arange(8.0).sum()))")
-    while True:
+
+    def one(timeout):
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=probe_timeout)
-            if r.returncode == 0:
-                return True
+                               capture_output=True, timeout=timeout)
+            return r.returncode == 0
         except subprocess.TimeoutExpired:
-            pass
+            return False
+
+    if n_probes > 0:
+        for _ in range(n_probes):
+            if one(probe_timeout):
+                return True
+        return False
+    deadline = time.time() + max_wait_s
+    while True:
+        if one(probe_timeout):
+            return True
         if time.time() > deadline:
             return False
         time.sleep(30.0)
 
 
 def emit(metric, rate, **extra):
-    line = json.dumps({
+    obj = {
         "metric": metric,
         "value": round(rate, 1),
         "unit": "photons/sec/chip",
         "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 4),
         **extra,
-    })
+    }
+    # Retry runs append to BENCH_partial.json a second time; tag their
+    # lines so a consumer can take the LAST occurrence per metric and
+    # know it was the retry (advisor round 4).
+    if os.environ.get("BENCH_RETRY"):
+        obj["retry"] = int(os.environ["BENCH_RETRY"])
+    line = json.dumps(obj)
     print(line, flush=True)
     _append_partial(line)
 
@@ -666,27 +689,37 @@ def _emit_raw(obj):
 
 def main():
     if any(flag in sys.argv for flag in SELECTIVE):
-        # Selective (subprocess) mode: a moderate device wait -- the
-        # parent sweep already gated on device health, but a degraded
-        # relay can stretch a healthy probe's jax init past 75 s
-        # (session 10b: the session gate passed while bench's own
-        # 75 s-probe wait declared the device unreachable).
-        if not wait_for_device(max_wait_s=420.0, probe_timeout=180.0):
-            _emit_raw({"metric": "device", "error": "unreachable"})
-            return
-        for flag, fn in SELECTIVE.items():
-            if flag in sys.argv:
-                fn()
+        # Selective (subprocess) mode. When the parent sweep already
+        # gated on device health (BENCH_GATED=1) skip the redundant wait:
+        # a healthy probe costs ~90 s of per-process backend init through
+        # this relay, and paying it per metric burned ~15 min of the
+        # round-4 sweep window. Standalone invocations keep a generous
+        # wait (a degraded relay can stretch a healthy probe's jax init
+        # past 75 s -- session 10b).
+        if not os.environ.get("BENCH_GATED"):
+            if not wait_for_device(max_wait_s=420.0, probe_timeout=180.0):
+                _emit_raw({"metric": "device", "error": "unreachable"})
                 return
+        # run ALL matching flags in argv order (the sweep groups small
+        # metrics into one subprocess to amortize the ~90 s jax init)
+        for flag in sys.argv[1:]:
+            fn = SELECTIVE.get(flag)
+            if fn is not None:
+                fn()
+        return
 
-    # Full sweep. Hard lessons from round 3 (BENCH_r03.json was rc=124
-    # with an EMPTY tail): the driver enforces its own timeout, so
+    # Full sweep. Hard lessons from rounds 3 AND 4 (both rc=124; round 3
+    # with an EMPTY tail, round 4 killed mid-list after ~44 min of pure
+    # device-waiting): the driver enforces its own timeout, so
     # (a) print a heartbeat line immediately, before any device wait;
-    # (b) run the HEADLINE first under a tight budget and print its line
-    #     the moment it exists;
-    # (c) append every line to BENCH_partial.json on disk as it happens;
-    # (d) cap the whole sweep well under an hour -- a relay wedge costs
-    #     one metric (an error line), never the sweep.
+    # (b) append every line to BENCH_partial.json on disk as it happens;
+    # (c) cap the whole sweep well under an hour -- a relay wedge costs
+    #     one metric (an error line), never the sweep;
+    # (d) FAST-FAIL when the relay never recovers: after 2 consecutive
+    #     unreachable waits the per-metric wait collapses to one short
+    #     probe, so the all-unreachable path completes in < 15 min and
+    #     exits rc=0 -- a CLEAN record that the relay was down, instead
+    #     of a driver timeout kill (round-4 verdict demand #1).
     t_start = time.time()
     try:  # fresh partial file per sweep
         if os.path.exists(PARTIAL_PATH):
@@ -697,29 +730,52 @@ def main():
                "vs_baseline": 0.0})
 
     here = os.path.abspath(__file__)
-    # flagship budget: 15.8M-cell domain build (~1 min) + ~1 GB table
-    # upload through the relay (minutes) + a fresh Mosaic compile of the
-    # separable kernel (2-5 min) precede the first measurement
-    sweep = [("--step-cloud", 360), ("--multi", 300), ("--lw", 300),
-             ("--tabulated", 300), ("--radar", 300), ("--landsat", 300),
-             ("--intensity", 540), ("--broadband", 480),
-             ("--broadband-lw", 480), ("--flagship", 900)]
+    # Sweep ordered by round-5 verdict priority: the headline first, then
+    # the demanded metrics (tabulated-phase gather, broadband end-to-end
+    # both ways, the LW flagship, radiance). The last entry groups the
+    # four small-scene metrics into ONE subprocess to amortize the ~90 s
+    # per-process backend init. flagship budget covers the compact domain
+    # build + a fresh Mosaic compile of the separable kernel (2-5 min).
+    sweep = [(["--step-cloud"], 360), (["--tabulated"], 300),
+             (["--broadband"], 420), (["--broadband-lw"], 420),
+             (["--flagship"], 600), (["--intensity"], 540),
+             (["--landsat", "--multi", "--lw", "--radar"], 600)]
     headline = None
-    sweep_deadline = t_start + 40 * 60.0  # global sweep budget: 40 min
+    sweep_deadline = t_start + 35 * 60.0  # global sweep budget: 35 min
+    # Device-health streak: 0 = last evidence was healthy (a metric
+    # subprocess that produced lines counts -- no redundant probes on the
+    # healthy path). After 2 consecutive failures, STOP probing per
+    # metric (fast-fail, round-4 verdict demand #1a) except at explicit
+    # recovery checkpoints; the all-unreachable path then completes in
+    # ~13 min (initial 60+150 s probes + 150 s at i=0 + recovery checks)
+    # and exits rc=0 -- a clean record instead of a driver rc=124 kill.
+    streak = [0]
 
-    def run_metric(flag, budget):
-        """Run one selective-mode subprocess; return the headline line if
-        this metric produced one (else None)."""
+    def probe_device(n_probes=1, probe_timeout=150.0):
+        ok = wait_for_device(n_probes=n_probes, probe_timeout=probe_timeout)
+        streak[0] = 0 if ok else streak[0] + 1
+        return ok
+
+    def run_metric(flags, budget, retry=0):
+        """Run one selective-mode subprocess (one or more metric flags);
+        return the headline line if it produced one (else None)."""
         found = None
-        try:
-            r = subprocess.run([sys.executable, here, flag],
-                               capture_output=True, timeout=budget,
-                               text=True)
-            for line in r.stdout.splitlines():
+        any_line = False
+        env = dict(os.environ)
+        env["BENCH_GATED"] = "1"  # the sweep gates device health itself
+        if retry:
+            env["BENCH_RETRY"] = str(retry)
+
+        def scan(stdout):
+            nonlocal found, any_line
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode("utf-8", "replace")
+            for line in (stdout or "").splitlines():
                 if line.startswith("{"):
                     # the subprocess's emit() already appended the line
                     # to BENCH_partial.json -- do NOT append again here
                     print(line, flush=True)
+                    any_line = True
                     # the headline is the reference-default step-cloud
                     # metric specifically (the same subprocess also
                     # emits the volume-tally variant -- taking the last
@@ -727,42 +783,81 @@ def main():
                     if ('"metric": "step_cloud_photon_throughput"' in line
                             and "error" not in line):
                         found = line
+        name = "+".join(f.lstrip("-") for f in flags)
+        try:
+            r = subprocess.run([sys.executable, here] + flags,
+                               capture_output=True, timeout=budget,
+                               text=True, env=env)
+            scan(r.stdout)
             if r.returncode != 0:
-                _emit_raw({"metric": flag.lstrip("-"),
-                           "error": (r.stderr or "")[-200:]})
-        except subprocess.TimeoutExpired:
-            _emit_raw({"metric": flag.lstrip("-"),
+                _emit_raw({"metric": name, "error": (r.stderr or "")[-200:]})
+        except subprocess.TimeoutExpired as e:
+            # salvage metric lines the child printed before wedging
+            # (advisor round 4): completed metrics survive the kill
+            scan(e.stdout)
+            _emit_raw({"metric": name,
                        "error": f"timeout after {budget:.0f}s"})
+        # a subprocess that produced real metric lines is itself proof the
+        # device works; one that died line-less is evidence it does not
+        streak[0] = 0 if any_line else streak[0] + 1
         return found
 
     # An initial relay wedge is NOT fatal: wedges have measured 30-90 min
-    # but recover mid-window, and every metric below re-gates on its own
-    # device wait -- so a sweep that starts wedged still captures whatever
-    # the recovered tail of the window allows.
-    if not wait_for_device(max_wait_s=240.0):
+    # but recover mid-window -- the sweep keeps going with fast-fail
+    # error lines plus periodic recovery checks, so a sweep that starts
+    # wedged still captures whatever the recovered tail allows.
+    if not (wait_for_device(n_probes=1, probe_timeout=60.0)
+            or probe_device(1, 150.0)):
         _emit_raw({"metric": "device", "error": "initial probe unreachable "
                    "(relay wedge, see PERF_NOTES.md); continuing sweep"})
-    for flag, budget in sweep:
+    for i, (flags, budget) in enumerate(sweep):
+        name = "+".join(f.lstrip("-") for f in flags)
         remaining = sweep_deadline - time.time()
         if remaining < 90.0:
-            _emit_raw({"metric": flag.lstrip("-"),
-                       "error": "sweep budget exhausted"})
+            _emit_raw({"metric": name, "error": "sweep budget exhausted"})
             continue
-        budget = min(budget, remaining)
-        if not wait_for_device(max_wait_s=min(240.0, remaining - 60.0)):
-            _emit_raw({"metric": flag.lstrip("-"),
-                       "error": "device unreachable"})
-            continue
-        headline = run_metric(flag, budget) or headline
-    # If the headline was lost to an early wedge but the device recovered
-    # later in the window, retry it with whatever budget remains.
-    remaining = sweep_deadline + 360.0 - time.time()
-    if headline is None and remaining > 120.0 and wait_for_device(
-            max_wait_s=min(240.0, remaining - 90.0)):
-        headline = run_metric("--step-cloud", remaining)
+        if streak[0] > 0:
+            # device suspect: re-probe, but once the streak reaches 2,
+            # only at the mid-sweep recovery checkpoint (fast-fail)
+            if streak[0] >= 2 and i not in (4, 6):
+                _emit_raw({"metric": name,
+                           "error": "device unreachable (fast-fail)"})
+                continue
+            if not probe_device(1, 150.0):
+                _emit_raw({"metric": name, "error": "device unreachable"})
+                continue
+        # recompute AFTER any probe: the subprocess budget must fit what
+        # is actually left of the sweep window (advisor round 4)
+        budget = min(budget, max(90.0, sweep_deadline - time.time()))
+        headline = run_metric(flags, budget) or headline
+        # Spread headline retries across the window (round-4 verdict
+        # demand #1b): if the headline was lost to an early wedge but the
+        # device answers NOW, retry it immediately rather than only at
+        # the tail (where the remaining budget may be too thin).
+        if headline is None and streak[0] == 0 and i in (2, 4):
+            remaining = sweep_deadline - time.time()
+            if remaining > 300.0:
+                headline = run_metric(["--step-cloud"],
+                                      min(360.0, remaining - 60.0),
+                                      retry=1)
+    # Tail retry: one more chance with whatever budget remains (+5 min
+    # grace past the sweep deadline, still far under the driver window).
+    remaining = sweep_deadline + 300.0 - time.time()
+    if headline is None and remaining > 150.0 and (
+            streak[0] == 0 or probe_device(1, 150.0)):
+        headline = run_metric(["--step-cloud"], remaining - 10.0, retry=2)
     if headline is not None:
         # repeat the headline as the FINAL line for the driver's parser
         print(headline, flush=True)
+    else:
+        # Never leave the driver's parser headline-less (advisor round 4):
+        # an explicit zero-value headline with an error note is a clean,
+        # parseable record that the relay was down for the whole sweep.
+        _emit_raw({"metric": "step_cloud_photon_throughput", "value": 0.0,
+                   "unit": "photons/sec/chip", "vs_baseline": 0.0,
+                   "error": "device unreachable for the entire sweep "
+                            "window (relay wedge, see PERF_NOTES.md)"})
+    sys.exit(0)  # the sweep itself never signals failure (rc=0 contract)
 
 
 if __name__ == "__main__":

@@ -29,13 +29,17 @@ buffer entirely in VMEM across K transport steps per launch:
 Eligibility (everything else falls back to transport.integrator):
 monochromatic runs with up to 3 components (gas + cloud + Rayleigh --
 the production broadband shape; multi-component collisions use the
-scattering-coefficient formulation, see _build_kernel) on a regular grid,
-uniform Lambertian surface, directional/random-azimuth/flux sources, and
-n_cells within the VMEM record-table envelope (MAX_CELLS). Radiance runs
-additionally require the exact (non-Russian-roulette) estimator, plain
-phase functions, and <= 8 upward directions with mu >= pallas_min_mu
+scattering-coefficient formulation, see _build_kernel) on a regular grid;
+uniform Lambertian, uniform RPV, or per-pixel Lambertian surfaces;
+directional/random-azimuth/flux/spotlight sources plus BBEmission in
+lw_mode; and n_cells within the VMEM record-table envelope (MAX_CELLS).
+Radiance runs cover the PRODUCTION-DEFAULT estimator -- Iwabuchi Russian
+roulette (post-march decisions), hybrid/tabulated forward phase tables,
+limitIntensityContributions capping -- for up to MAX_KERNEL_DIRS (64)
+directions per pass (bigger grids run chunked) with mu >= pallas_min_mu
 (pallas_intensity_eligible + dirs_mu_floor_ok). Bigger column-template
-domains: transport/pallas_col.py.
+domains: transport/pallas_col.py; separable-template domains:
+transport/pallas_sep.py.
 """
 
 from __future__ import annotations
@@ -276,11 +280,14 @@ def pallas_intensity_eligible(domain: OpticalDomain, surface: Surface,
                               icfg, dirs,
                               dirs_mu_ok: bool = False) -> bool:
     """True when the megakernel's in-kernel local estimation covers this
-    radiance configuration exactly: the exact (non-Russian-roulette)
-    estimator, plain phase functions (no hybrid), no contribution capping,
-    every direction's mu >= icfg.pallas_min_mu (validated host-side via
-    dirs_mu_floor_ok and passed in as the static ``dirs_mu_ok``), on a
-    flux-eligible domain."""
+    radiance configuration: the production-default estimator INCLUDING
+    Iwabuchi Russian roulette (post-march decisions, round 3), hybrid /
+    tabulated forward phase tables (resampled uniform in sin(theta/2)),
+    and limitIntensityContributions capping with excess redistribution
+    (round 4); every direction's mu >= icfg.pallas_min_mu (validated
+    host-side via dirs_mu_floor_ok and passed in as the static
+    ``dirs_mu_ok``), on a flux-eligible domain. Direction counts above
+    MAX_KERNEL_DIRS run as chunked transport passes (integrator)."""
     if icfg is None or dirs is None:
         return False
     return not intensity_ineligibility_reasons(
@@ -350,11 +357,13 @@ def ineligibility_reasons(domain: OpticalDomain, surface: Surface,
     """Names of every failing record-megakernel predicate (empty = eligible).
 
     Eligibility: monochromatic runs with up to MAX_COMPONENTS components on
-    a regular grid, uniform Lambertian surface,
-    directional/random-azimuth/flux sources, n_cells small enough for the
-    VMEM record table. Radiance runs additionally gate through
+    a regular grid; uniform Lambertian, uniform RPV, or per-pixel
+    Lambertian (surface_px_ok) surfaces; directional/random-azimuth/flux/
+    spotlight sources plus BBEmission in lw_mode; n_cells small enough
+    for the VMEM record table. Radiance runs additionally gate through
     pallas_intensity_eligible; bigger column-template domains through
-    transport/pallas_col.py."""
+    transport/pallas_col.py; separable-template domains through
+    transport/pallas_sep.py."""
     nx, ny, nz = domain.grid.shape
     n_cells = nx * ny * nz
     vol_base = -(-2 * nx * ny // 128) * 128

@@ -487,7 +487,9 @@ def bench_landsat():
         [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
     comp = OpticalComponent("broken cloud", ext, np.full_like(ext, 0.99),
                             np.zeros(ext.shape, np.int32), table)
-    domain = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=201)
+    domain = build_domain(grid, [comp], macro_factor=8, n_cdf_steps=201,
+                          compute_intensity_tables=True,
+                          hybrid_width_deg=10.0)
     config = KernelConfig(n_lanes=1 << 16, photons_per_lane=16,
                           max_steps=400_000,
                           need_volume_absorption=False)
@@ -499,6 +501,34 @@ def bench_landsat():
         return int(t.n_photons)
 
     emit("landsat_scale_photon_throughput", measure(once))
+
+    # Landsat-scale RADIANCE: 16 viewing directions through the column
+    # kernel's in-kernel slab-scan local estimation (round-5 feature; the
+    # XLA estimator measured < 1 k photons/s here in round 2). The
+    # reference's I3RC case-4 radiance configuration
+    # (reference: Drivers/monteCarloDriver.f95:61,
+    # Domain-Files/i3rcLandsatCloud.f95:27-40).
+    from mcbrat3d_tpu.transport.local_estimate import (
+        IntensityConfig, make_intensity_directions)
+    mus16 = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4] * 2
+    phis16 = [(i * 45.0 + 15.0) % 360.0 for i in range(16)]
+    dirs16 = make_intensity_directions(mus16, phis16)
+    icfg16 = IntensityConfig(n_dirs=16, use_russian_roulette=True,
+                             use_hybrid_phase=True, pallas_min_mu=0.4)
+    config_i = KernelConfig(n_lanes=1 << 13, photons_per_lane=256,
+                            max_steps=400_000, use_pallas="on",
+                            need_volume_absorption=False)
+
+    def once_i(b):
+        t = run_batch(domain, surface, source, rng.batch_key(5, b),
+                      config_i, intensity_config=icfg16,
+                      intensity_dirs=dirs16)
+        assert t.intensity is not None
+        import jax.numpy as jnp
+        float(jnp.sum(t.intensity))
+        return int(t.n_photons)
+
+    emit("landsat_radiance_16dir_throughput", measure(once_i, 2))
 
 
 def bench_broadband(n_lam=16, n_phase=9001, ppb=1 << 18, n_batches=16,

@@ -125,3 +125,149 @@ class MomentAccumulator:
         acc._sum_wx = {k: np.asarray(v, np.float64) for k, v in state["sum_wx"].items()}
         acc._sum_wx2 = {k: np.asarray(v, np.float64) for k, v in state["sum_wx2"].items()}
         return acc
+
+
+class DeviceMomentAccumulator:
+    """Device-resident moment accumulation for per-bin transport loops.
+
+    The broadband loop used to sync the device every batch --
+    ``int(t.n_photons)`` plus one host fetch per tally array plus ~7
+    eager ``normalized()`` dispatches, each ~100 ms through a
+    relay-attached device -- so at flagship scale (64 bins) the per-bin
+    FIXED cost dwarfed transport itself (PERF_NOTES round 4: ~1.76 s/bin
+    vs ~0.07 s of device time). This variant keeps f32
+    Neumaier-compensated (sum, carry) pairs for sum(w x) / sum(w x^2) /
+    sum(w) ON DEVICE and enqueues ONE fused jitted update per batch
+    (normalize + moments, no sync, no fetch) -- jax async dispatch then
+    overlaps it with the next bin's host-side rebuild. ``finalize()``
+    pulls everything into a host f64 MomentAccumulator exactly once.
+
+    Accuracy: compensated f32 summation keeps ~f32-eps TOTAL error on
+    each moment (vs sqrt(n)*eps uncompensated), and the f64 finalize adds
+    s + c exactly; batch-mean variances are O(1) relative (inter-bin
+    spread), so the ex2 - ex^2 cancellation stays benign.
+    Matches the reference's batch-moment structure
+    (reference: Drivers/monteCarloDriver.f95:1023-1052).
+    """
+
+    def __init__(self, base: "MomentAccumulator" = None):
+        self._base = base if base is not None else MomentAccumulator()
+        self._state = None  # {name: (s_wx, c_wx, s_wx2, c_wx2)}
+        self._w_state = None  # (s_w, c_w) f32 scalars
+        self._n_batches = 0
+        self._update = None
+
+    @staticmethod
+    def _neumaier(s, c, v):
+        import jax.numpy as jnp
+        t = s + v
+        c = c + jnp.where(jnp.abs(s) >= jnp.abs(v),
+                          (s - t) + v, (v - t) + s)
+        return t, c
+
+    def _make_update(self):
+        import jax
+
+        def upd(state, w_state, weight, arrays):
+            import jax.numpy as jnp
+            s_w, c_w = w_state
+            s_w, c_w = self._neumaier(s_w, c_w, weight)
+            new = {}
+            for name, vals in state.items():
+                if name in arrays:
+                    a = jnp.asarray(arrays[name], jnp.float32)
+                    s1, c1, s2, c2 = vals
+                    s1, c1 = self._neumaier(s1, c1, weight * a)
+                    s2, c2 = self._neumaier(s2, c2, weight * a * a)
+                    new[name] = (s1, c1, s2, c2)
+                else:
+                    # a key this batch's tally layout lacks (e.g. fast
+                    # paths without the 3D volume field): carry through
+                    new[name] = vals
+            return new, (s_w, c_w)
+
+        return jax.jit(upd, donate_argnums=(0, 1))
+
+    def add(self, weight, arrays: dict):
+        """Enqueue one batch's moments. ``weight`` may be a device scalar
+        (e.g. Tallies.n_photons); ``arrays`` jnp arrays. No host sync."""
+        import jax.numpy as jnp
+        weight = jnp.asarray(weight, jnp.float32)
+        if self._w_state is None:
+            self._w_state = (jnp.zeros((), jnp.float32),
+                             jnp.zeros((), jnp.float32))
+            self._state = {}
+        for name, a in arrays.items():
+            if name not in self._state:
+                # four DISTINCT buffers: donation rejects the same buffer
+                # appearing twice in one call
+                self._state[name] = tuple(
+                    jnp.zeros(jnp.shape(a), jnp.float32) for _ in range(4))
+        if self._update is None:
+            self._update = self._make_update()
+        self._state, self._w_state = self._update(
+            self._state, self._w_state, weight,
+            {k: jnp.asarray(v, jnp.float32) for k, v in arrays.items()})
+        self._n_batches += 1
+
+    def add_tallies(self, t, grid):
+        """Fused per-batch update from raw Tallies: per-column
+        normalization (Tallies.normalized) + driver array layout
+        (means, absorption profile) + moment update, all inside one
+        jitted dispatch."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_tally_update", None) is None:
+            def upd(t_, grid_):
+                tn = t_.normalized(grid_)
+                arrays = {
+                    "flux_up": tn.flux_up,
+                    "flux_down": tn.flux_down,
+                    "flux_absorbed": tn.flux_absorbed,
+                    "mean_flux_up": jnp.mean(tn.flux_up),
+                    "mean_flux_down": jnp.mean(tn.flux_down),
+                    "mean_flux_absorbed": jnp.mean(tn.flux_absorbed),
+                }
+                if tn.volume_absorption is not None:
+                    arrays["volume_absorption"] = tn.volume_absorption
+                if tn.absorption_profile is not None:
+                    arrays["absorption_profile"] = tn.absorption_profile
+                elif tn.volume_absorption is not None:
+                    arrays["absorption_profile"] = jnp.mean(
+                        tn.volume_absorption, axis=(0, 1))
+                if tn.intensity is not None:
+                    arrays["intensity"] = tn.intensity
+                return arrays, tn.n_photons.astype(jnp.float32)
+
+            self._tally_update = jax.jit(upd)
+        arrays, w = self._tally_update(t, grid)
+        self.add(w, arrays)
+
+    @property
+    def n_batches(self) -> int:
+        return self._n_batches + self._base.n_batches
+
+    def finalize(self) -> "MomentAccumulator":
+        """One host sync: fold the device sums into a host f64
+        MomentAccumulator (merged with any resume base)."""
+        out = MomentAccumulator()
+        out.merge(self._base)
+        if self._w_state is None:
+            return out
+        dev = MomentAccumulator()
+        s_w, c_w = self._w_state
+        dev._sum_w = float(np.float64(np.asarray(s_w))
+                           + np.float64(np.asarray(c_w)))
+        dev._n_batches = self._n_batches
+        for name, (s1, c1, s2, c2) in self._state.items():
+            dev._sum_wx[name] = (np.asarray(s1, np.float64)
+                                 + np.asarray(c1, np.float64))
+            dev._sum_wx2[name] = (np.asarray(s2, np.float64)
+                                  + np.asarray(c2, np.float64))
+        out.merge(dev)
+        return out
+
+    # checkpoint duck-typing (driver/checkpoint.save_checkpoint)
+    def state_dict(self) -> dict:
+        return self.finalize().state_dict()

@@ -196,7 +196,13 @@ def run_broadband(cfg: SimulationConfig,
             limit_contributions=cfg.limit_intensity_contributions,
             max_contribution=cfg.max_intensity_contribution)
 
-    acc = accumulator if accumulator is not None else MomentAccumulator()
+    # Device-resident moments: one fused jitted update per batch instead
+    # of per-batch host syncs + array fetches (~1 s/bin of fixed cost
+    # through a relay-attached device at flagship scale -- see
+    # core.accumulate.DeviceMomentAccumulator). Anything passed in as
+    # ``accumulator`` (checkpoint resume) becomes the host-side base.
+    from mcbrat3d_tpu.core.accumulate import DeviceMomentAccumulator
+    acc = DeviceMomentAccumulator(base=accumulator)
     global_batch = 0
     # Per-bin domains start "full" (every kernel path available); once a
     # bin proves the separable megakernel dispatches, later bins rebuild
@@ -335,9 +341,10 @@ def run_broadband(cfg: SimulationConfig,
                 t = run_batch(domain, surface, source,
                               rng.batch_key(cfg.iseed, global_batch),
                               bin_kcfg, icfg, idirs, n_photons=n)
-            t = t.normalized(grid)
-            got = int(t.n_photons)
-            acc.add(float(got), _tallies_to_arrays(t))
+            # no host sync: normalization + moment update run as one
+            # enqueued jitted dispatch; the host moves straight on to
+            # the next bin's rebuild while the device transports
+            acc.add_tallies(t, grid)
             remaining -= n
             global_batch += 1
             if (checkpoint_cb is not None
@@ -345,10 +352,11 @@ def run_broadband(cfg: SimulationConfig,
                     and global_batch % cfg.checkpoint_every_batches == 0):
                 checkpoint_cb(global_batch, acc, chunk_size)
 
+    acc = acc.finalize()  # the loop's ONLY device->host moment fetch
     mean = {k: total_flux * acc.mean(k) for k in acc._sum_wx}
     stderr = {k: total_flux * acc.stderr(k) for k in acc._sum_wx}
     res = Results(mean=mean, stderr=stderr,
-                  total_photons=int(acc.total_weight),
+                  total_photons=int(round(acc.total_weight)),
                   n_batches=acc.n_batches,
                   solar_flux=total_flux,
                   elapsed_seconds=time.time() - t_start,

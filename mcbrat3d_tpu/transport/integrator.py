@@ -317,10 +317,22 @@ def run_batch(domain: OpticalDomain,
     except (TypeError, jax.errors.ConcretizationTypeError,
             jax.errors.TracerArrayConversionError):
         pass
+    # column-kernel slab-scan radiance plan (Landsat-scale domains the
+    # record kernel can't hold; see pallas_col.plan_col_march)
+    col_march_plan = None
+    if intensity_config is not None:
+        from mcbrat3d_tpu.transport import pallas_col as _pc
+        try:
+            col_march_plan = _pc.plan_col_march(
+                domain.grid, domain, intensity_config, intensity_dirs)
+        except (TypeError, jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            pass
     return _run_batch_impl(domain, surface, source, key, config,
                            intensity_config, intensity_dirs, n_photons,
                            debug_state=debug_state, dirs_mu_ok=dirs_mu_ok,
-                           march_plan=march_plan)
+                           march_plan=march_plan,
+                           col_march_plan=col_march_plan)
 
 
 def _run_batch_dir_chunked(domain, surface, source, config,
@@ -358,7 +370,13 @@ def _run_batch_dir_chunked(domain, surface, source, config,
             use_ray_tracing=config.use_ray_tracing,
             icfg=icfg0, dirs=dirs[:, :icfg0.n_dirs],
             dirs_mu_ok=dirs_mu_ok):
-        return None
+        from mcbrat3d_tpu.transport import pallas_col as _pc
+        if not _pc.pallas_col_intensity_eligible(
+                domain, surface, source, config.lw_mode,
+                config.record_scattering_orders, config.use_ray_tracing,
+                icfg0, dirs[:, :icfg0.n_dirs], dirs_mu_ok,
+                config.need_volume_absorption):
+            return None
     d_np = np.asarray(dirs)
     first: Optional[Tallies] = None
     images = []
@@ -376,7 +394,7 @@ def _run_batch_dir_chunked(domain, surface, source, config,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "intensity_config", "debug_state",
-                     "dirs_mu_ok", "march_plan"),
+                     "dirs_mu_ok", "march_plan", "col_march_plan"),
 )
 def _run_batch_impl(domain: OpticalDomain,
                     surface: Surface,
@@ -388,7 +406,8 @@ def _run_batch_impl(domain: OpticalDomain,
                     n_photons: Optional[jax.Array] = None,
                     debug_state: bool = False,
                     dirs_mu_ok: bool = False,
-                    march_plan=None) -> Tallies:
+                    march_plan=None,
+                    col_march_plan=None) -> Tallies:
     cfg = config
 
     # ---- TPU fast path: VMEM-resident Pallas megakernel ----
@@ -410,6 +429,23 @@ def _run_batch_impl(domain: OpticalDomain,
                     intensity_config=intensity_config,
                     intensity_dirs=intensity_dirs,
                     march_plan=march_plan)
+            # Landsat-scale radiance: column-kernel slab-scan local
+            # estimation (reference: Drivers/monteCarloDriver.f95:61,
+            # Domain-Files/i3rcLandsatCloud.f95:27-40)
+            from mcbrat3d_tpu.transport import pallas_col as _pcI
+            ci_ok = _pcI.pallas_col_intensity_eligible(
+                domain, surface, source, cfg.lw_mode,
+                cfg.record_scattering_orders, cfg.use_ray_tracing,
+                intensity_config, intensity_dirs, dirs_mu_ok,
+                cfg.need_volume_absorption)
+            if (ci_ok and col_march_plan is not None
+                    and (on_tpu or cfg.use_pallas == "on")):
+                return _pcI.run_batch_pallas_col_tallies(
+                    domain, surface, source, key, cfg, n_photons,
+                    interpret=not on_tpu,
+                    intensity_config=intensity_config,
+                    intensity_dirs=intensity_dirs,
+                    march_plan=col_march_plan)
         else:
             eligible = _pk.pallas_eligible(
                 domain, surface, source,

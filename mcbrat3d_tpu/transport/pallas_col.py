@@ -43,7 +43,11 @@ ssa and either a uniform HG phase (analytic sampling) or a SINGLE-entry
 tabulated inverse-CDF phase (the reference Landsat case's one Mie phase
 function; sampled in-kernel from the paired angle table), column-template
 domains with nx*ny <= 16384 and nz <= 128, regular grid, uniform Lambertian
-surface, directional/random-azimuth/flux sources. Reference hot loop being
+surface, directional/random-azimuth/flux sources (+ BBEmission with the
+host-built column alias). Radiance runs additionally go through the
+slab-scan in-kernel local estimation (pallas_col_intensity_eligible:
+production-default Iwabuchi RR + hybrid phase, nx/ny <= 128, non-emission
+sources, up to MAX_KERNEL_DIRS per pass). Reference hot loop being
 replaced: Integrators/monteCarloRadiativeTransfer.f95:393-841.
 """
 
@@ -59,12 +63,16 @@ from mcbrat3d_tpu.domain.domain import OpticalDomain
 from mcbrat3d_tpu.physics.surface import Surface
 from mcbrat3d_tpu.sources import illumination
 from mcbrat3d_tpu.transport.pallas_kernel import (
+    MAX_KERNEL_DIRS,
     PallasConfig,
     _bf16_split,
+    _grid_march_scalars,
     _hif_gather2,
     _make_uniform,
     _obj_cache,
+    _pack_forward_table,
     _pack_inverse_table,
+    _tally_contract_sub,
 )
 
 _TINY = np.float32(1e-30)
@@ -73,6 +81,141 @@ _BIG = np.float32(3e38)
 
 MAX_COLS = 128 * 128
 MAX_VOL_CELLS = 128 * 128 * 128  # 3D tally accumulator <= 8 MB VMEM
+
+
+def _col_zcl_cells(domain) -> float:
+    """Global max cloud-top height in CELLS (memoized host fetch)."""
+    return _obj_cache(domain, ("zclmax",),
+                      lambda: float(jnp.max(domain.col_height)))
+
+
+def plan_col_march(grid, domain, icfg, dirs):
+    """Host-side slab-scan march plan for column-kernel local estimation.
+
+    The in-kernel march loops over the domain's PHYSICAL fast-axis slabs
+    (uniform loop index -> dynamic VMEM row reads, no per-lane one-hot
+    gathers; the 2D generalization of the record kernel's "colscan"
+    formulation). Per direction the static facts are: the FAST axis
+    (the one the ray crosses more cells of -- guaranteeing <= 1 slow-axis
+    face per slab) and the wrap count W sized so slabs are scanned until
+    the shallowest event (z = z0) passes the global cloud-top height
+    (above it every column's closed-form CT is zero; the gas term is
+    closed-form separately). Iteration count per direction = n_fast * W.
+
+    Returns (axis_list, k_list, groups, perm) with groups a <= 4 tuple of
+    (axis, k_iters, start, count) over the perm-sorted directions, or
+    None when dirs are traced (callers fall back to the XLA estimator).
+    """
+    if icfg is None or dirs is None:
+        return None
+    if getattr(domain, "col_height", None) is None:
+        return None
+    nx, ny, nz = grid.shape
+    try:
+        lz, dxc, dyc = _grid_march_scalars(grid)
+        d_np = np.asarray(dirs)
+        hcl = min(_col_zcl_cells(domain), float(nz)) * (lz / nz)
+    except (TypeError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return None
+    axes, ks = [], []
+    for i in range(icfg.n_dirs):
+        ux_ = float(d_np[0, i])
+        uy_ = float(d_np[1, i])
+        uz_ = max(float(d_np[2, i]), 1e-3)
+        x_fast = abs(ux_) / dxc >= abs(uy_) / dyc
+        uf, df, n_f = ((abs(ux_), dxc, nx) if x_fast
+                       else (abs(uy_), dyc, ny))
+        travel_cells = hcl / uz_ * uf / df
+        w_wraps = int((travel_cells + 1.0) // n_f) + 1
+        axes.append(0 if x_fast else 1)
+        ks.append(n_f * w_wraps)
+    # sort by (axis, iterations); split into <= 4 groups at axis changes
+    # then at the largest bound jumps (each group runs at its max bound)
+    perm = tuple(sorted(range(icfg.n_dirs),
+                        key=lambda i: (axes[i], ks[i])))
+    a_sorted = [axes[i] for i in perm]
+    k_sorted = [ks[i] for i in perm]
+    splits = [i for i in range(1, icfg.n_dirs)
+              if a_sorted[i] != a_sorted[i - 1]]
+    jumps = sorted((k_sorted[i] - k_sorted[i - 1], i)
+                   for i in range(1, icfg.n_dirs) if i not in splits)
+    for jmp, i in reversed(jumps):
+        if len(splits) >= 3 or jmp <= 0:
+            break
+        splits.append(i)
+    groups = []
+    start = 0
+    for end in sorted(splits) + [icfg.n_dirs]:
+        groups.append((a_sorted[start], max(k_sorted[start:end]),
+                       start, end - start))
+        start = end
+    return tuple(a_sorted), tuple(k_sorted), tuple(groups), perm
+
+
+def col_intensity_ineligibility_reasons(domain, surface, source, lw_mode,
+                                        record_scattering_orders,
+                                        use_ray_tracing, icfg, dirs,
+                                        dirs_mu_ok,
+                                        need_volume_absorption) -> list:
+    """Names of every failing column-kernel local-estimation predicate
+    (empty = eligible)."""
+    nx, ny, nz = domain.grid.shape
+    reasons = []
+    if not pallas_col_eligible(
+            domain, surface, source, lw_mode, compute_intensity=False,
+            record_scattering_orders=record_scattering_orders,
+            use_ray_tracing=use_ray_tracing,
+            need_volume_absorption=need_volume_absorption):
+        reasons.append("column-kernel flux eligibility fails")
+    if icfg is None or dirs is None:
+        return reasons + ["no intensity config/dirs"]
+    if icfg.n_dirs > MAX_KERNEL_DIRS:
+        reasons.append(f"n_dirs={icfg.n_dirs} > {MAX_KERNEL_DIRS}")
+    if not dirs_mu_ok:
+        reasons.append("a direction is below the pallas_min_mu floor")
+    if icfg.limit_contributions:
+        reasons.append("limitIntensityContributions not in-kernel for "
+                       "the column kernel")
+    if icfg.n_orders_orig_phase > 0:
+        reasons.append("n_orders_orig_phase > 0")
+    if lw_mode or source.kind == illumination.EMISSION:
+        reasons.append("LW/emission radiance not in-kernel for the "
+                       "column kernel")
+    if max(nx, ny) > 128:
+        reasons.append("slow-axis take_along needs nx and ny <= 128")
+    # phase value source: analytic HG, or a SINGLE forward table row
+    use_hybrid = bool(icfg.use_hybrid_phase)
+    table = (domain.tables.forward if use_hybrid
+             else domain.tables.forward_orig)
+    if table.shape[1] > 1 and table.shape[0] != 1:
+        reasons.append("forward phase table has more than one row")
+    if table.shape[1] == 1 and not domain.all_hg:
+        reasons.append("no forward table and not all-HG")
+    return reasons
+
+
+def pallas_col_intensity_eligible(domain, surface, source, lw_mode,
+                                  record_scattering_orders,
+                                  use_ray_tracing, icfg, dirs,
+                                  dirs_mu_ok: bool = False,
+                                  need_volume_absorption: bool = False
+                                  ) -> bool:
+    """True when the column megakernel's in-kernel local estimation
+    (slab-scan march, see plan_col_march) covers this radiance
+    configuration: production-default estimator (Iwabuchi RR post-march
+    decisions, hybrid/tabulated forward phase with a single row or
+    analytic HG), non-emission sources, on a column-flux-eligible domain
+    with nx, ny <= 128. Direction counts above MAX_KERNEL_DIRS run as
+    chunked transport passes (integrator).
+    Reference being served: the I3RC case-4 Landsat radiance runs
+    (Domain-Files/i3rcLandsatCloud.f95:27-40,
+    Drivers/monteCarloDriver.f95:61)."""
+    if icfg is None or dirs is None:
+        return False
+    return not col_intensity_ineligibility_reasons(
+        domain, surface, source, lw_mode, record_scattering_orders,
+        use_ray_tracing, icfg, dirs, dirs_mu_ok, need_volume_absorption)
 
 
 def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
@@ -130,24 +273,28 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                       use_rr: bool, macro_factor: int, nbx: int, nby: int,
                       analytic_hg: bool = True, inv_hp: int = 8,
                       inv_n_steps: int = 0, need_vol: bool = False,
-                      lw: bool = False, has_gas: bool = False):
+                      lw: bool = False, has_gas: bool = False,
+                      n_dirs: int = 0, le_groups=(),
+                      use_irr: bool = False, use_fwd: bool = False,
+                      fwd_hf: int = 8, fwd_n_s: int = 0, hti: int = 8):
     """Close over static shapes; returns the column-mode kernel function."""
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
     nxy = nx * ny
     emission = source_kind == illumination.EMISSION
 
-    hw_rng = (not pcfg.interpret) and "swrng" not in frozenset(
-        pcfg.debug_parts.split(","))
+    part_set = frozenset(pcfg.debug_parts.split(","))
+    hw_rng = (not pcfg.interpret) and "swrng" not in part_set
 
-    def kernel(scal_ref, par_ref,
+    def kernel(scal_ref, par_ref, dirs_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in, blh_in,
                mcol_ref, mblk_ref, inv_ref, ecol_ref, fcum_ref, qz_ref,
-               acc_in, accz_in, acc3_in,
+               mabx_ref, maby_ref, fwd_ref,
+               acc_in, accz_in, acc3_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref, blh_ref,
-               acc_ref, accz_ref, acc3_ref, nstat_ref):
+               acc_ref, accz_ref, acc3_ref, acci_ref, nstat_ref):
         k_idx = pl.program_id(0)
         b_idx = pl.program_id(1)
 
@@ -159,7 +306,7 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                              (quota_in, quota_ref), (alive_in, alive_ref),
                              (bls_in, bls_ref), (blh_in, blh_ref),
                              (acc_in, acc_ref), (accz_in, accz_ref),
-                             (acc3_in, acc3_ref)):
+                             (acc3_in, acc3_ref), (acci_in, acci_ref)):
                 dst[:] = src[:]
             for _j in range(8):
                 nstat_ref[0, _j] = 0.0
@@ -484,6 +631,10 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                 ssa_eff = ssa_u
             absorbed = jnp.where(real, w * (1.0 - ssa_eff), 0.0)
             w = jnp.where(real, w * ssa_eff, w)
+            # post-absorption, pre-roulette weight: the local-estimation
+            # scattering contribution uses exactly this value (reference:
+            # Integrators/monteCarloRadiativeTransfer.f95:776-790)
+            w_int = w
 
             # ---- Russian roulette ----
             if use_rr:
@@ -541,6 +692,10 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             oz = jnp.where(jnp.abs(oz) < 1e-4,
                            jnp.sign(jnp.where(oz == 0, 1.0, oz)) * 1e-4, oz)
             inv_norm = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+            # incoming direction at the event (scatter lanes rotate next;
+            # reflected lanes keep it until the surface section) -- the
+            # LE phase value needs cos(scatter angle) against it
+            ux_in0, uy_in0, uz_in0 = ux, uy, uz
             ux = jnp.where(scatter, ox * inv_norm, ux)
             uy = jnp.where(scatter, oy * inv_norm, uy)
             uz = jnp.where(scatter, oz * inv_norm, uz)
@@ -564,6 +719,227 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
             blh = jnp.where(exit_bot, jnp.float32(nz), blh)
 
             alive = alive & ~exit_top & ~died_weight & ~died_surface
+
+            # ---- in-kernel local estimation (radiance): slab-scan march
+            # Per direction, loop over the domain's PHYSICAL fast-axis
+            # slabs (uniform index -> dynamic VMEM row read) x W wraps;
+            # within a slab the ray crosses at most ONE slow-axis face
+            # (the fast axis is chosen so |u_slow|*dt_slab <= d_slow), so
+            # per iteration the column data is 4 per-lane take_alongs of
+            # the slab's [<=128] rows -- no one-hot gathers, no MXU. The
+            # per-column slant optical depth is closed-form from
+            # CT(z) = max(0, A - B z) with A = scale*z_cloudtop,
+            # B = scale (column-template extinction); the horizontally
+            # uniform gas term is closed-form from the cumulative qz
+            # profile. The 2D generalization of the record kernel's
+            # "colscan" formulation (reference being replaced:
+            # computeIntensityContribution,
+            # Integrators/monteCarloRadiativeTransfer.f95:1623-1832).
+            if n_dirs > 0 and "noint" not in part_set:
+                ev = real | reflected
+                sx_e = jnp.where(reflected, xe, xc)
+                sy_e = jnp.where(reflected, ye, yc)
+                sz_e = jnp.where(reflected, z0 + z_eps, zc)
+                w_ev = jnp.where(reflected, w_refl, w_int)
+                nxf_le = np.float32(nx)
+                nyf_le = np.float32(ny)
+                dxc_le = lx / nx
+                dyc_le = ly / ny
+                zeta = par_ref[0, 18]
+                nde_le = np.float32(1e-4)
+                iota_sub_e = jax.lax.broadcasted_iota(
+                    jnp.int32, (blk, 128, 128), 1)
+
+                def _imod(k, n):
+                    m = jax.lax.rem(k, np.int32(n))
+                    return m + (m < 0).astype(jnp.int32) * np.int32(n)
+
+                def le_one_direction(d_i, axis, k_g):
+                    ddx = dirs_ref[0, d_i]
+                    ddy = dirs_ref[1, d_i]
+                    ddz = dirs_ref[2, d_i]  # > 0 by eligibility
+                    cosb = ux_in0 * ddx + uy_in0 * ddy + uz_in0 * ddz
+                    if use_fwd:
+                        # single-row forward phase table resampled
+                        # uniform in s = sin(theta/2) (hi-first layout;
+                        # see pallas_kernel._pack_forward_table)
+                        s_v = jnp.sqrt(jnp.maximum(
+                            (1.0 - cosb) * 0.5, 0.0))
+                        tpos = s_v * np.float32(fwd_n_s - 1)
+                        k_f = jnp.clip(tpos.astype(jnp.int32), 0,
+                                       fwd_n_s - 2)
+                        frac_f = tpos - k_f.astype(jnp.float32)
+                        lo_f = jnp.bitwise_and(k_f, 127)
+                        hi_f = jnp.right_shift(k_f, 7)
+                        v0, dd_f = _hif_gather2(fwd_ref, fwd_hf,
+                                                hi_f, lo_f, blk)
+                        pv = v0 + frac_f * dd_f
+                    else:
+                        q_hg = jnp.maximum(
+                            1.0 + g_u * g_u - 2.0 * g_u * cosb, 1e-12)
+                        pv = (1.0 - g_u * g_u) / (q_hg * jnp.sqrt(q_hg))
+                    npf = jnp.where(reflected, np.float32(1.0 / np.pi),
+                                    pv / (4.0 * np.pi * ddz))
+                    if use_irr:
+                        # Iwabuchi RR thresholds (post-march decisions;
+                        # same math as pallas_kernel.le_one_direction,
+                        # reference: Integrators/
+                        # monteCarloRadiativeTransfer.f95:1753-1813)
+                        u_i1 = uniform(ctr, 32 + 2 * d_i)
+                        u_itf = uniform(ctr, 33 + 2 * d_i)
+                        tau_free = -jnp.log1p(-u_itf)
+                        npf_pi = np.float32(np.pi) * npf
+                        small_c = npf_pi <= zeta
+                        tau_max = -jnp.log(
+                            zeta / jnp.maximum(npf_pi, _TINY))
+
+                    # slab-scan geometry (axis static per group)
+                    if axis == 0:
+                        uf, us = ddx, ddy
+                        f0, s0c = sx_e, sy_e
+                        fo, so = x0, y0
+                        inv_df, inv_ds = inv_dx, inv_dy
+                        d_f, d_s = dxc_le, dyc_le
+                        n_f, n_s2 = nx, ny
+                        nf_f = nxf_le
+                        mab_ref = mabx_ref
+                    else:
+                        uf, us = ddy, ddx
+                        f0, s0c = sy_e, sx_e
+                        fo, so = y0, x0
+                        inv_df, inv_ds = inv_dy, inv_dx
+                        d_f, d_s = dyc_le, dxc_le
+                        n_f, n_s2 = ny, nx
+                        nf_f = nyf_le
+                        mab_ref = maby_ref
+                    sgn_f = jnp.where(uf >= 0.0, 1.0, -1.0)
+                    sgn_s = jnp.where(us >= 0.0, 1.0, -1.0)
+                    us_safe = jnp.where(jnp.abs(us) > 1e-12, us, 1.0)
+                    sfrac = jnp.mod((f0 - fo) * inv_df, nf_f)
+                    sig0 = sgn_f * sfrac
+                    slope_t = d_f / jnp.maximum(jnp.abs(uf),
+                                                np.float32(1e-12))
+                    t_top = (z_max - sz_e) / ddz
+
+                    def slab_body(it, tau):
+                        cc = jax.lax.rem(it, np.int32(n_f))
+                        wf = (it // np.int32(n_f)).astype(jnp.float32)
+                        af = jnp.where(sgn_f > 0.0, cc.astype(jnp.float32),
+                                       np.float32(n_f - 1)
+                                       - cc.astype(jnp.float32))
+                        # first unwrapped fast cell j == af (mod n_f)
+                        # with j + 1 > sig0 (colscan residue form), then
+                        # wraps shift by n_f
+                        q = jnp.floor((sig0 - 1.0 - af)
+                                      * np.float32(1.0 / n_f)) + 1.0
+                        j = af + nf_f * (q + wf)
+                        t_in = jnp.clip(jnp.maximum(j - sig0, 0.0)
+                                        * slope_t, 0.0, t_top)
+                        t_out = jnp.clip((j + 1.0 - sig0) * slope_t,
+                                         0.0, t_top)
+                        rows2 = mab_ref[pl.ds(2 * cc, 2)]
+                        a_row = jnp.broadcast_to(rows2[0:1, :],
+                                                 (blk, 128))
+                        b_row = jnp.broadcast_to(rows2[1:2, :],
+                                                 (blk, 128))
+                        # slow coordinate (unwrapped); index-space nudges
+                        # assign face landings to the cell entered (in)
+                        # / occupied (out)
+                        su_in = s0c + us * t_in
+                        su_out = s0c + us * t_out
+                        fy_in = jnp.floor((su_in - so) * inv_ds
+                                          + sgn_s * nde_le)
+                        fy_out = jnp.floor((su_out - so) * inv_ds
+                                           - sgn_s * nde_le)
+                        iy_in = _imod(fy_in.astype(jnp.int32), n_s2)
+                        iy_out = _imod(fy_out.astype(jnp.int32), n_s2)
+                        # split at the single slow face between them
+                        sb = (fy_in + (us >= 0.0)) * d_s + so
+                        t_s = jnp.where(jnp.abs(us) > 1e-12,
+                                        (sb - s0c) / us_safe, _BIG)
+                        ts = jnp.clip(t_s, t_in, t_out)
+                        a1 = jnp.take_along_axis(a_row, iy_in, axis=1)
+                        b1 = jnp.take_along_axis(b_row, iy_in, axis=1)
+                        a2 = jnp.take_along_axis(a_row, iy_out, axis=1)
+                        b2 = jnp.take_along_axis(b_row, iy_out, axis=1)
+                        z_a = sz_e + ddz * t_in
+                        z_s = sz_e + ddz * ts
+                        z_b = sz_e + ddz * t_out
+
+                        def ct(a_, b_, zz):
+                            return jnp.maximum(a_ - b_ * zz, 0.0)
+
+                        seg = (ct(a1, b1, z_a) - ct(a1, b1, z_s)
+                               + ct(a2, b2, z_s) - ct(a2, b2, z_b))
+                        return tau + seg
+
+                    # fixed fori, NO block-level Iwabuchi early-exit
+                    # while: measured 19.2 vs 28.6 k/s on the Landsat
+                    # scene (the any() reduce + broken loop pipelining
+                    # cost more than the rare all-lane exits buy -- a
+                    # straggler lane in every 4096-lane block keeps the
+                    # scan running; dead end, round 5)
+                    tau_cl = jax.lax.fori_loop(
+                        0, k_g, slab_body,
+                        jnp.zeros((blk, 128), jnp.float32))
+                    tau_f = tau_cl / ddz
+                    if has_gas:
+                        # horizontally uniform gas: closed-form vertical
+                        # optical depth to TOA from the cumulative
+                        # profile (qz_ref row 1 = Qcb[k] = sum_{j>=k}
+                        # qz[j]*dz; subtract the partial bottom cell)
+                        kz_g = jnp.clip(((sz_e - z0) * inv_dz).astype(
+                            jnp.int32), 0, nz - 1)
+                        qz_row = jnp.broadcast_to(qz_ref[0:1, :],
+                                                  (blk, 128))
+                        qcb_row = jnp.broadcast_to(qz_ref[1:2, :],
+                                                   (blk, 128))
+                        q_k = jnp.take_along_axis(qz_row, kz_g, axis=1)
+                        qcb_k = jnp.take_along_axis(qcb_row, kz_g, axis=1)
+                        z_bot = z0 + kz_g.astype(jnp.float32) * dz
+                        tau_f = tau_f + (qcb_k - q_k * (sz_e - z_bot)
+                                         ) / ddz
+                    # every scan completes (no truncation): hit = ev
+                    hit = ev
+                    if use_irr:
+                        w_rrc = w_ev * zeta * np.float32(1.0 / np.pi)
+                        esc_a = hit & (tau_f < tau_free)
+                        c_a = jnp.where(esc_a & (u_i1 * zeta <= npf_pi),
+                                        w_rrc, 0.0)
+                        esc_b = hit & (tau_f < tau_max)
+                        c_b = jnp.where(
+                            esc_b, w_ev * npf * jnp.exp(-tau_f),
+                            jnp.where(hit & (tau_f - tau_max < tau_free),
+                                      w_rrc, 0.0))
+                        contrib = jnp.where(small_c, c_a, c_b)
+                    else:
+                        contrib = jnp.where(
+                            hit, w_ev * npf * jnp.exp(-tau_f), 0.0)
+                    # TOA exit pixel (closed form)
+                    exf_x = jnp.mod((sx_e + ddx * t_top - x0) * inv_dx
+                                    + jnp.sign(ddx) * nde_le, nxf_le)
+                    exf_y = jnp.mod((sy_e + ddy * t_top - y0) * inv_dy
+                                    + jnp.sign(ddy) * nde_le, nyf_le)
+                    ex_col = (jnp.clip(exf_x.astype(jnp.int32), 0, nx - 1)
+                              * ny
+                              + jnp.clip(exf_y.astype(jnp.int32), 0,
+                                         ny - 1))
+                    hi_e = jnp.right_shift(ex_col, 7)
+                    lo_e = jnp.bitwise_and(ex_col, 127)
+                    ohs_le = (lo_e[:, None, :] == iota_sub_e).astype(
+                        jnp.bfloat16)
+                    iout = _tally_contract_sub(ohs_le, hi_e, contrib,
+                                               hti)
+                    r0 = d_i * hti
+                    acci_ref[pl.ds(r0, hti)] = (
+                        acci_ref[pl.ds(r0, hti)] + iout)
+
+                for (g_axis, g_k, g_start, g_count) in le_groups:
+                    jax.lax.fori_loop(
+                        g_start, g_start + g_count,
+                        lambda d_i, _, a_=g_axis, k_=g_k: (
+                            le_one_direction(d_i, a_, k_), 0)[1],
+                        0)
 
             x_ref[sl], y_ref[sl], z_ref[sl] = x, y, z
             ux_ref[sl], uy_ref[sl], uz_ref[sl] = ux, uy, uz
@@ -771,6 +1147,33 @@ def _pack_col_emission(domain: OpticalDomain):
     return m_ecol, m_fcum
 
 
+def _pack_col_ab(domain: OpticalDomain):
+    """(mabx [2*nx rows (8-padded), 128] f32, maby likewise for ny).
+
+    Per-column closed-form CT coefficients for the slab-scan radiance
+    march: CT(z) = max(0, A - B*z) is the vertical cloud optical depth
+    from z to the column top, with A = scale*z_cloudtop(phys) and
+    B = scale. mabx interleaves per x-slab rows (row 2*ix = A over y
+    lanes, row 2*ix+1 = B); maby is the transposed orientation for
+    y-fast directions.
+    """
+    nx, ny, nz = domain.grid.shape
+    ze = domain.grid.z_edges
+    z0 = ze[0]
+    dz = (ze[-1] - ze[0]) / nz
+    scale2 = domain.col_scale.astype(jnp.float32).reshape(nx, ny)
+    h2 = domain.col_height.astype(jnp.float32).reshape(nx, ny)
+    a2 = scale2 * (z0 + h2 * dz)
+    b2 = scale2
+
+    def pack(a_f, b_f, n_f, n_s):
+        m = jnp.stack([a_f, b_f], axis=1).reshape(2 * n_f, n_s)
+        rows_pad = -(-2 * n_f // 8) * 8
+        return jnp.pad(m, ((0, rows_pad - 2 * n_f), (0, 128 - n_s)))
+
+    return (pack(a2, b2, nx, ny), pack(a2.T, b2.T, ny, nx))
+
+
 def run_batch_pallas_col(domain: OpticalDomain,
                          surface: Surface,
                          source: illumination.Source,
@@ -781,12 +1184,15 @@ def run_batch_pallas_col(domain: OpticalDomain,
                          use_russian_roulette: bool = True,
                          russian_roulette_weight: float = 1.0,
                          need_vol: bool = False,
-                         lw_mode: bool = False):
+                         lw_mode: bool = False,
+                         intensity_dirs=None):
     """One photon batch through the column megakernel.
 
     Returns (flux_up [nx,ny], flux_down [nx,ny], abs_col [nx,ny],
     abs_profile [nz], vol [nx,ny,nz] or None, n_started, n_bad,
-    n_calls).
+    n_calls); with pcfg.n_dirs > 0 an [nx, ny, n_dirs] raw intensity
+    array is appended (directions in the PERMUTED order -- the tallies
+    entry un-permutes).
     """
     grid = domain.grid
     nx, ny, nz = grid.shape
@@ -813,8 +1219,15 @@ def run_batch_pallas_col(domain: OpticalDomain,
         inv_packed, inv_hp, inv_n_steps = _pack_inverse_table(domain,
                                                               hif=True)
     if has_gas:
-        qz = jnp.pad(domain.col_qz.astype(jnp.float32), (0, 128 - nz))
-        m_qz = jnp.zeros((8, 128), jnp.float32).at[0].set(qz)
+        ze_g = grid.z_edges
+        dz_g = (ze_g[-1] - ze_g[0]) / nz
+        qz_v = domain.col_qz.astype(jnp.float32)
+        # row 1: cumulative gas optical depth from the BOTTOM of cell k
+        # to TOA (the radiance march's closed-form gas term)
+        qcb = jnp.cumsum(qz_v[::-1])[::-1] * dz_g
+        m_qz = (jnp.zeros((8, 128), jnp.float32)
+                .at[0, :nz].set(qz_v)
+                .at[1, :nz].set(qcb))
     else:
         m_qz = jnp.zeros((8, 128), jnp.float32)
     lw = bool(lw_mode) and source.kind == illumination.EMISSION
@@ -826,11 +1239,39 @@ def run_batch_pallas_col(domain: OpticalDomain,
         m_ecol = jnp.zeros((768, 128), jnp.bfloat16)
         m_fcum = jnp.zeros((8, 128), jnp.float32)
         atms_frac = 0.0
+    # ---- radiance (slab-scan local estimation) tables ----
+    n_dirs = pcfg.n_dirs
+    hti = max(8, -(-(-(-nxy // 128)) // 8) * 8)
+    if n_dirs > 0:
+        mabx, maby = _obj_cache(domain, ("colab",),
+                                lambda: _pack_col_ab(domain))
+        use_hybrid = pcfg.intensity_phase == "hybrid"
+        fwd_table = (domain.tables.forward if use_hybrid
+                     else domain.tables.forward_orig)
+        use_fwd = fwd_table.shape[1] > 1
+        if use_fwd:
+            fwd_packed, fwd_hf, fwd_n_s = _obj_cache(
+                domain, ("fwdcol", use_hybrid),
+                lambda: _pack_forward_table(domain, use_hybrid, hif=True))
+        else:
+            fwd_packed = jnp.zeros((256, 8), jnp.float32)
+            fwd_hf, fwd_n_s = 8, 0
+        dirs_a = intensity_dirs.astype(jnp.float32)
+    else:
+        mabx = maby = jnp.zeros((8, 128), jnp.float32)
+        fwd_packed = jnp.zeros((256, 8), jnp.float32)
+        fwd_hf, fwd_n_s = 8, 0
+        use_fwd = False
+        dirs_a = jnp.zeros((3, 1), jnp.float32)
     kernel = _build_kernel_col((nx, ny, nz), pcfg, source.kind,
                                use_russian_roulette, domain.macro_factor,
                                nbx, nby, analytic_hg=analytic_hg,
                                inv_hp=inv_hp, inv_n_steps=inv_n_steps,
-                               need_vol=need_vol, lw=lw, has_gas=has_gas)
+                               need_vol=need_vol, lw=lw, has_gas=has_gas,
+                               n_dirs=n_dirs, le_groups=pcfg.dir_groups,
+                               use_irr=pcfg.intensity_rr,
+                               use_fwd=use_fwd, fwd_hf=fwd_hf,
+                               fwd_n_s=fwd_n_s, hti=hti)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL,
@@ -868,7 +1309,8 @@ def run_batch_pallas_col(domain: OpticalDomain,
         * jnp.sin(jnp.float32(sphi)),
         jnp.asarray(atms_frac, jnp.float32),
         jnp.asarray(qg_par, jnp.float32),    # 17: gas majorant addend
-        jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(pcfg.zeta_min),          # 18: Iwabuchi zeta_min
+        jnp.float32(0.0),
         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
         jnp.float32(0.0),
     ]).reshape(1, 24)
@@ -899,6 +1341,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
     # 3D tally accumulator (a 4 KB dummy keeps the signature static
     # when the tally is off)
     acc30 = jnp.zeros((nz * 128 if need_vol else 8, 128), jnp.float32)
+    acci0 = jnp.zeros((max(8, n_dirs * hti), 128), jnp.float32)
 
     keys = ("x", "y", "z", "ux", "uy", "uz", "w", "quota", "alive",
             "bls", "blh")
@@ -906,10 +1349,11 @@ def run_batch_pallas_col(domain: OpticalDomain,
     grid_spec = pl.GridSpec(
         grid=(pcfg.steps_per_call, rows // pcfg.block_rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 9),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 13),
         out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 3)
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 4)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
     )
     state_shapes = [
@@ -921,12 +1365,14 @@ def run_batch_pallas_col(domain: OpticalDomain,
         jax.ShapeDtypeStruct((384, 128), jnp.float32),
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
         jax.ShapeDtypeStruct(acc30.shape, jnp.float32),
+        jax.ShapeDtypeStruct(acci0.shape, jnp.float32),
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
-    aliases = {2 + i: i for i in range(n_state)}
-    aliases[2 + n_state + 6] = n_state      # acc
-    aliases[2 + n_state + 7] = n_state + 1  # accz
-    aliases[2 + n_state + 8] = n_state + 2  # acc3
+    aliases = {3 + i: i for i in range(n_state)}
+    aliases[3 + n_state + 9] = n_state       # acc
+    aliases[3 + n_state + 10] = n_state + 1  # accz
+    aliases[3 + n_state + 11] = n_state + 2  # acc3
+    aliases[3 + n_state + 12] = n_state + 3  # acci
 
     call = pl.pallas_call(
         kernel,
@@ -939,21 +1385,23 @@ def run_batch_pallas_col(domain: OpticalDomain,
     )
 
     def cond(carry):
-        state, acc, accz, acc3, n_started, n_calls, work = carry
+        state, acc, accz, acc3, acci, n_started, n_calls, work = carry
         return work & (n_calls * pcfg.steps_per_call < pcfg.max_steps)
 
     def body(carry):
-        state, acc, accz, acc3, n_started, n_calls, work = carry
+        state, acc, accz, acc3, acci, n_started, n_calls, work = carry
         scal = jnp.stack([seed, n_calls * pcfg.steps_per_call]).astype(
             jnp.int32)
-        outs = call(scal, params, *[state[k] for k in keys],
+        outs = call(scal, params, dirs_a, *[state[k] for k in keys],
                     mcol, mblk, inv_packed, m_ecol, m_fcum, m_qz,
-                    acc, accz, acc3)
+                    mabx, maby, fwd_packed,
+                    acc, accz, acc3, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]
         accz = outs[n_state + 1]
         acc3 = outs[n_state + 2]
-        stats = outs[n_state + 3]
+        acci = outs[n_state + 3]
+        stats = outs[n_state + 4]
         n_started = n_started + stats[0, 0].astype(jnp.int32)
         work = stats[0, 1] > 0
         q = new_state["quota"]
@@ -962,11 +1410,12 @@ def run_batch_pallas_col(domain: OpticalDomain,
                   + jnp.arange(128, dtype=jnp.int32)[None, :])
         new_state["quota"] = (total_q // n_lanes) + (
             lane_i < (total_q % n_lanes)).astype(jnp.int32)
-        return (new_state, acc, accz, acc3, n_started, n_calls + 1, work)
+        return (new_state, acc, accz, acc3, acci, n_started, n_calls + 1,
+                work)
 
-    carry = (state0, acc0, accz0, acc30, jnp.int32(0), jnp.int32(0),
-             jnp.bool_(True))
-    (state_f, acc_f, accz_f, acc3_f, n_started, n_calls,
+    carry = (state0, acc0, accz0, acc30, acci0, jnp.int32(0),
+             jnp.int32(0), jnp.bool_(True))
+    (state_f, acc_f, accz_f, acc3_f, acci_f, n_started, n_calls,
      _) = jax.lax.while_loop(cond, body, carry)
 
     # sections: t = hi*128 + lo = col
@@ -981,16 +1430,32 @@ def run_batch_pallas_col(domain: OpticalDomain,
         vol = jnp.transpose(
             acc3_f.reshape(nz, 128 * 128)[:, :nxy]).reshape(nx, ny, nz)
     n_bad = jnp.sum(state_f["alive"], dtype=jnp.int32)
-    return (flux_up, flux_down, abs_col, abs_profile, vol,
+    base = (flux_up, flux_down, abs_col, abs_profile, vol,
             n_started, n_bad, n_calls)
+    if n_dirs > 0:
+        intensity = jnp.stack(
+            [acci_f[d * hti:(d + 1) * hti]
+             .reshape(-1)[:nxy].reshape(nx, ny) for d in range(n_dirs)],
+            axis=-1)
+        base = base + (intensity,)
+    return base
 
 
 def run_batch_pallas_col_tallies(domain, surface, source, key, config,
-                                 n_photons=None, interpret: bool = False):
+                                 n_photons=None, interpret: bool = False,
+                                 intensity_config=None,
+                                 intensity_dirs=None, march_plan=None):
     """run_batch-compatible entry returning a transport.integrator.Tallies
     (absorption_profile carries the z marginal; volume_absorption is
-    tallied in-kernel when config.need_volume_absorption, else None).
+    tallied in-kernel when config.need_volume_absorption, else None;
+    intensity via the in-kernel slab-scan local estimation when
+    intensity_config is given).
+
+    ``march_plan`` is plan_col_march's output, computed pre-jit by
+    run_batch; direct callers with concrete dirs may omit it.
     """
+    import dataclasses as _dc
+
     from mcbrat3d_tpu.transport.integrator import Tallies
     from mcbrat3d_tpu.transport.pallas_kernel import config_for
 
@@ -999,21 +1464,60 @@ def run_batch_pallas_col_tallies(domain, surface, source, key, config,
     # the bilinear gather materializes [blk, 128, 128] f32 intermediates
     # per field; cap the block size to bound transient VMEM
     if pcfg.block_rows > 32:
-        import dataclasses as _dc
         pcfg = _dc.replace(pcfg, block_rows=32)
+    perm = ()
+    if intensity_config is not None:
+        icfg = intensity_config
+        # radiance launch geometry: LE cost is per BLOCK-STEP, so lane
+        # occupancy beats wave width (see pallas_kernel's radiance
+        # re-blocking; measured round 4)
+        total_ph = config.n_lanes * config.photons_per_lane
+        rows_i = min(pcfg.rows, 32)
+        ppl = -(-total_ph // (rows_i * 128))
+        pcfg = _dc.replace(pcfg, rows=rows_i,
+                           block_rows=min(rows_i, 32))
+        if march_plan is None:
+            march_plan = plan_col_march(domain.grid, domain, icfg,
+                                        intensity_dirs)
+        if march_plan is None:
+            raise ValueError("column-kernel radiance needs concrete "
+                             "direction cosines (plan_col_march)")
+        a_list, k_list, groups, perm = march_plan
+        phase = ("hybrid" if icfg.use_hybrid_phase
+                 else ("analytic" if domain.all_hg else "orig"))
+        pcfg = _dc.replace(
+            pcfg, n_dirs=icfg.n_dirs, dir_groups=groups, dir_perm=perm,
+            intensity_rr=icfg.use_russian_roulette,
+            zeta_min=icfg.zeta_min, intensity_phase=phase)
+        # permute with jnp indexing: dirs may be traced (the plan itself
+        # always comes from concrete cosines pre-jit)
+        intensity_dirs = jnp.take(jnp.asarray(intensity_dirs, jnp.float32),
+                                  jnp.asarray(perm), axis=1)
     if n_photons is None:
         n_photons = config.photons_per_batch
-    fu, fd, ac, az, vol, n_started, n_bad, n_calls = run_batch_pallas_col(
+    out = run_batch_pallas_col(
         domain, surface, source, key, pcfg, ppl, n_photons=n_photons,
         use_russian_roulette=config.use_russian_roulette,
         russian_roulette_weight=config.russian_roulette_weight,
         need_vol=bool(config.need_volume_absorption),
-        lw_mode=bool(config.lw_mode))
+        lw_mode=bool(config.lw_mode),
+        intensity_dirs=intensity_dirs)
+    fu, fd, ac, az, vol, n_started, n_bad, n_calls = out[:8]
+    intensity = None
+    if pcfg.n_dirs > 0:
+        img = out[8]
+        # un-permute back to the caller's direction order (dir_perm[j]
+        # is the ORIGINAL index marched as sorted index j)
+        order = [0] * pcfg.n_dirs
+        for j, orig in enumerate(perm):
+            order[orig] = j
+        intensity = img[:, :, jnp.asarray(order)]
     return Tallies(
         flux_up=fu, flux_down=fd,
         flux_absorbed=ac,
         volume_absorption=vol,
         absorption_profile=az,
+        intensity=intensity,
         n_photons=n_started, n_bad=n_bad,
         n_steps=n_calls * pcfg.steps_per_call,
     )

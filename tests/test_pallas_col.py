@@ -520,3 +520,164 @@ class TestColumnTabulatedPhase:
             b = np.asarray(aX) / nX
             sig = np.sqrt(np.abs(a) / nP + np.abs(b) / nX + 1e-12)
             assert (np.abs(a - b) / np.maximum(sig, 1e-9)).max() < 5.0
+
+
+class TestColIntensityInKernel:
+    """In-kernel local estimation via the slab-scan march (the Landsat
+    radiance configuration; reference: Drivers/monteCarloDriver.f95:61,
+    Domain-Files/i3rcLandsatCloud.f95:27-40). Must match the XLA
+    estimator statistically -- same physics, different RNG streams --
+    across azimuth quadrants (the round-3 negative-direction-stall
+    lesson: phi = 0 alone validates nothing)."""
+
+    def _domain(self, **kw):
+        kw.setdefault("compute_intensity_tables", True)
+        kw.setdefault("hybrid_width_deg", 10.0)
+        return make_broken_cloud(**kw)
+
+    def _dirs8(self):
+        from mcbrat3d_tpu.transport.local_estimate import (
+            make_intensity_directions)
+        mus = [1.0, 0.8, 0.6, 0.45, 0.8, 0.6, 0.45, 0.7]
+        phis = [0.0, 45.0, 135.0, 180.0, 225.0, 270.0, 315.0, 90.0]
+        return make_intensity_directions(mus, phis), mus, phis
+
+    def test_eligibility_and_plan(self):
+        from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        dom = self._domain()
+        dirs, _, _ = self._dirs8()
+        icfg = IntensityConfig(n_dirs=8, pallas_min_mu=0.4)
+        ok = pc.pallas_col_intensity_eligible(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0), False, 0, False,
+            icfg, dirs, dirs_mu_ok=pk.dirs_mu_floor_ok(icfg, dirs))
+        assert ok, pc.col_intensity_ineligibility_reasons(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0), False, 0, False,
+            icfg, dirs, pk.dirs_mu_floor_ok(icfg, dirs), False)
+        plan = pc.plan_col_march(dom.grid, dom, icfg, dirs)
+        assert plan is not None
+        a_list, k_list, groups, perm = plan
+        assert len(a_list) == 8 and len(groups) <= 4
+        assert sorted(perm) == list(range(8))
+        # every direction's bound covers at least one full slab pass
+        assert all(k >= 16 for k in k_list)
+        # capping and emission are refused
+        assert not pc.pallas_col_intensity_eligible(
+            dom, Surface.lambertian(0.2),
+            illumination.directional(0.5, 0.0), False, 0, False,
+            IntensityConfig(n_dirs=8, limit_contributions=True), dirs,
+            dirs_mu_ok=True)
+
+    def _ab(self, dom, icfg, dirs, sfc_albedo=0.2, n_lanes=1 << 12,
+            ppl=16, seed=11):
+        from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+        sfc = Surface.lambertian(sfc_albedo)
+        src = illumination.directional(0.5, 30.0)
+        cfgX = KernelConfig(n_lanes=n_lanes, photons_per_lane=ppl,
+                            max_steps=20_000, use_pallas="off")
+        tX = run_batch(dom, sfc, src, rng.batch_key(seed, 0), cfgX,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        cfgC = KernelConfig(n_lanes=n_lanes, photons_per_lane=ppl,
+                            max_steps=20_000)
+        tC = pc.run_batch_pallas_col_tallies(
+            dom, sfc, src, rng.batch_key(seed, 1), cfgC,
+            interpret=True, intensity_config=icfg, intensity_dirs=dirs)
+        assert tC.intensity is not None
+        assert tC.intensity.shape == tX.intensity.shape
+        assert int(tC.n_bad) == 0
+        iX = np.asarray(tX.intensity) / int(tX.n_photons)
+        iC = np.asarray(tC.intensity) / int(tC.n_photons)
+        return iX, iC
+
+    def test_matches_xla_azimuth_quadrants_production_default(self):
+        """Iwabuchi RR + hybrid phase (the production default), 8
+        directions spanning all azimuth quadrants."""
+        from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+        dom = self._domain()
+        dirs, mus, phis = self._dirs8()
+        icfg = IntensityConfig(n_dirs=8, use_russian_roulette=True,
+                               use_hybrid_phase=True, pallas_min_mu=0.4)
+        iX, iC = self._ab(dom, icfg, dirs)
+        for d in range(8):
+            a, b = iX[:, :, d].mean(), iC[:, :, d].mean()
+            assert b == pytest.approx(a, rel=0.15), (
+                f"dir {d} (mu {mus[d]}, phi {phis[d]}): xla {a} vs col {b}")
+        assert iC.sum() == pytest.approx(iX.sum(), rel=0.05)
+
+    def test_matches_xla_exact_estimator(self):
+        """Exact (non-RR) estimator: per-pixel-capable comparison of the
+        closed-form slab-scan tau against the XLA DDA march."""
+        from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+        dom = self._domain()
+        dirs, mus, phis = self._dirs8()
+        icfg = IntensityConfig(n_dirs=8, use_russian_roulette=False,
+                               use_hybrid_phase=True, pallas_min_mu=0.4)
+        iX, iC = self._ab(dom, icfg, dirs)
+        for d in range(8):
+            a, b = iX[:, :, d].mean(), iC[:, :, d].mean()
+            assert b == pytest.approx(a, rel=0.15), (
+                f"dir {d} (mu {mus[d]}, phi {phis[d]}): xla {a} vs col {b}")
+
+    def test_matches_xla_with_gas(self):
+        """2-component column template (cloud + uniform pure-absorber
+        gas): the march's closed-form gas term."""
+        from mcbrat3d_tpu.transport.local_estimate import IntensityConfig
+        nx, ny, nz = 16, 16, 8
+        dom0 = self._domain()
+        # rebuild with a gas component (mirror make_broken_cloud's scene)
+        rs = np.random.RandomState(0)
+        f = rs.rand(nx, ny)
+        for _ in range(3):
+            f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+                 + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+        cloudy = f > np.quantile(f, 0.55)
+        scale = rs.rand(nx, ny) * 0.05 * cloudy
+        h = (np.ceil(f * nz).astype(int)) * (scale > 0)
+        scale = scale * (h > 0)
+        ext = np.zeros((nx, ny, nz))
+        for k in range(nz):
+            ext[:, :, k] = np.where(k < h, scale, 0.0)
+        grid = Grid.regular(nx, ny, nz, 100.0, 100.0, 50.0)
+        table = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+        comp_c = OpticalComponent("cloud", ext, np.full_like(ext, 0.99),
+                                  np.zeros(ext.shape, np.int32), table)
+        gas = np.full((1, 1, nz), 2e-4) * (1.0 + 0.5 * np.linspace(
+            1.0, 0.0, nz))[None, None, :]
+        comp_g = OpticalComponent(
+            "gas", gas, np.zeros_like(gas), np.zeros(gas.shape, np.int32),
+            PhaseFunctionTable([PhaseFunction.isotropic()], key=[1.0]))
+        dom = build_domain(grid, [comp_c, comp_g], macro_factor=4,
+                           n_cdf_steps=201, compute_intensity_tables=True,
+                           hybrid_width_deg=10.0)
+        assert dom.col_template and dom.col_qz is not None
+        dirs, mus, phis = self._dirs8()
+        icfg = IntensityConfig(n_dirs=8, use_russian_roulette=True,
+                               use_hybrid_phase=True, pallas_min_mu=0.4)
+        iX, iC = self._ab(dom, icfg, dirs)
+        for d in range(8):
+            a, b = iX[:, :, d].mean(), iC[:, :, d].mean()
+            assert b == pytest.approx(a, rel=0.20), (
+                f"dir {d} (mu {mus[d]}, phi {phis[d]}): xla {a} vs col {b}")
+        assert iC.sum() == pytest.approx(iX.sum(), rel=0.06)
+
+    def test_dispatch_big_domain_use_pallas_on(self):
+        """A domain past the record kernel's cell envelope must reach the
+        column kernel's radiance path through the public dispatch."""
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = self._domain(nx=64, ny=64, nz=16, macro_factor=8)
+        assert 64 * 64 * 16 > 36864  # record-kernel MAX_CELLS
+        dirs = make_intensity_directions([1.0, 0.6], [0.0, 135.0])
+        icfg = IntensityConfig(n_dirs=2, pallas_min_mu=0.4)
+        cfg = KernelConfig(n_lanes=1 << 10, photons_per_lane=2,
+                           max_steps=4096, use_pallas="on")
+        t = run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(3, 0), cfg,
+                      intensity_config=icfg, intensity_dirs=dirs)
+        assert t.intensity is not None
+        assert t.intensity.shape == (64, 64, 2)
+        assert float(np.asarray(t.intensity).sum()) > 0

@@ -250,10 +250,13 @@ def bench_tabulated_phase():
     pfi = rs.randint(0, 5, size=ext.shape).astype(np.int32)
     comp = OpticalComponent("mie cloud", ext, np.full_like(ext, 0.99),
                             pfi, tbl)
-    domain = build_domain(grid, [comp], n_cdf_steps=9001, macro_factor=8)
+    # mf=16 + ppl=1024: the headline's tuning knobs apply here too
+    # (EXPERIMENTS_1e8.md round 5: 27.6 vs 19.7 M/s with the round-4
+    # launch geometry)
+    domain = build_domain(grid, [comp], n_cdf_steps=9001, macro_factor=16)
     source = illumination.directional(0.5, 0.0)
-    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=128,
-                          max_steps=800_000, use_pallas="on")
+    config = KernelConfig(n_lanes=1 << 16, photons_per_lane=1024,
+                          max_steps=1_600_000, use_pallas="on")
 
     def once(b):
         t = run_batch(domain, Surface.lambertian(0.0), source,

@@ -550,6 +550,58 @@ def _hif_gather2(tab_ref, hp_t, hi_idx, lo_idx, blk):
     return jnp.stack(a_rows, axis=0), jnp.stack(b_rows, axis=0)
 
 
+def _hif_gather2w(tab_ref, hp_t, hi_idx, lo_idx, blk):
+    """Wide (all-block-rows-at-once) hi-first gather of a table pair.
+
+    Same [256, hp_t] f32 layout as _hif_gather2, but ONE
+    [256, hp_t] @ [hp_t, blk*128] dot serves every block row: the
+    per-row form re-reads the whole table from VMEM per dot (16 reads of
+    ~360 KB/step-slab at the 9001x5 inverse table, hp = 352), which
+    dominates over the MACs; the wide form reads it once at identical
+    MACs. The [256, blk*128] f32 output (2 MB at blk = 16) is reduced by
+    one wide lo mask. Exact f32.
+    Returns (A_vals, B_vals), each [blk, 128] f32.
+    """
+    w = blk * 128
+    hi_w = hi_idx.reshape(1, w)
+    lo_w = lo_idx.reshape(1, w)
+    ohhi = (jax.lax.broadcasted_iota(jnp.int32, (hp_t, w), 0)
+            == hi_w).astype(jnp.float32)
+    t2 = jnp.dot(tab_ref[:], ohhi, preferred_element_type=jnp.float32)
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (128, w), 0)
+            == lo_w).astype(jnp.float32)
+    a = jnp.sum(t2[:128] * mask, axis=0).reshape(blk, 128)
+    b = jnp.sum(t2[128:] * mask, axis=0).reshape(blk, 128)
+    return a, b
+
+
+def _hif_gather2b(tab_ref, hp_t, hi_idx, lo_idx, blk):
+    """bf16-split hi-first gather of a (value, delta) table pair.
+
+    Same orientation as _hif_gather2, but the table is [384, hp_t] bf16:
+    sublanes [0:128] field A's bf16 TRANSPOSED high part, [128:256] its
+    bf16 residual (the split reconstructs A to ~2^-24 relative -- the
+    round-3 lo-first production accuracy), [256:384] field B as a single
+    bf16 (the lerp delta, whose bf16 relative error scales with the
+    already-small step). The f32 [256, hp] form's dot runs at the MXU's
+    f32 rate; this trades 1.5x the MACs for the bf16 rate (the dot is
+    the dominant per-step cost at the reference-default 9001x5 inverse
+    table, hp = 352). One-hot operands are exact in bf16.
+    Returns (A_vals, B_vals), each [blk, 128] f32.
+    """
+    a_rows, b_rows = [], []
+    for bb in range(blk):
+        ohhi = (jax.lax.broadcasted_iota(jnp.int32, (hp_t, 128), 0)
+                == hi_idx[bb][None, :]).astype(jnp.bfloat16)
+        t2 = jnp.dot(tab_ref[:], ohhi, preferred_element_type=jnp.float32)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                == lo_idx[bb][None, :]).astype(jnp.float32)
+        # fold the hi/lo split BEFORE the mask: one reduce instead of two
+        a_rows.append(jnp.sum((t2[:128] + t2[128:256]) * mask, axis=0))
+        b_rows.append(jnp.sum(t2[256:384] * mask, axis=0))
+    return jnp.stack(a_rows, axis=0), jnp.stack(b_rows, axis=0)
+
+
 def _tally_contract(oh_lo, t_hi_blk, val_blk, jmod, bf16: bool,
                     ht: int = 128):
     """Transposed factorized scatter-add for one block.
@@ -694,6 +746,14 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
     # lo-first one-hot form for A/B. Must agree with the packing choice
     # in run_batch_pallas (both derive from pcfg.debug_parts).
     hif = "nohif" not in part_set
+    # INVERSE-CDF fetch variants (must agree with run_batch_pallas'
+    # packing choice): default = WIDE exact-f32 (_hif_gather2w, one
+    # table read for all block rows); "rowhif" forces the per-row f32
+    # form; "bf16hif" the bf16-split per-row form (measured SLOWER on
+    # hardware than f32 per-row -- 14.5 vs 19.7 M/s on the 9001x5
+    # bench -- kept for A/B only).
+    hifb = hif and "bf16hif" in part_set
+    hifw = hif and not hifb and "rowhif" not in part_set
 
     n_dirs, k_dda = pcfg.n_dirs, pcfg.k_dda
     # per-direction march formulation ("cell"/"colct"): the combined
@@ -1293,7 +1353,13 @@ def _build_kernel(shape, pcfg: PallasConfig, source_kind: str, w_cols: int,
                               * np.int32(inv_n_steps) + k_i)
                     lo_i = jnp.bitwise_and(flat_i, 127)
                     hi_i = jnp.right_shift(flat_i, 7)
-                    if hif:
+                    if hifb:
+                        a0, dd = _hif_gather2b(inv_ref, inv_hp, hi_i,
+                                               lo_i, blk)
+                    elif hifw:
+                        a0, dd = _hif_gather2w(inv_ref, inv_hp, hi_i,
+                                               lo_i, blk)
+                    elif hif:
                         a0, dd = _hif_gather2(inv_ref, inv_hp, hi_i,
                                               lo_i, blk)
                     else:
@@ -2292,6 +2358,14 @@ def _pack_inverse_table(domain: OpticalDomain, hif: bool = False):
         vp = jnp.pad(v, (0, hp * 128 - total))
         return vp.reshape(hp, 128)
 
+    if hif == "bf16":
+        # hi-first bf16-split layout for _hif_gather2b: [384, hp] bf16
+        fb = block(flat)
+        f_hi = fb.astype(jnp.bfloat16)
+        f_lo = (fb - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        packed = jnp.concatenate(
+            [f_hi.T, f_lo.T, block(delta).astype(jnp.bfloat16).T], axis=0)
+        return packed, hp, n_steps
     if hif:
         packed = jnp.concatenate(
             [block(flat).T, block(delta).T], axis=0).astype(jnp.float32)
@@ -2386,21 +2460,29 @@ def run_batch_pallas(domain: OpticalDomain,
                          "bf16 pipeline (the f32 tally tiles hi mod ht "
                          "over 128 rows)")
     analytic_hg = bool(domain.all_hg)
-    # hi-first big-table gathers (must match _build_kernel's `hif`, which
-    # reads the same debug_parts)
-    hif = "nohif" not in frozenset(pcfg.debug_parts.split(","))
+    # hi-first big-table gathers (must match _build_kernel's `hif`/`hifb`,
+    # which read the same debug_parts)
+    _parts_hif = frozenset(pcfg.debug_parts.split(","))
+    hif = "nohif" not in _parts_hif
+    hif_inv = ("bf16" if hif and "bf16hif" in _parts_hif else hif)
     if analytic_hg:
         inv_packed = jnp.zeros((24, 128), jnp.bfloat16)
         inv_hp, inv_n_steps = 8, 0
     else:
         inv_packed, inv_hp, inv_n_steps = _obj_cache(
-            domain, ("inv", hif),
-            lambda: _pack_inverse_table(domain, hif=hif))
+            domain, ("inv", hif_inv),
+            lambda: _pack_inverse_table(domain, hif=hif_inv))
     # wide tables: shrink the block so the sublane gathers'
-    # [blk, rows, 128] f32 transients stay a few MB
-    if (h_cells > 128 or inv_hp > 128) and pcfg.block_rows > 16:
+    # [blk, rows, 128] f32 transients stay a few MB. The WIDE hi-first
+    # inverse fetch (_hif_gather2w, round 5) has no per-row transient --
+    # its [256, blk*128] f32 output is 128 KB * blk -- so a big inverse
+    # table alone only caps the block at 32 on that path.
+    _wide_inv_ok = (hif and "bf16hif" not in _parts_hif
+                    and "rowhif" not in _parts_hif)
+    _blk_cap = (32 if (h_cells <= 128 and _wide_inv_ok) else 16)
+    if (h_cells > 128 or inv_hp > 128) and pcfg.block_rows > _blk_cap:
         import dataclasses as _dc2
-        pcfg = _dc2.replace(pcfg, block_rows=16)
+        pcfg = _dc2.replace(pcfg, block_rows=_blk_cap)
     ncomp = domain.n_components
     rec_cols = REC_COLS if ncomp == 1 else 8
     uniform_ssa = bool(ncomp == 1 and domain.uniform_ssa)

@@ -987,6 +987,43 @@ class TestHiFirstGather:
         assert abs(a - b) <= max(4.0, 0.02 * abs(b) + 0.01 * n)
 
 
+    def test_tabulated_inverse_fetch_variants_agree(self):
+        """The round-5 WIDE hi-first inverse fetch (_hif_gather2w, the
+        default) vs the per-row f32 form ("rowhif") -- same exact-f32
+        values, so tallies are IDENTICAL -- and vs the bf16-split form
+        ("bf16hif"), whose angle splits reconstruct to ~2^-24 relative
+        (statistical agreement only; kept for A/B, measured slower on
+        hardware)."""
+        dom = TestTabulatedPhaseFunctions()._domain(two_entries=True)
+        base = dict(rows=16, block_rows=8, steps_per_call=32,
+                    max_steps=8000, interpret=True)
+        key = rng.batch_key(23, 0)
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        wide = run_batch_pallas(dom, sfc, src, key,
+                                PallasConfig(**base), 8)
+        row = run_batch_pallas(dom, sfc, src, key,
+                               PallasConfig(debug_parts="all,rowhif",
+                                            **base), 8)
+        b16 = run_batch_pallas(dom, sfc, src, key,
+                               PallasConfig(debug_parts="all,bf16hif",
+                                            **base), 8)
+        n = int(wide[3])
+        assert n == int(row[3]) == int(b16[3])
+        for i, name in ((0, "flux_up"), (1, "flux_down")):
+            a = float(np.asarray(wide[i]).sum())
+            b = float(np.asarray(row[i]).sum())
+            c = float(np.asarray(b16[i]).sum())
+            # wide vs per-row: identical f32 values, identical streams
+            assert a == pytest.approx(b, rel=1e-6), f"{name}: {a} vs {b}"
+            # bf16 split: statistical band
+            assert abs(a - c) <= max(4.0, 0.01 * n), f"{name}: {a} vs {c}"
+        bal = (float(np.asarray(wide[0]).sum())
+               + 0.8 * float(np.asarray(wide[1]).sum())
+               + float(np.asarray(wide[2]).sum())) / n
+        assert bal == pytest.approx(1.0, abs=5e-3)
+
+
 class TestPerPixelSurface:
     """Per-pixel Lambertian albedo in the record megakernel: the packed
     per-column albedo (surface grid divides the domain columns) is

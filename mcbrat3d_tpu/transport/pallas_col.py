@@ -73,6 +73,7 @@ from mcbrat3d_tpu.transport.pallas_kernel import (
     _pack_forward_table,
     _pack_inverse_table,
     _tally_contract_sub,
+    surface_px_ok,
 )
 
 _TINY = np.float32(1e-30)
@@ -246,13 +247,20 @@ def pallas_col_eligible(domain: OpticalDomain, surface: Surface,
     em_ok = (source.kind != illumination.EMISSION
              or (source.em_prob is not None
                  and domain.col_em_prob is not None))
+    # per-pixel Lambertian (surface_px_ok: pixels tile whole columns)
+    # is supported for non-emission runs; surface BBEmission pre-credits
+    # assume the uniform albedo
+    sfc_ok = surface.is_uniform_lambertian or (
+        source.kind != illumination.EMISSION
+        and surface_px_ok(surface, domain.grid, lw_mode,
+                      max_cols=MAX_COLS))
     return (
         bool(domain.col_template)
         and phase_ok
         and (domain.n_components == 1 or has_gas)
         and (domain.uniform_ssa or has_gas)
         and domain.grid.xy_regular and domain.grid.z_regular
-        and surface.is_uniform_lambertian
+        and sfc_ok
         and source.kind in (illumination.DIRECTIONAL,
                             illumination.RANDOM_AZIMUTH,
                             illumination.FLUX,
@@ -276,7 +284,8 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                       lw: bool = False, has_gas: bool = False,
                       n_dirs: int = 0, le_groups=(),
                       use_irr: bool = False, use_fwd: bool = False,
-                      fwd_hf: int = 8, fwd_n_s: int = 0, hti: int = 8):
+                      fwd_hf: int = 8, fwd_n_s: int = 0, hti: int = 8,
+                      has_px: bool = False):
     """Close over static shapes; returns the column-mode kernel function."""
     nx, ny, nz = shape
     rows, blk, k_steps = pcfg.rows, pcfg.block_rows, pcfg.steps_per_call
@@ -290,7 +299,7 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in,
                quota_in, alive_in, bls_in, blh_in,
                mcol_ref, mblk_ref, inv_ref, ecol_ref, fcum_ref, qz_ref,
-               mabx_ref, maby_ref, fwd_ref,
+               mabx_ref, maby_ref, fwd_ref, alb_ref,
                acc_in, accz_in, acc3_in, acci_in,
                x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, w_ref,
                quota_ref, alive_ref, bls_ref, blh_ref,
@@ -702,7 +711,20 @@ def _build_kernel_col(shape, pcfg: PallasConfig, source_kind: str,
 
             # ---- Lambertian surface reflection ----
             w_down = w
-            w_refl = w_down * albedo
+            if has_px:
+                # Per-pixel Lambertian: the albedo grid divides the
+                # domain columns evenly (surface_px_ok), packed per
+                # COLUMN as a bf16 hi/lo split ([256, 128] M^T blocks)
+                # and gathered with the SHARED event one-hots (colT is
+                # the exit column for exit lanes); the split
+                # reconstructs the f32 albedo to ~1 ulp. Reference
+                # fractional surface lookup being reproduced:
+                # src/surfaceProperties.f95:119-147.
+                alb_px = bilinear_multi(alb_ref[:], ohh_bf, ohs_f32,
+                                        groups=((0, 1),))[0]
+                w_refl = w_down * alb_px
+            else:
+                w_refl = w_down * albedo
             died_surface = exit_bot & (w_refl <= _TINY)
             reflected = exit_bot & ~died_surface
             mu_new = jnp.sqrt(jnp.maximum(u_ang, np.float32(1e-12)))
@@ -1263,6 +1285,29 @@ def run_batch_pallas_col(domain: OpticalDomain,
         fwd_hf, fwd_n_s = 8, 0
         use_fwd = False
         dirs_a = jnp.zeros((3, 1), jnp.float32)
+    # ---- per-pixel Lambertian albedo ([256, 128] bf16 hi/lo M^T) ----
+    has_px = (not surface.is_uniform_lambertian
+              and surface_px_ok(surface, grid, lw, max_cols=MAX_COLS))
+    if has_px:
+        def _build_alb():
+            p = jnp.asarray(surface.params[:, :, 0], jnp.float32)
+            nxs, nys = p.shape
+            col = jnp.repeat(jnp.repeat(p, nx // nxs, axis=0),
+                             ny // nys, axis=1)
+            flat = col.reshape(-1)
+            f_hi = flat.astype(jnp.bfloat16).astype(jnp.float32)
+            f_lo = flat - f_hi
+
+            def to_m(v):
+                return jnp.pad(v, (0, 128 * 128 - nxy)).reshape(
+                    128, 128).T
+
+            return jnp.concatenate(
+                [to_m(f_hi), to_m(f_lo)], axis=0).astype(jnp.bfloat16)
+
+        alb_packed = _obj_cache(surface, ("colalb", nx, ny), _build_alb)
+    else:
+        alb_packed = jnp.zeros((256, 128), jnp.bfloat16)
     kernel = _build_kernel_col((nx, ny, nz), pcfg, source.kind,
                                use_russian_roulette, domain.macro_factor,
                                nbx, nby, analytic_hg=analytic_hg,
@@ -1271,7 +1316,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
                                n_dirs=n_dirs, le_groups=pcfg.dir_groups,
                                use_irr=pcfg.intensity_rr,
                                use_fwd=use_fwd, fwd_hf=fwd_hf,
-                               fwd_n_s=fwd_n_s, hti=hti)
+                               fwd_n_s=fwd_n_s, hti=hti, has_px=has_px)
 
     beta_max = jnp.maximum(domain.max_extinction, _TINY)
     if source.kind in (illumination.DIRECTIONAL,
@@ -1351,7 +1396,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]  # dirs
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 13),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 14),
         out_specs=(
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + 4)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
@@ -1369,10 +1414,10 @@ def run_batch_pallas_col(domain: OpticalDomain,
         jax.ShapeDtypeStruct((1, 8), jnp.float32),
     ]
     aliases = {3 + i: i for i in range(n_state)}
-    aliases[3 + n_state + 9] = n_state       # acc
-    aliases[3 + n_state + 10] = n_state + 1  # accz
-    aliases[3 + n_state + 11] = n_state + 2  # acc3
-    aliases[3 + n_state + 12] = n_state + 3  # acci
+    aliases[3 + n_state + 10] = n_state      # acc
+    aliases[3 + n_state + 11] = n_state + 1  # accz
+    aliases[3 + n_state + 12] = n_state + 2  # acc3
+    aliases[3 + n_state + 13] = n_state + 3  # acci
 
     call = pl.pallas_call(
         kernel,
@@ -1394,7 +1439,7 @@ def run_batch_pallas_col(domain: OpticalDomain,
             jnp.int32)
         outs = call(scal, params, dirs_a, *[state[k] for k in keys],
                     mcol, mblk, inv_packed, m_ecol, m_fcum, m_qz,
-                    mabx, maby, fwd_packed,
+                    mabx, maby, fwd_packed, alb_packed,
                     acc, accz, acc3, acci)
         new_state = dict(zip(keys, outs[:n_state]))
         acc = outs[n_state]

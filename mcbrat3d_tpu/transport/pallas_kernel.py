@@ -98,14 +98,19 @@ MAX_INV_ENTRIES = 1024 * 128
 SURF_PX_MAX_ROWS = 32
 
 
-def surface_px_ok(surface: "Surface", grid, lw_mode: bool) -> bool:
-    """Record-megakernel eligibility of a per-pixel Lambertian surface.
+def surface_px_ok(surface: "Surface", grid, lw_mode: bool,
+                  max_cols: int = 128 * SURF_PX_MAX_ROWS) -> bool:
+    """Megakernel eligibility of a per-pixel Lambertian surface.
 
     Exactness contract: each surface pixel must tile a whole number of
     domain columns (nx % nxs == 0, ny % nys == 0), so the per-column
     packed albedo reproduces the reference's fractional surface-grid
     lookup (src/surfaceProperties.f95:119-147) bit-for-bit. lw_mode is
     excluded (surface BBEmission uses the uniform-albedo pre-credit).
+    ``max_cols`` bounds the kernel-specific fetch budget: the record
+    kernel's per-row select chain caps at 128 * SURF_PX_MAX_ROWS; the
+    column kernel's one-hot MXU gather covers its full column envelope
+    (it passes its own MAX_COLS).
     """
     if lw_mode or not surface.is_lambertian_grid:
         return False
@@ -113,8 +118,7 @@ def surface_px_ok(surface: "Surface", grid, lw_mode: bool) -> bool:
         return False  # the scalar fast path covers it (no gather)
     nxs, nys, _ = surface.params.shape
     nx, ny, _ = grid.shape
-    return (nx % nxs == 0 and ny % nys == 0
-            and nx * ny <= 128 * SURF_PX_MAX_ROWS)
+    return (nx % nxs == 0 and ny % nys == 0 and nx * ny <= max_cols)
 
 
 @dataclasses.dataclass(frozen=True)

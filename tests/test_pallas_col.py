@@ -681,3 +681,92 @@ class TestColIntensityInKernel:
         assert t.intensity is not None
         assert t.intensity.shape == (64, 64, 2)
         assert float(np.asarray(t.intensity).sum()) > 0
+
+
+class TestColPerPixelSurface:
+    """Per-pixel Lambertian albedo in the column kernel: the grid is
+    packed per COLUMN (bf16 hi/lo split, ~1 ulp) and gathered with the
+    shared event one-hots (reference fractional surface lookup:
+    src/surfaceProperties.f95:119-147)."""
+
+    def test_uniform_grid_bitwise_equals_scalar(self):
+        """A 2x2 grid holding one bf16-exact value everywhere must
+        reproduce the scalar-albedo arm bit for bit (same RNG streams,
+        same physics)."""
+        dom = make_broken_cloud()
+        src = illumination.directional(0.5, 0.0)
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                           max_steps=20_000)
+        grid_sfc = Surface(params=np.full((2, 2, 1), 0.25, np.float32))
+        t_px = pc.run_batch_pallas_col_tallies(
+            dom, grid_sfc, src, rng.batch_key(7, 0), cfg, interpret=True)
+        t_u = pc.run_batch_pallas_col_tallies(
+            dom, Surface.lambertian(0.25), src, rng.batch_key(7, 0), cfg,
+            interpret=True)
+        assert int(t_px.n_photons) == int(t_u.n_photons)
+        np.testing.assert_array_equal(np.asarray(t_px.flux_up),
+                                      np.asarray(t_u.flux_up))
+        np.testing.assert_array_equal(np.asarray(t_px.flux_down),
+                                      np.asarray(t_u.flux_down))
+
+    def test_varied_grid_matches_xla(self):
+        """A 4x4 albedo pattern, A/B vs the XLA kernel statistically."""
+        dom = make_broken_cloud()
+        src = illumination.directional(0.5, 0.0)
+        rs = np.random.RandomState(4)
+        grid_sfc = Surface(
+            params=(0.1 + 0.7 * rs.rand(4, 4, 1)).astype(np.float32))
+        assert pc.pallas_col_eligible(
+            dom, grid_sfc, src, lw_mode=False, compute_intensity=False,
+            record_scattering_orders=0, use_ray_tracing=False,
+            need_volume_absorption=False)
+        cfgX = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                            max_steps=20_000, use_pallas="off")
+        tX = run_batch(dom, grid_sfc, src, rng.batch_key(9, 0), cfgX)
+        cfgC = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                            max_steps=20_000)
+        tC = pc.run_batch_pallas_col_tallies(
+            dom, grid_sfc, src, rng.batch_key(9, 1), cfgC, interpret=True)
+        nX, nC = int(tX.n_photons), int(tC.n_photons)
+        rX = float(np.asarray(tX.flux_up).sum()) / nX
+        rC = float(np.asarray(tC.flux_up).sum()) / nC
+        sigma = 2.0 * np.sqrt(0.25 / nC)
+        assert rC == pytest.approx(rX, abs=4 * sigma)
+        # the reflected-flux pattern must track the albedo quadrants
+        qX = np.asarray(tX.flux_up).reshape(4, 4, 4, 4).sum(axis=(1, 3))
+        qC = np.asarray(tC.flux_up).reshape(4, 4, 4, 4).sum(axis=(1, 3))
+        corr = np.corrcoef(qX.ravel() / nX, qC.ravel() / nC)[0, 1]
+        assert corr > 0.9, (qX / nX, qC / nC)
+
+    def test_radiance_with_px_surface_matches_xla(self):
+        """Per-pixel albedo + in-kernel slab-scan radiance: the surface
+        local-estimate term must carry the landing pixel's albedo."""
+        from mcbrat3d_tpu.transport.local_estimate import (
+            IntensityConfig, make_intensity_directions)
+        dom = make_broken_cloud(compute_intensity_tables=True,
+                                hybrid_width_deg=10.0)
+        src = illumination.directional(0.5, 30.0)
+        rs = np.random.RandomState(4)
+        grid_sfc = Surface(
+            params=(0.1 + 0.7 * rs.rand(4, 4, 1)).astype(np.float32))
+        dirs = make_intensity_directions([1.0, 0.6, 0.6], [0.0, 135.0,
+                                                           270.0])
+        icfg = IntensityConfig(n_dirs=3, pallas_min_mu=0.4)
+        from mcbrat3d_tpu.transport import pallas_kernel as pk
+        assert pc.pallas_col_intensity_eligible(
+            dom, grid_sfc, src, False, 0, False, icfg, dirs,
+            dirs_mu_ok=pk.dirs_mu_floor_ok(icfg, dirs))
+        cfgX = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                            max_steps=20_000, use_pallas="off")
+        tX = run_batch(dom, grid_sfc, src, rng.batch_key(9, 0), cfgX,
+                       intensity_config=icfg, intensity_dirs=dirs)
+        cfgC = KernelConfig(n_lanes=1 << 12, photons_per_lane=16,
+                            max_steps=20_000)
+        tC = pc.run_batch_pallas_col_tallies(
+            dom, grid_sfc, src, rng.batch_key(9, 1), cfgC, interpret=True,
+            intensity_config=icfg, intensity_dirs=dirs)
+        iX = np.asarray(tX.intensity) / int(tX.n_photons)
+        iC = np.asarray(tC.intensity) / int(tC.n_photons)
+        for d in range(3):
+            assert iC[:, :, d].mean() == pytest.approx(
+                iX[:, :, d].mean(), rel=0.15), d

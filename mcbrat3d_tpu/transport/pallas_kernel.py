@@ -233,10 +233,23 @@ class PallasConfig:
 
 
 # take_along_axis (tpu.dynamic_gather) budget for the record fetch:
-# gathered fields x table rows; beyond this the one-hot MXU gather wins
-# (measured crossover ~0.27 us/gather vs ~9 us one-hot at 512 state
-# rows, tools/probe_gather2.py)
-_DYN_GATHER_MAX_OPS = 32
+# gathered fields x table rows. Round-5 row-scaling measurement
+# (tools/exp_tile1.py part A, production kernel on dense broken-cloud
+# scenes, v5e): the select chain is near-FLAT in table rows -- 2.78 G
+# lane-steps/s at 8 rows, 2.14 G at 32, 2.44 G at 128 (2 fields each),
+# while the one-hot MXU gather at 128 rows measured 0.17 G (14x slower;
+# its MAC cost is Theta(cells)/lane). The old budget of 32 (set by the
+# small-table crossover in tools/probe_gather2.py) left every mid-size
+# dense domain on the one-hot cliff: dense 32x16x32 measured 0.405 M
+# photons/s one-hot vs 3.19 M dyn-gather. 256 covers 2 fields x 128
+# rows = the full record envelope's row range.
+_DYN_GATHER_MAX_OPS = 256
+
+# The radiance CELL march gathers once per crossing per direction (not
+# once per step), so its dyn-vs-onehot economics were only measured in
+# the small-row regime; keep the march on the original conservative
+# budget until the tall-table march is measured.
+_DYN_MARCH_MAX_ROWS = 32
 
 
 def _dyn_gather_fields(n_comp: int, uniform_ssa: bool, uniform_hg: bool,
@@ -2626,7 +2639,7 @@ def run_batch_pallas(domain: OpticalDomain,
     # dynamic-gather CELL march: exact f32 beta rows gathered per-lane
     # per crossing (ships in the bm_lo slot); the colct block keeps the
     # one-hot contraction (4-point interpolation over the column block)
-    use_dyn_march = (need_cell and h_cells <= _DYN_GATHER_MAX_OPS
+    use_dyn_march = (need_cell and h_cells <= _DYN_MARCH_MAX_ROWS
                      and not (_parts_rb & {"nodyn"}))
     if pcfg.dyn_march != use_dyn_march:
         pcfg = dataclasses.replace(pcfg, dyn_march=use_dyn_march)
@@ -3159,7 +3172,7 @@ def plan_march(grid, icfg, dirs):
     # EXPERIMENTS_1e8.md round 4) -- mirror run_batch_pallas' resolver
     h_cells_pm = -(-nx_ * ny_ * nz_ // 128)
     w_cell = (1.4 + 0.01 * hb_rows
-              if h_cells_pm <= _DYN_GATHER_MAX_OPS
+              if h_cells_pm <= _DYN_MARCH_MAX_ROWS
               else 1.4 + 0.04 * hb_rows)
 
     # closed-form column scan: ny == 1 only (the crossing sequence along

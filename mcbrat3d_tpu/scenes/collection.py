@@ -264,6 +264,38 @@ def broken_cloud_scene(nx: int = 128, ny: int = 128, nz: int = 64,
     return grid, [comp], None
 
 
+def dense_cloud_scene(nx: int = 128, ny: int = 128, nz: int = 64,
+                      ssa: float = 0.99, g: float = 0.85,
+                      dx: float = 30.0, dy: float = 30.0,
+                      dz: float = 20.0, max_scale: float = 0.04,
+                      seed: int = 2, n_legendre: int = 64):
+    """Dense NON-template broken-cloud deck: correlated horizontal
+    amplitude x adiabatic-like vertical ramp x PER-CELL noise, so the
+    extinction field is full-rank -- neither column-template nor
+    separable. This is the BASELINE.md "MODIS-retrieved 3D domain"
+    configuration class (the reference's replicated-domain model covers
+    any such field, src/opticalProperties.f95:77-115); on TPU it takes
+    the tiled dense-domain megakernel (transport/pallas_tile.py)."""
+    rs = np.random.RandomState(seed)
+    f = rs.rand(nx, ny)
+    for _ in range(3):
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    amp = (f > np.quantile(f, 0.5)) * f
+    zc = (np.arange(nz) + 0.5) / nz
+    prof = np.clip(1.5 * zc - 0.2, 0.0, 1.0) * (zc < 0.8)
+    ext = max_scale * amp[:, :, None] * prof[None, None, :]
+    ext *= (0.5 + rs.rand(nx, ny, nz))  # per-cell noise -> full rank
+    grid = Grid.regular(nx=int(nx), ny=int(ny), nz=int(nz),
+                        dx=dx, dy=dy, dz=dz)
+    comp = OpticalComponent(
+        name="dense cloud", extinction=ext,
+        single_scattering_albedo=np.full_like(ext, ssa),
+        phase_function_index=np.zeros(ext.shape, np.int32),
+        phase_function_table=_hg_table(g, n_legendre, "dense-cloud HG"))
+    return grid, [comp], None
+
+
 def lw_flagship_scene(nx: int = 325, ny: int = 325, nz: int = 150,
                       dx: float = 0.1, dy: float = 0.1, dz: float = 0.04,
                       cloud_base_level: int = 55, cloud_top_level: int = 85,

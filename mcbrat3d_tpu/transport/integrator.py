@@ -452,6 +452,23 @@ def _run_batch_impl(domain: OpticalDomain,
                 lw_mode=cfg.lw_mode, compute_intensity=False,
                 record_scattering_orders=cfg.record_scattering_orders,
                 use_ray_tracing=cfg.use_ray_tracing)
+            # Dense domains past the dyn-gather row envelope: the record
+            # kernel's one-hot fetch is Theta(cells)/lane (measured
+            # 0.405 M photons/s at 16384 cells vs 3.19 M dyn-gather,
+            # tools/exp_tile1.py) -- when the TILED megakernel covers the
+            # configuration, prefer it (per-tile slabs keep the fetch on
+            # the measured-flat select chain at any cell count).
+            if eligible:
+                nxd, nyd, nzd = domain.grid.shape
+                if nxd * nyd * nzd > 128 * 128:
+                    from mcbrat3d_tpu.transport import pallas_tile as _pt
+                    if _pt.pallas_tile_eligible(
+                            domain, surface, source, cfg.lw_mode, False,
+                            cfg.record_scattering_orders,
+                            cfg.use_ray_tracing,
+                            cfg.need_volume_absorption,
+                            cfg.need_absorption_profile):
+                        eligible = False  # dispatch below, to the tile path
             if cfg.use_pallas == "on" and eligible:
                 return _pk.run_batch_pallas_tallies(
                     domain, surface, source, key, cfg, n_photons,
@@ -483,6 +500,18 @@ def _run_batch_impl(domain: OpticalDomain,
             need_volume_absorption=cfg.need_volume_absorption)
         if sep_eligible and (on_tpu or cfg.use_pallas == "on"):
             return _psep.run_batch_pallas_sep_tallies(
+                domain, surface, source, key, cfg, n_photons,
+                interpret=not on_tpu)
+        # ---- dense non-template tiled megakernel (general 3D domains
+        # past every template envelope; the BASELINE.md MODIS class) ----
+        from mcbrat3d_tpu.transport import pallas_tile as _pt
+        tile_eligible = _pt.pallas_tile_eligible(
+            domain, surface, source, cfg.lw_mode,
+            intensity_config is not None, cfg.record_scattering_orders,
+            cfg.use_ray_tracing, cfg.need_volume_absorption,
+            cfg.need_absorption_profile)
+        if tile_eligible and (on_tpu or cfg.use_pallas == "on"):
+            return _pt.run_batch_pallas_tile_tallies(
                 domain, surface, source, key, cfg, n_photons,
                 interpret=not on_tpu)
         if cfg.use_pallas == "on":

@@ -1,0 +1,220 @@
+"""Tiled dense-domain megakernel tests (CPU interpreter mode).
+
+The tiled kernel (transport/pallas_tile.py) is the general fast path for
+dense NON-template 3D domains past the record-kernel envelope. It must be
+statistically indistinguishable from the XLA wave kernel (same physics,
+different RNG streams), conserve energy exactly without Russian roulette,
+honor quotas and determinism, and dispatch from run_batch for the dense
+configurations it covers. Small domains + force_tiles exercise the full
+multi-tile sort/pack/crossing/empty-skip machinery cheaply on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from mcbrat3d_tpu.core import rng
+from mcbrat3d_tpu.core.grid import Grid
+from mcbrat3d_tpu.domain.domain import OpticalComponent, build_domain
+from mcbrat3d_tpu.physics.phase_function import (PhaseFunction,
+                                                 PhaseFunctionTable)
+from mcbrat3d_tpu.physics.surface import Surface
+from mcbrat3d_tpu.sources import illumination
+from mcbrat3d_tpu.transport import pallas_tile as pt
+from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+
+def dense_domain(nx=16, ny=16, nz=8, seed=5, ssa=0.9, empty_half=False):
+    """Small dense broken-cloud field (non-template, non-separable)."""
+    rs = np.random.RandomState(seed)
+    beta = 0.08 * (0.3 + rs.rand(nx, ny, nz))
+    zc = (np.arange(nz) + 0.5) / nz
+    beta *= np.clip(1.5 * zc, 0.2, 1.0)[None, None, :]
+    if empty_half:
+        beta[nx // 2:] = 0.0  # a zero-extinction half: empty tiles
+    grid = Grid.regular(nx, ny, nz, 12.0, 12.0, 4.0)
+    tbl = PhaseFunctionTable(
+        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    comp = OpticalComponent("dense", beta, np.full_like(beta, ssa),
+                            np.zeros(beta.shape, np.int32), tbl)
+    return build_domain(grid, [comp], macro_factor=0, n_cdf_steps=201)
+
+
+TCFG = pt.TileConfig(rows_b=4, k_steps=8, skip_iters=3, interpret=True,
+                     force_tiles=(8, 8, 4))  # 2x2x2 = 8 tiles
+
+
+def run_tile(dom, sfc, src, key, n_lanes=2048, n_photons=None, rr=True,
+             tcfg=TCFG):
+    cfg = KernelConfig(n_lanes=n_lanes, photons_per_lane=4,
+                       max_steps=100000, use_pallas="off",
+                       need_volume_absorption=False,
+                       use_russian_roulette=rr)
+    return pt.run_batch_pallas_tile_tallies(
+        dom, sfc, src, key, cfg, n_photons=n_photons, tcfg=tcfg)
+
+
+class TestTileTransport:
+    def test_plan_tiles(self):
+        dom = dense_domain(16, 16, 8)
+        plan = pt.plan_tiles(dom.grid)
+        assert plan is not None
+        tx, ty, tz = plan
+        assert 16 % tx == 0 and 16 % ty == 0 and 8 % tz == 0
+        assert tx * ty * tz <= pt.TILE_CELLS_MAX
+
+    def test_eligibility(self):
+        dom = dense_domain()
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        assert pt.pallas_tile_eligible(dom, sfc, src, False, False, 0,
+                                       False, False, False)
+        # each gate closes the envelope
+        assert not pt.pallas_tile_eligible(dom, sfc, src, True, False, 0,
+                                           False, False, False)
+        assert not pt.pallas_tile_eligible(dom, sfc, src, False, True, 0,
+                                           False, False, False)
+        assert not pt.pallas_tile_eligible(dom, sfc, src, False, False, 0,
+                                           False, True, False)
+        r = pt.tile_ineligibility_reasons(dom, sfc, src, False, False, 0,
+                                          True, False, False)
+        assert r == ["use_ray_tracing"]
+
+    def test_energy_conservation_no_rr(self):
+        """Without roulette, every started photon's weight is fully
+        tallied: R + (1 - rho) * T + A == 1 (the reference's accounting,
+        Integrators/monteCarloRadiativeTransfer.f95:573-640,764-771)."""
+        rho = 0.3
+        dom = dense_domain(ssa=0.9)
+        t = run_tile(dom, Surface.lambertian(rho),
+                     illumination.directional(0.5, 0.0),
+                     rng.batch_key(3, 0), n_photons=3000, rr=False)
+        n = float(t.n_photons)
+        assert int(t.n_photons) == 3000
+        assert int(t.n_bad) == 0
+        balance = float(np.asarray(t.flux_up).sum()
+                        + (1 - rho) * np.asarray(t.flux_down).sum()
+                        + np.asarray(t.flux_absorbed).sum()) / n
+        assert abs(balance - 1.0) < 2e-4
+
+    def test_matches_xla_kernel_statistically(self):
+        """Domain-total and pixel fluxes agree with the XLA wave kernel
+        within MC noise at equal photon counts (different streams)."""
+        dom = dense_domain(ssa=0.95)
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.6, 0.4)
+        n_t = 0
+        fu_t = fd_t = ab_t = 0.0
+        for b in range(2):
+            t = run_tile(dom, sfc, src, rng.batch_key(0, b),
+                         n_photons=6000)
+            fu_t = fu_t + np.asarray(t.flux_up)
+            fd_t = fd_t + np.asarray(t.flux_down)
+            ab_t = ab_t + np.asarray(t.flux_absorbed)
+            n_t += int(t.n_photons)
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=8,
+                           max_steps=20000, tail_compaction=False,
+                           use_pallas="off",
+                           need_volume_absorption=False)
+        tx_ = run_batch(dom, sfc, src, rng.batch_key(9, 0), cfg)
+        n_x = int(tx_.n_photons)
+        for a, b_, nm in ((fu_t, np.asarray(tx_.flux_up), "up"),
+                          (fd_t, np.asarray(tx_.flux_down), "down"),
+                          (ab_t, np.asarray(tx_.flux_absorbed), "abs")):
+            am, bm = a / n_t, b_ / n_x
+            tot_a, tot_b = am.sum(), bm.sum()
+            sig = np.sqrt(tot_a / n_t + tot_b / n_x + 1e-12)
+            assert abs(tot_a - tot_b) < 5 * sig + 2e-3, (
+                f"{nm}: {tot_a} vs {tot_b}")
+            psig = np.sqrt(am / n_t + bm / n_x + 1e-12)
+            assert np.all(np.abs(am - bm) < 6 * psig + 5e-3), nm
+
+    def test_empty_tile_skip_matches_xla(self):
+        """A half-empty domain exercises zero-majorant tiles, the
+        in-step empty-skip chain and boundary parking; results must
+        still match the XLA kernel."""
+        dom = dense_domain(ssa=0.95, empty_half=True)
+        sfc = Surface.lambertian(0.3)
+        src = illumination.directional(0.5, 2.0)
+        t = run_tile(dom, sfc, src, rng.batch_key(1, 0), n_photons=8000)
+        n_t = int(t.n_photons)
+        assert n_t == 8000
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20000, tail_compaction=False,
+                           use_pallas="off",
+                           need_volume_absorption=False)
+        tx_ = run_batch(dom, sfc, src, rng.batch_key(2, 0), cfg)
+        n_x = int(tx_.n_photons)
+        for a, b_, nm in ((t.flux_up, tx_.flux_up, "up"),
+                          (t.flux_down, tx_.flux_down, "down"),
+                          (t.flux_absorbed, tx_.flux_absorbed, "abs")):
+            am = np.asarray(a) / n_t
+            bm = np.asarray(b_) / n_x
+            sig = np.sqrt(am.sum() / n_t + bm.sum() / n_x + 1e-12)
+            assert abs(am.sum() - bm.sum()) < 5 * sig + 2e-3, nm
+        # the clear half must transmit the direct beam: flux_down there
+        # ~= 1 per column-normalized photon share
+        fd = np.asarray(t.flux_down)
+        assert fd[8:].sum() > 0.9 * (n_t // 2) * 0.9
+
+    def test_deterministic(self):
+        dom = dense_domain()
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.5, 0.0)
+        t1 = run_tile(dom, sfc, src, rng.batch_key(7, 7), n_photons=2000)
+        t2 = run_tile(dom, sfc, src, rng.batch_key(7, 7), n_photons=2000)
+        assert np.array_equal(np.asarray(t1.flux_up),
+                              np.asarray(t2.flux_up))
+        assert np.array_equal(np.asarray(t1.flux_absorbed),
+                              np.asarray(t2.flux_absorbed))
+
+    def test_quota_exact(self):
+        dom = dense_domain()
+        t = run_tile(dom, Surface.lambertian(0.2),
+                     illumination.flux(), rng.batch_key(4, 0),
+                     n_photons=1234)
+        assert int(t.n_photons) == 1234
+
+
+class TestTileDispatch:
+    def test_dense_overflow_routes_to_tile(self, monkeypatch):
+        """A dense domain past the record envelope (> MAX_CELLS) with a
+        tile-eligible configuration must dispatch to the tiled kernel
+        when use_pallas='on'."""
+        from mcbrat3d_tpu.transport import pallas_tile as _pt
+
+        dom = dense_domain(40, 40, 24)  # 38400 cells > 36864
+        called = {}
+
+        def marker(*a, **k):
+            called["hit"] = True
+            raise RuntimeError("tile-dispatch-marker")
+
+        monkeypatch.setattr(_pt, "run_batch_pallas_tile_tallies", marker)
+        cfg = KernelConfig(n_lanes=512, photons_per_lane=1,
+                           max_steps=100, use_pallas="on",
+                           need_volume_absorption=False)
+        with pytest.raises(RuntimeError, match="tile-dispatch-marker"):
+            run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(0, 0), cfg)
+        assert called.get("hit")
+
+    def test_record_midsize_prefers_tile(self, monkeypatch):
+        """16384 < cells <= MAX_CELLS used to hit the record kernel's
+        one-hot cliff (0.405 M/s measured); tile-eligible configurations
+        now route to the tiled kernel instead."""
+        from mcbrat3d_tpu.transport import pallas_tile as _pt
+
+        dom = dense_domain(32, 32, 18)  # 18432 cells, record-eligible
+
+        def marker(*a, **k):
+            raise RuntimeError("tile-dispatch-marker")
+
+        monkeypatch.setattr(_pt, "run_batch_pallas_tile_tallies", marker)
+        cfg = KernelConfig(n_lanes=512, photons_per_lane=1,
+                           max_steps=100, use_pallas="on",
+                           need_volume_absorption=False)
+        with pytest.raises(RuntimeError, match="tile-dispatch-marker"):
+            run_batch(dom, Surface.lambertian(0.2),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(0, 0), cfg)

@@ -8,7 +8,7 @@ Baseline target (BASELINE.md): 1e8 photons/sec/chip on the step cloud.
 Timing uses host value fetches -- block_until_ready is unreliable through
 the remote-TPU relay (see .claude/skills/verify/SKILL.md).
 
-Selective runs: --intensity | --landsat | --lw | --flagship | --multi |
+Selective runs: --intensity | --landsat | --lw | --flagship | --multi | --dense3d |
 --tabulated | --radar | --step-cloud run just that metric; no flag runs
 the full sweep (each metric in its own subprocess + timeout).
 """
@@ -301,6 +301,45 @@ def bench_radar():
         return int(t.n_photons)
 
     emit("radar_scale_photon_throughput", measure(once))
+
+
+def bench_dense3d():
+    """Dense NON-template 3D domain at MODIS scale: 128x128x64 full-rank
+    per-cell extinction (neither column-template nor separable), the
+    BASELINE.md general-domain class the reference's replicated-domain
+    model covers (reference: src/opticalProperties.f95:77-115). Runs the
+    tiled dense-domain megakernel (transport/pallas_tile.py: sorted
+    per-tile cohorts + per-tile HBM slab DMA); the round-5 XLA-wave
+    anchor on this scene was 0.069 M photons/s."""
+    from mcbrat3d_tpu.core import rng
+    from mcbrat3d_tpu.domain.domain import build_domain
+    from mcbrat3d_tpu.physics.surface import Surface
+    from mcbrat3d_tpu.scenes.collection import dense_cloud_scene
+    from mcbrat3d_tpu.sources import illumination
+    from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
+
+    grid, comps, _ = dense_cloud_scene(128, 128, 64, ssa=0.99)
+    domain = build_domain(grid, comps, macro_factor=0, n_cdf_steps=201)
+    surface = Surface.lambertian(0.2)
+    source = illumination.directional(0.5, 0.0)
+    # n_lanes is the tiled kernel's photon POOL; the pass cost is linear
+    # in pool size, so throughput is set by quota/pool (steady-state
+    # injection) not pool width -- this is the measured-best proven
+    # launch shape (pool 2^18, 32^3 tiles, 160 grid blocks: 1.21 M
+    # photons/s). use_pallas='on' asserts a megakernel ran (the
+    # record/col/sep kernels cannot take this domain, so it is the tile
+    # path or an eligibility error).
+    config = KernelConfig(n_lanes=1 << 18, photons_per_lane=8,
+                          max_steps=1_000_000, use_pallas="on",
+                          need_volume_absorption=False)
+
+    def once(b):
+        t = run_batch(domain, surface, source, rng.batch_key(0, b),
+                      config)
+        assert t.volume_absorption is None
+        return int(t.n_photons)
+
+    emit("dense3d_128x128x64_throughput", measure(once, 3))
 
 
 def bench_intensity():
@@ -709,6 +748,7 @@ SELECTIVE = {
     "--multi": bench_multi_component,
     "--tabulated": bench_tabulated_phase,
     "--radar": bench_radar,
+    "--dense3d": bench_dense3d,
     "--step-cloud": bench_step_cloud,
 }
 
@@ -772,7 +812,8 @@ def main():
     sweep = [(["--step-cloud"], 360), (["--tabulated"], 300),
              (["--broadband"], 420), (["--broadband-lw"], 420),
              (["--flagship"], 600), (["--intensity"], 540),
-             (["--landsat", "--multi", "--lw", "--radar"], 600)]
+             (["--landsat", "--multi", "--lw", "--radar"], 600),
+             (["--dense3d"], 420)]
     headline = None
     sweep_deadline = t_start + 35 * 60.0  # global sweep budget: 35 min
     # Device-health streak: 0 = last evidence was healthy (a metric

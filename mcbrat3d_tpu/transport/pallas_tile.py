@@ -72,12 +72,25 @@ from mcbrat3d_tpu.transport.pallas_kernel import (_TINY, _TOP_EPS,
 
 _BIG = np.float32(3e38)
 
-# Tile envelope: <= 128 table rows per tile (the measured-flat region of
-# the select chain) and tile ids that fit one [*, 128] majorant row for
-# the per-lane empty-skip gather (DEAD sentinel = n_tiles must also be
-# a valid lane index, hence 127).
-TILE_CELLS_MAX = 128 * 128
+# Tile envelope: the select chain's per-row cost is a WIDE vector op
+# amortized over 128 lanes (~0.14 ns/lane-step/row), so even 256-row
+# chains are cheap next to the per-pass sort/gather tax -- bigger tiles
+# buy fewer cohort passes almost for free (measured on the 128x128x64
+# dense scene: 16384-cell tiles 0.45 M photons/s, 32768-cell tiles
+# 1.21 M/s, same 109 steps/photon). 256 rows bounds compile time and
+# the double-buffered slab DMA (128 KB/buffer). Tile ids must fit one
+# [*, 128] majorant row for the per-lane empty-skip gather (DEAD
+# sentinel = n_tiles must also be a valid lane index, hence 127).
+TILE_CELLS_MAX = 256 * 128
 MAX_TILES = 127
+
+# Grid-step cap: (rows_b=16, 320 blocks) hard-faulted the TPU worker
+# while 192 blocks (and 160 at rows_b=32) run clean -- the crash class
+# scales with the grid length at this block shape (Mosaic-side; kernel
+# logic A/Bs clean in interpret mode, same family as the round-5
+# 32768-cell record-kernel fault). run_batch_pallas_tile auto-raises
+# rows_b to keep every launch at or under the proven grid length.
+MAX_BLOCKS = 192
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,9 +98,19 @@ class TileConfig:
     """Static launch geometry for the tiled megakernel."""
 
     rows_b: int = 16        # lanes per block = rows_b * 128 (cohort width)
-    k_steps: int = 16       # transport steps per block visit (per pass)
+    k_steps: int = 24       # transport steps per block visit (per pass)
     skip_iters: int = 4     # empty-tile skip chain per crossing
     max_passes: int = 8192  # safety cap on sort+transport passes
+    # Drain floor: once the photon quota is exhausted, stop when fewer
+    # than pool/drain_div lanes remain alive and count the survivors in
+    # n_bad. Rare near-horizontal photons wandering zero-extinction
+    # regions (no collisions -> no roulette) live for HUNDREDS of
+    # passes, and every drain pass pays the full sort cost -- measured
+    # 756 passes for a 2-wave run whose productive phase was ~25 passes.
+    # This is the tiled analog of the reference's step cap + nBad
+    # accounting (Integrators/monteCarloRadiativeTransfer.f95:562-563);
+    # the truncation fraction is bounded by 1/drain_div and reported.
+    drain_div: int = 64
     interpret: bool = False
     # test hook: force a specific (tx, ty, tz) tile plan so small CPU
     # domains still exercise the multi-tile sort/pack/crossing machinery
@@ -776,9 +799,11 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
             return (st_n, tile_n, acc, quota, n_started, n_alive,
                     p_i + 1, steps_acc)
 
+        drain_floor = np.int32(max(0, n_pool_r // max(tcfg.drain_div, 1)))
+
         def cond(carry):
             (_, _, _, quota, _, n_alive, p_i, _) = carry
-            return ((quota > 0) | (n_alive > 0)) & (
+            return ((quota > 0) | (n_alive > drain_floor)) & (
                 p_i < tcfg.max_passes)
 
         carry0 = (st0, tile0, acc0, quota0, jnp.int32(0), jnp.int32(0),
@@ -816,6 +841,18 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
         raise ValueError("no tile plan for grid shape "
                          f"{grid.shape} (pallas_tile)")
     tx, ty, tz = tiles
+    # crash guard: keep the grid length within the proven MAX_BLOCKS
+    # envelope by widening blocks (see MAX_BLOCKS note above)
+    n_tiles_p = (nx // tx) * (ny // ty) * (nz // tz)
+    rows_b = tcfg.rows_b
+    while rows_b < 256:
+        B_p = rows_b * 128
+        n_pool_rp = _ceil(int(n_pool), B_p) * B_p
+        if (n_pool_rp + n_tiles_p * B_p) // B_p <= MAX_BLOCKS:
+            break
+        rows_b *= 2
+    if rows_b != tcfg.rows_b:
+        tcfg = dataclasses.replace(tcfg, rows_b=rows_b)
     tab, majs, majrow, t_rows = _obj_cache(
         domain, ("tiletab", tiles),
         lambda: _pack_tile_table(domain, tx, ty, tz))
@@ -824,17 +861,20 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
     ssa_u = records[0, 3]          # [2 + C] with C = 1
     g_u = records[0, 5]            # [2 + 3C] with C = 1
     xe, ye, ze = grid.x_edges, grid.y_edges, grid.z_edges
-    smu = jnp.abs(jnp.asarray(getattr(source, "solar_mu", 1.0) or 1.0,
-                              jnp.float32))
-    sphi = jnp.asarray(getattr(source, "solar_phi", 0.0) or 0.0,
-                       jnp.float32)
+
+    def _opt(name, default):
+        # no `x or default`: source fields may be TRACED scalars under
+        # run_batch's jit and bool(tracer) raises
+        v = getattr(source, name, None)
+        return jnp.asarray(default if v is None else v, jnp.float32)
+
+    smu = jnp.abs(_opt("solar_mu", 1.0))
+    sphi = _opt("solar_azimuth", 0.0)
     sth = jnp.sqrt(jnp.maximum(0.0, 1.0 - smu ** 2))
     sux = sth * jnp.cos(sphi)
     suy = sth * jnp.sin(sphi)
-    spot_fx = jnp.asarray(getattr(source, "spot_x", 0.5) or 0.5,
-                          jnp.float32)
-    spot_fy = jnp.asarray(getattr(source, "spot_y", 0.5) or 0.5,
-                          jnp.float32)
+    spot_fx = _opt("solar_x", 0.5)
+    spot_fy = _opt("solar_y", 0.5)
     par = jnp.stack([
         xe[0], xe[-1] - xe[0], ye[0], ye[-1] - ye[0],
         ze[0], ze[-1] - ze[0],

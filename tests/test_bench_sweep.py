@@ -151,9 +151,9 @@ def test_sweep_healthy_no_spurious_probes(sweep_env):
     # streak at zero, so no per-metric probing on the healthy path
     probes = [c for c in fake.calls if c[0] == "probe"]
     assert len(probes) == 1, probes
-    # all seven sweep entries ran
+    # all eight sweep entries ran
     metrics = [c for c in fake.calls if c[0] == "metric"]
-    assert len(metrics) == 7
+    assert len(metrics) == 8
 
 
 def test_sweep_wedge_then_recover_captures_headline(sweep_env):

@@ -40,7 +40,8 @@ def dense_domain(nx=16, ny=16, nz=8, seed=5, ssa=0.9, empty_half=False):
 
 
 TCFG = pt.TileConfig(rows_b=4, k_steps=8, skip_iters=3, interpret=True,
-                     force_tiles=(8, 8, 4))  # 2x2x2 = 8 tiles
+                     force_tiles=(8, 8, 4),  # 2x2x2 = 8 tiles
+                     drain_div=1 << 30)  # exact runs: no drain truncation
 
 
 def run_tile(dom, sfc, src, key, n_lanes=2048, n_photons=None, rr=True,
@@ -99,9 +100,13 @@ class TestTileTransport:
     def test_matches_xla_kernel_statistically(self):
         """Domain-total and pixel fluxes agree with the XLA wave kernel
         within MC noise at equal photon counts (different streams)."""
+        # a LARGE azimuth: the beam's horizontal displacement must show
+        # up in the pixel pattern (catches dropped/mis-read azimuth --
+        # a silent-getattr bug once zeroed it while tiny test azimuths
+        # hid the difference)
         dom = dense_domain(ssa=0.95)
         sfc = Surface.lambertian(0.2)
-        src = illumination.directional(0.6, 0.4)
+        src = illumination.directional(0.6, 137.0)
         n_t = 0
         fu_t = fd_t = ab_t = 0.0
         for b in range(2):
@@ -173,6 +178,26 @@ class TestTileTransport:
                      illumination.flux(), rng.batch_key(4, 0),
                      n_photons=1234)
         assert int(t.n_photons) == 1234
+
+    def test_drain_floor_truncates_and_reports(self):
+        """With an aggressive drain floor the pass loop terminates early
+        and the surviving straggler photons are counted in n_bad (the
+        tiled analog of the reference's step cap + nBad,
+        Integrators/monteCarloRadiativeTransfer.f95:562-563)."""
+        import dataclasses
+        dom = dense_domain(ssa=0.999)
+        tcfg = dataclasses.replace(TCFG, drain_div=2)  # floor = pool/2
+        t = run_tile(dom, Surface.lambertian(0.5),
+                     illumination.directional(0.5, 0.0),
+                     rng.batch_key(6, 0), n_lanes=1024, n_photons=4096,
+                     tcfg=tcfg)
+        assert int(t.n_photons) == 4096
+        assert int(t.n_bad) > 0  # stragglers truncated at the floor
+        # and the default config keeps truncation rare
+        t2 = run_tile(dom, Surface.lambertian(0.5),
+                      illumination.directional(0.5, 0.0),
+                      rng.batch_key(6, 0), n_lanes=1024, n_photons=4096)
+        assert int(t2.n_bad) <= 4096 // 50
 
 
 class TestTileDispatch:

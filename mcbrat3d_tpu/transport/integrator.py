@@ -525,10 +525,16 @@ def _run_batch_impl(domain: OpticalDomain,
                     domain, surface, source, cfg.lw_mode,
                     cfg.record_scattering_orders, cfg.use_ray_tracing,
                     intensity_config, intensity_dirs, dirs_mu_ok)
+            t_reasons = _pt.tile_ineligibility_reasons(
+                domain, surface, source, cfg.lw_mode,
+                intensity_config is not None,
+                cfg.record_scattering_orders, cfg.use_ray_tracing,
+                cfg.need_volume_absorption, cfg.need_absorption_profile)
             raise ValueError(
                 "use_pallas='on' but the configuration is outside every "
                 "megakernel envelope; failing predicates: "
-                + "; ".join(reasons))
+                + "; ".join(reasons)
+                + "; tiled kernel: " + "; ".join(t_reasons))
 
     # Compact domains / separable-backed emission sources carry no
     # per-cell fields -- only the separable megakernel can run them.

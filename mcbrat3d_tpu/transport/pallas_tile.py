@@ -16,11 +16,13 @@ Design (why this shape; measurements from tools/exp_tile1.py, v5e):
   16384 cells), while the per-lane take_along+select chain is near-FLAT
   in table rows up to 128 rows (2.4 G lane-steps/s at 16384 cells) but
   cannot reach 1M cells (8192-row chains are compile- and VPU-bound).
-* So the domain is cut into TILES of <= 16384 cells (<= 128 table rows).
-  The full per-tile-packed extinction table stays VMEM-resident
-  (n_cells * 4 B; ~4 MB at 1M cells) and each kernel block slices ITS
-  tile's [t_rows, 128] slab with one dynamic 8-aligned `pl.ds` row read,
-  then marches its lanes with the measured-flat select chain.
+* So the domain is cut into TILES of <= 32768 cells (<= 256 table
+  rows; each chain row is one wide vector op amortized over 128 lanes,
+  ~0.14 ns/lane-step, so big tiles buy fewer cohort passes almost for
+  free). The per-tile-packed extinction slabs live in HBM
+  ([n_tiles + 1, t_rows, 128]; no VMEM cap on domain size) and each
+  kernel block's slab is DMA'd by a scalar-prefetched BlockSpec
+  index_map keyed on the block's tile id.
 * Photons are grouped into per-tile cohorts between kernel calls by ONE
   `lax.sort` of (tile_id, lane) pairs plus a segment-padded gather
   (every kernel block then holds lanes of exactly one tile). Measured

@@ -48,11 +48,12 @@ mode, :641-702 surface, :805-811 roulette); tallies are fluxUp/fluxDown
 and per-column absorbed flux (the reference's optional-output contract,
 Drivers/monteCarloDriver.f95:1324).
 
-Envelope (pallas_tile_eligible): single component, uniform single-
-scattering albedo and HG asymmetry, non-emission sources, uniform
-Lambertian surface, flux-only outputs, regular grid, and a tile plan
-with n_tiles <= 127. Everything else falls through to the XLA wave
-kernel.
+Envelope (pallas_tile_eligible): single component (per-cell extinction
+AND per-cell single-scattering albedo supported; a second slab block
+carries non-uniform ssa), analytic uniform HG asymmetry, non-emission
+sources, uniform Lambertian surface, flux-only outputs, regular grid,
+and a tile plan with n_tiles <= 127. Everything else falls through to
+the XLA wave kernel.
 """
 
 from __future__ import annotations
@@ -198,7 +199,6 @@ def tile_ineligibility_reasons(domain: OpticalDomain, surface: Surface,
         ("need_absorption_profile", not need_absorption_profile),
         ("domain has no per-cell records", domain.cell_records is not None),
         ("multi-component domain", domain.n_components == 1),
-        ("non-uniform single-scattering albedo", domain.uniform_ssa),
         ("non-analytic or non-uniform phase",
          domain.all_hg and domain.uniform_hg),
         ("emission source", source.kind != illumination.EMISSION),
@@ -214,25 +214,39 @@ def _ceil(a, b):
 
 
 def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
-    """Pack per-tile extinction slabs: [n_tiles + 1, t_rows, 128] f32,
-    tile t's slab holding its cells in local (x-major, y, z-minor)
-    order (slab n_tiles = zeros, the DEAD block target), plus the
-    per-tile majorants. The slab table lives in HBM; the kernel's
-    BlockSpec index_map (keyed by the prefetched per-block tile ids)
-    DMAs one slab per grid step -- no dynamic VMEM slicing, no VMEM
-    cap on total domain size."""
+    """Pack per-tile cell-field slabs: [n_tiles + 1, n_f * t_rows, 128]
+    f32, tile t's slab holding its cells in local (x-major, y, z-minor)
+    order -- rows [0, t_rows) extinction, rows [t_rows, 2 t_rows) the
+    per-cell single-scattering albedo when the domain's is non-uniform
+    (slab n_tiles = zeros, the DEAD block target) -- plus the per-tile
+    majorants. The slab table lives in HBM; the kernel's BlockSpec
+    index_map (keyed by the prefetched per-block tile ids) DMAs one
+    slab per grid step -- no dynamic VMEM slicing, no VMEM cap on
+    total domain size."""
     nx, ny, nz = domain.grid.shape
     ntx, nty, ntz = nx // tx, ny // ty, nz // tz
     n_tiles = ntx * nty * ntz
     t_cells = tx * ty * tz
     t_rows = _ceil(_ceil(t_cells, 128), 8) * 8
-    ext = domain.total_ext.astype(jnp.float32)
-    a = ext.reshape(ntx, tx, nty, ty, ntz, tz)
-    a = a.transpose(0, 2, 4, 1, 3, 5).reshape(n_tiles, t_cells)
+
+    def tile_field(f3):
+        a = f3.astype(jnp.float32).reshape(ntx, tx, nty, ty, ntz, tz)
+        return a.transpose(0, 2, 4, 1, 3, 5).reshape(n_tiles, t_cells)
+
+    a = tile_field(domain.total_ext)
     maj = jnp.max(a, axis=1)
     pad = t_rows * 128 - t_cells
-    tab = jnp.pad(a, ((0, 1), (0, pad))).reshape(n_tiles + 1, t_rows,
-                                                 128)
+
+    def blockify(at):
+        return jnp.pad(at, ((0, 1), (0, pad))).reshape(
+            n_tiles + 1, t_rows, 128)
+
+    if domain.uniform_ssa:
+        tab = blockify(a)
+    else:
+        tab = jnp.concatenate(
+            [blockify(a), blockify(tile_field(domain.ssa[..., 0]))],
+            axis=1)
     # per-tile-id majorant row for the per-lane empty-skip gather
     # (row 0 of an [8, 128] block; ids beyond n_tiles read 0 = DEAD)
     majrow = jnp.zeros((8, 128), jnp.float32)
@@ -244,7 +258,7 @@ def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
 
 def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
                        t_rows: int, ft_rows: int, f_rows: int,
-                       use_rr: bool):
+                       use_rr: bool, uniform_ssa: bool):
     nx, ny, nz = shape
     tx, ty, tz = tiles
     ntx, nty, ntz = nx // tx, ny // ty, nz // tz
@@ -443,10 +457,21 @@ def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
                                        (rows_b, 128))
                 got = jnp.take_along_axis(row, lo_g, axis=1)
                 beta_v = jnp.where(hi_g == h, got, beta_v)
+            if uniform_ssa:
+                ssa_v = ssa_u
+            else:
+                # per-cell single-scattering albedo: second slab block
+                ssa_v = jnp.zeros((rows_b, 128), jnp.float32)
+                for h in range(t_rows):
+                    row = jnp.broadcast_to(
+                        tab_blk_ref[0, t_rows + h:t_rows + h + 1, :],
+                        (rows_b, 128))
+                    got = jnp.take_along_axis(row, lo_g, axis=1)
+                    ssa_v = jnp.where(hi_g == h, got, ssa_v)
 
             real = collide & (u_col * maj < beta_v)
-            absorbed = jnp.where(real, w * (1.0 - ssa_u), 0.0)
-            w = jnp.where(real, w * ssa_u, w)
+            absorbed = jnp.where(real, w * (1.0 - ssa_v), 0.0)
+            w = jnp.where(real, w * ssa_v, w)
 
             # ---- Russian roulette (reference:
             # Integrators/monteCarloRadiativeTransfer.f95:805-811) ----
@@ -635,7 +660,8 @@ _TILE_LAUNCH_CACHE = {}
 
 
 def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
-                      source_kind: str, use_rr: bool, t_rows: int):
+                      source_kind: str, use_rr: bool, t_rows: int,
+                      uniform_ssa: bool = True):
     """Build the whole-run function (inject -> sort/pack -> kernel, in a
     pass while_loop) that run_batch_pallas_tile jits and caches."""
     nx, ny, nz = shape
@@ -657,8 +683,9 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
     rows_tot = n_pad // 128
     DEAD = np.int32(n_tiles)
 
+    n_f = 1 if uniform_ssa else 2
     kernel = _build_tile_kernel(shape, tiles, tcfg, n_blocks, t_rows,
-                                ft_rows, f_rows, use_rr)
+                                ft_rows, f_rows, use_rr, uniform_ssa)
 
     state_spec = pl.BlockSpec((tcfg.rows_b, 128),
                               lambda b, bt: (b, 0))
@@ -671,7 +698,8 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
         # keyed by the PREFETCHED tile id (sorted cohorts make
         # consecutive blocks share slabs, so most steps skip the DMA);
         # DEAD blocks (bt == n_tiles) map to the trailing zero slab
-        + [pl.BlockSpec((1, t_rows, 128), lambda b, bt: (bt[b], 0, 0))]
+        + [pl.BlockSpec((1, n_f * t_rows, 128),
+                        lambda b, bt: (bt[b], 0, 0))]
         + [state_spec] * 8,
         out_specs=[state_spec] * 8
         + [pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -900,12 +928,13 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
     ]).reshape(1, 16)
 
     lkey = ("tile", (nx, ny, nz), tiles, tcfg, int(n_pool), source.kind,
-            bool(use_russian_roulette))
+            bool(use_russian_roulette), bool(domain.uniform_ssa))
     launch = _TILE_LAUNCH_CACHE.get(lkey)
     if launch is None:
         launch = jax.jit(_make_tile_launch(
             (nx, ny, nz), tiles, tcfg, int(n_pool), source.kind,
-            bool(use_russian_roulette), t_rows))
+            bool(use_russian_roulette), t_rows,
+            uniform_ssa=bool(domain.uniform_ssa)))
         _TILE_LAUNCH_CACHE[lkey] = launch
     return launch(par, tab, majs, majrow, smu, sux, suy, spot_fx,
                   spot_fy, key, n_photons)

@@ -213,6 +213,19 @@ def _ceil(a, b):
     return -(-a // b)
 
 
+def guard_rows_b(rows_b: int, n_pool: int, n_tiles: int) -> int:
+    """Smallest block width (power-of-2 multiple of ``rows_b``) whose
+    launch stays within the proven MAX_BLOCKS grid length (the Mosaic
+    fault envelope; see the MAX_BLOCKS note)."""
+    while rows_b < 256:
+        B = rows_b * 128
+        n_pool_r = _ceil(n_pool, B) * B
+        if (n_pool_r + n_tiles * B) // B <= MAX_BLOCKS:
+            break
+        rows_b *= 2
+    return rows_b
+
+
 def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
     """Pack per-tile cell-field slabs: [n_tiles + 1, n_f * t_rows, 128]
     f32, tile t's slab holding its cells in local (x-major, y, z-minor)
@@ -886,13 +899,7 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
     # crash guard: keep the grid length within the proven MAX_BLOCKS
     # envelope by widening blocks (see MAX_BLOCKS note above)
     n_tiles_p = (nx // tx) * (ny // ty) * (nz // tz)
-    rows_b = tcfg.rows_b
-    while rows_b < 256:
-        B_p = rows_b * 128
-        n_pool_rp = _ceil(int(n_pool), B_p) * B_p
-        if (n_pool_rp + n_tiles_p * B_p) // B_p <= MAX_BLOCKS:
-            break
-        rows_b *= 2
+    rows_b = guard_rows_b(tcfg.rows_b, int(n_pool), n_tiles_p)
     if rows_b != tcfg.rows_b:
         tcfg = dataclasses.replace(tcfg, rows_b=rows_b)
     tab, majs, majrow, t_rows = _obj_cache(

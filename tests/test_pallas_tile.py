@@ -207,6 +207,20 @@ class TestTileTransport:
         assert np.array_equal(np.asarray(t1.flux_absorbed),
                               np.asarray(t2.flux_absorbed))
 
+    def test_guard_rows_b(self):
+        """Launch shapes stay within the proven MAX_BLOCKS grid length
+        (the Mosaic fault envelope: 320 blocks crashed the worker, 192
+        ran clean) by automatic block widening."""
+        # the config that faulted on hardware: pool 2^19, 64 tiles,
+        # rows_b=16 -> 320 blocks; the guard must widen it
+        assert pt.guard_rows_b(16, 1 << 19, 64) > 16
+        for rows_b, pool, tiles in [(16, 1 << 18, 64), (16, 1 << 19, 64),
+                                    (16, 1 << 20, 32), (8, 1 << 21, 16)]:
+            rb = pt.guard_rows_b(rows_b, pool, tiles)
+            B = rb * 128
+            n_pool_r = -(-pool // B) * B
+            assert (n_pool_r + tiles * B) // B <= pt.MAX_BLOCKS or rb >= 256
+
     def test_quota_exact(self):
         dom = dense_domain()
         t = run_tile(dom, Surface.lambertian(0.2),

@@ -207,6 +207,51 @@ class TestTileTransport:
         assert np.array_equal(np.asarray(t1.flux_absorbed),
                               np.asarray(t2.flux_absorbed))
 
+    def test_spotlight_and_random_azimuth_sources(self):
+        """The remaining non-emission source kinds inject correctly:
+        spotlight photons all enter one column (reference:
+        src/monteCarloIllumination.f95:178-216); random-azimuth fluxes
+        match the XLA kernel."""
+        dom = dense_domain(ssa=0.9)
+        sfc = Surface.lambertian(0.2)
+        spot = illumination.spotlight(0.8, 0.0, 0.031, 0.031)
+        t = run_tile(dom, sfc, spot, rng.batch_key(8, 0), n_photons=2000,
+                     rr=False)
+        n = int(t.n_photons)
+        assert n == 2000 and int(t.n_bad) == 0
+        balance = float(np.asarray(t.flux_up).sum()
+                        + 0.8 * np.asarray(t.flux_down).sum()
+                        + np.asarray(t.flux_absorbed).sum()) / n
+        assert abs(balance - 1.0) < 2e-4
+        # the slanted point beam produces a concentrated flux_down spot;
+        # its location and share must match the XLA kernel
+        fd = np.asarray(t.flux_down) / n
+        cfg0 = KernelConfig(n_lanes=1 << 11, photons_per_lane=2,
+                            max_steps=20000, tail_compaction=False,
+                            use_pallas="off",
+                            need_volume_absorption=False,
+                            use_russian_roulette=False)
+        ts = run_batch(dom, sfc, spot, rng.batch_key(9, 0), cfg0)
+        fdx = np.asarray(ts.flux_down) / int(ts.n_photons)
+        assert np.unravel_index(fd.argmax(), fd.shape) == \
+            np.unravel_index(fdx.argmax(), fdx.shape)
+        assert abs(fd.max() - fdx.max()) < 6 * np.sqrt(
+            fd.max() / n + fdx.max() / int(ts.n_photons) + 1e-12) + 5e-3
+
+        ra = illumination.random_azimuth(0.5)
+        t2 = run_tile(dom, sfc, ra, rng.batch_key(8, 1), n_photons=6000)
+        n2 = int(t2.n_photons)
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20000, tail_compaction=False,
+                           use_pallas="off",
+                           need_volume_absorption=False)
+        tx_ = run_batch(dom, sfc, ra, rng.batch_key(8, 2), cfg)
+        n_x = int(tx_.n_photons)
+        a = np.asarray(t2.flux_up).sum() / n2
+        b = np.asarray(tx_.flux_up).sum() / n_x
+        sig = np.sqrt(a / n2 + b / n_x + 1e-12)
+        assert abs(a - b) < 5 * sig + 2e-3
+
     def test_guard_rows_b(self):
         """Launch shapes stay within the proven MAX_BLOCKS grid length
         (the Mosaic fault envelope: 320 blocks crashed the worker, 192

@@ -71,7 +71,9 @@ from mcbrat3d_tpu.domain.domain import OpticalDomain
 from mcbrat3d_tpu.physics.surface import Surface
 from mcbrat3d_tpu.sources import illumination
 from mcbrat3d_tpu.transport.pallas_kernel import (_TINY, _TOP_EPS,
-                                                  _make_uniform, _obj_cache)
+                                                  _hif_gather2w,
+                                                  _make_uniform, _obj_cache,
+                                                  _pack_inverse_table)
 
 _BIG = np.float32(3e38)
 
@@ -199,8 +201,10 @@ def tile_ineligibility_reasons(domain: OpticalDomain, surface: Surface,
         ("need_absorption_profile", not need_absorption_profile),
         ("domain has no per-cell records", domain.cell_records is not None),
         ("multi-component domain", domain.n_components == 1),
-        ("non-analytic or non-uniform phase",
-         domain.all_hg and domain.uniform_hg),
+        ("non-uniform or oversize phase table",
+         (domain.all_hg and domain.uniform_hg)
+         or (domain.tables.inverse.shape[0] == 1
+             and domain.tables.inverse.size <= 131072)),
         ("emission source", source.kind != illumination.EMISSION),
         ("non-uniform-Lambertian surface", surface.is_uniform_lambertian),
         ("irregular grid", grid.xy_regular and grid.z_regular),
@@ -271,7 +275,9 @@ def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
 
 def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
                        t_rows: int, ft_rows: int, f_rows: int,
-                       use_rr: bool, uniform_ssa: bool):
+                       use_rr: bool, uniform_ssa: bool,
+                       analytic_hg: bool = True, inv_hp: int = 8,
+                       inv_n_steps: int = 0):
     nx, ny, nz = shape
     tx, ty, tz = tiles
     ntx, nty, ntz = nx // tx, ny // ty, nz // tz
@@ -281,7 +287,7 @@ def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
     foot = tx * ty
 
     def kernel(bt_ref, scal_ref, par_ref, majs_ref,
-               majrow_ref, tab_blk_ref,
+               majrow_ref, tab_blk_ref, inv_ref,
                x_in, y_in, z_in, ux_in, uy_in, uz_in, w_in, tile_in,
                x_out, y_out, z_out, ux_out, uy_out, uz_out, w_out,
                tile_out, acc_ref, nstat_ref):
@@ -498,13 +504,29 @@ def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
             # reference: Integrators/monteCarloRadiativeTransfer.f95:
             # 1594-1621, 1921-1948) ----
             scatter = real & ~died_w
-            g_hg = jnp.broadcast_to(g_hg_s, (rows_b, 128))
-            g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
-            s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u_ang)
-            ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
-            cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5,
-                                  2.0 * u_ang - 1.0,
-                                  jnp.clip(ct, -1.0, 1.0))
+            if analytic_hg:
+                g_hg = jnp.broadcast_to(g_hg_s, (rows_b, 128))
+                g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
+                s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg
+                                            + 2.0 * g_hg * u_ang)
+                ct = (1.0 + g_hg * g_hg - s_ * s_) / (2.0 * g_safe)
+                cos_theta = jnp.where(jnp.abs(g_hg) < 1e-5,
+                                      2.0 * u_ang - 1.0,
+                                      jnp.clip(ct, -1.0, 1.0))
+            else:
+                # single-entry tabulated inverse-CDF angle lookup (the
+                # Mie-class phase; wide hi-first fetch, the round-5
+                # production form -- reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:1594-1621)
+                t_u = u_ang * np.float32(inv_n_steps - 1)
+                k_i = jnp.clip(t_u.astype(jnp.int32), 0,
+                               inv_n_steps - 2)
+                frac_i = t_u - k_i.astype(jnp.float32)
+                lo_i = jnp.bitwise_and(k_i, 127)
+                hi_i = jnp.right_shift(k_i, 7)
+                a0, dd = _hif_gather2w(inv_ref, inv_hp, hi_i, lo_i,
+                                       rows_b)
+                cos_theta = jnp.cos(a0 + frac_i * dd)
             sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta ** 2))
             cos_phi = jnp.cos(phi_rot)
             sin_phi = jnp.sin(phi_rot)
@@ -674,7 +696,8 @@ _TILE_LAUNCH_CACHE = {}
 
 def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
                       source_kind: str, use_rr: bool, t_rows: int,
-                      uniform_ssa: bool = True):
+                      uniform_ssa: bool = True, analytic_hg: bool = True,
+                      inv_hp: int = 8, inv_n_steps: int = 0):
     """Build the whole-run function (inject -> sort/pack -> kernel, in a
     pass while_loop) that run_batch_pallas_tile jits and caches."""
     nx, ny, nz = shape
@@ -698,7 +721,8 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
 
     n_f = 1 if uniform_ssa else 2
     kernel = _build_tile_kernel(shape, tiles, tcfg, n_blocks, t_rows,
-                                ft_rows, f_rows, use_rr, uniform_ssa)
+                                ft_rows, f_rows, use_rr, uniform_ssa,
+                                analytic_hg, inv_hp, inv_n_steps)
 
     state_spec = pl.BlockSpec((tcfg.rows_b, 128),
                               lambda b, bt: (b, 0))
@@ -713,6 +737,7 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
         # DEAD blocks (bt == n_tiles) map to the trailing zero slab
         + [pl.BlockSpec((1, n_f * t_rows, 128),
                         lambda b, bt: (bt[b], 0, 0))]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # inverse-CDF table
         + [state_spec] * 8,
         out_specs=[state_spec] * 8
         + [pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -732,8 +757,8 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
         interpret=tcfg.interpret,
     )
 
-    def launch(par, tab, majs, majrow, smu, sux, suy, spot_fx, spot_fy,
-               key, n_ph_in):
+    def launch(par, tab, inv_packed, majs, majrow, smu, sux, suy,
+               spot_fx, spot_fy, key, n_ph_in):
         x0, lx, y0, ly, z0, lz = (par[0, 0], par[0, 1], par[0, 2],
                                   par[0, 3], par[0, 4], par[0, 5])
         z_eps = lz * _TOP_EPS
@@ -845,7 +870,8 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
                               jnp.int32(0)]).astype(jnp.int32)
             ins = [st_s[:, i].reshape(rows_tot, 128) for i in range(7)]
             outs = call(bt_arr, scal, par, majs, majrow, tab,
-                        *ins, tile_s.reshape(rows_tot, 128))
+                        inv_packed, *ins,
+                        tile_s.reshape(rows_tot, 128))
             st_n = jnp.stack([o.reshape(-1) for o in outs[:7]], axis=1)
             tile_n = outs[7].reshape(-1)
             acc = acc + outs[8]
@@ -909,6 +935,14 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
     records = domain.cell_records
     ssa_u = records[0, 3]          # [2 + C] with C = 1
     g_u = records[0, 5]            # [2 + 3C] with C = 1
+    analytic_hg = bool(domain.all_hg)
+    if analytic_hg:
+        inv_packed = jnp.zeros((256, 8), jnp.float32)
+        inv_hp, inv_n_steps = 8, 0
+    else:
+        inv_packed, inv_hp, inv_n_steps = _obj_cache(
+            domain, ("inv", True),
+            lambda: _pack_inverse_table(domain, hif=True))
     xe, ye, ze = grid.x_edges, grid.y_edges, grid.z_edges
 
     def _opt(name, default):
@@ -935,16 +969,19 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
     ]).reshape(1, 16)
 
     lkey = ("tile", (nx, ny, nz), tiles, tcfg, int(n_pool), source.kind,
-            bool(use_russian_roulette), bool(domain.uniform_ssa))
+            bool(use_russian_roulette), bool(domain.uniform_ssa),
+            analytic_hg, int(inv_hp), int(inv_n_steps))
     launch = _TILE_LAUNCH_CACHE.get(lkey)
     if launch is None:
         launch = jax.jit(_make_tile_launch(
             (nx, ny, nz), tiles, tcfg, int(n_pool), source.kind,
             bool(use_russian_roulette), t_rows,
-            uniform_ssa=bool(domain.uniform_ssa)))
+            uniform_ssa=bool(domain.uniform_ssa),
+            analytic_hg=analytic_hg, inv_hp=int(inv_hp),
+            inv_n_steps=int(inv_n_steps)))
         _TILE_LAUNCH_CACHE[lkey] = launch
-    return launch(par, tab, majs, majrow, smu, sux, suy, spot_fx,
-                  spot_fy, key, n_photons)
+    return launch(par, tab, inv_packed, majs, majrow, smu, sux, suy,
+                  spot_fx, spot_fy, key, n_photons)
 
 
 def run_batch_pallas_tile_tallies(domain, surface, source, key, config,

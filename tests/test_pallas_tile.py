@@ -24,7 +24,7 @@ from mcbrat3d_tpu.transport.integrator import KernelConfig, run_batch
 
 
 def dense_domain(nx=16, ny=16, nz=8, seed=5, ssa=0.9, empty_half=False,
-                 cell_ssa=False):
+                 cell_ssa=False, tabulated=False):
     """Small dense broken-cloud field (non-template, non-separable)."""
     rs = np.random.RandomState(seed)
     beta = 0.08 * (0.3 + rs.rand(nx, ny, nz))
@@ -33,8 +33,14 @@ def dense_domain(nx=16, ny=16, nz=8, seed=5, ssa=0.9, empty_half=False,
     if empty_half:
         beta[nx // 2:] = 0.0  # a zero-extinction half: empty tiles
     grid = Grid.regular(nx, ny, nz, 12.0, 12.0, 4.0)
-    tbl = PhaseFunctionTable(
-        [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
+    if tabulated:  # Mie-class: a non-HG Legendre series
+        mix = np.array([0.8 * 0.7 ** (m + 1) + 0.2 * 0.3 ** (m + 1)
+                        for m in range(64)])
+        tbl = PhaseFunctionTable([PhaseFunction(coefficients=mix)],
+                                 key=[1.0])
+    else:
+        tbl = PhaseFunctionTable(
+            [PhaseFunction.henyey_greenstein(0.85, 64)], key=[1.0])
     if cell_ssa:  # per-cell single-scattering albedo (MODIS/Mie class)
         ssa_f = np.clip(ssa - 0.3 * rs.rand(nx, ny, nz), 0.05, 1.0)
     else:
@@ -165,6 +171,35 @@ class TestTileTransport:
         # ~= 1 per column-normalized photon share
         fd = np.asarray(t.flux_down)
         assert fd[8:].sum() > 0.9 * (n_t // 2) * 0.9
+
+    def test_tabulated_phase_matches_xla(self):
+        """Single-entry tabulated (Mie-class) phase runs the in-kernel
+        inverse-CDF angle lookup; fluxes must match the XLA kernel and
+        energy must close exactly without roulette."""
+        dom = dense_domain(ssa=0.95, tabulated=True)
+        assert not dom.all_hg
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.6, 137.0)
+        t = run_tile(dom, sfc, src, rng.batch_key(5, 0), n_photons=8000,
+                     rr=False)
+        n_t = int(t.n_photons)
+        assert int(t.n_bad) == 0
+        balance = float(np.asarray(t.flux_up).sum()
+                        + 0.8 * np.asarray(t.flux_down).sum()
+                        + np.asarray(t.flux_absorbed).sum()) / n_t
+        assert abs(balance - 1.0) < 2e-4
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20000, tail_compaction=False,
+                           use_pallas="off",
+                           need_volume_absorption=False)
+        tx_ = run_batch(dom, sfc, src, rng.batch_key(5, 1), cfg)
+        n_x = int(tx_.n_photons)
+        for a, b_, nm in ((t.flux_up, tx_.flux_up, "up"),
+                          (t.flux_down, tx_.flux_down, "down")):
+            am = np.asarray(a) / n_t
+            bm = np.asarray(b_) / n_x
+            sig = np.sqrt(am.sum() / n_t + bm.sum() / n_x + 1e-12)
+            assert abs(am.sum() - bm.sum()) < 5 * sig + 2e-3, nm
 
     def test_per_cell_ssa_matches_xla(self):
         """Non-uniform single-scattering albedo (the MODIS/Mie class the

@@ -125,7 +125,18 @@ class TileConfig:
 _PLAN_CACHE = {}
 
 
-def plan_tiles(grid) -> Optional[tuple]:
+def plan_for(domain: OpticalDomain) -> Optional[tuple]:
+    """Tile plan with the per-cell FIELD count folded into the cell cap:
+    the collision unrolls n_f select chains of t_rows ops each, so the
+    cap keeps n_f * t_rows <= 1024 (2 x the hardware-proven 512-op
+    scale) to bound compile time and the step body."""
+    n_f = tile_fields(domain)[0]
+    rows_max = max(8, (1024 // max(n_f, 1)) // 8 * 8)
+    return plan_tiles(domain.grid,
+                      cells_max=min(TILE_CELLS_MAX, rows_max * 128))
+
+
+def plan_tiles(grid, cells_max: int = TILE_CELLS_MAX) -> Optional[tuple]:
     """Choose (tx, ty, tz) tile dims: divisors of the grid shape whose
     tiles hold <= TILE_CELLS_MAX cells with <= MAX_TILES tiles, minimizing
     the expected tile-crossing rate per unit path length
@@ -139,16 +150,16 @@ def plan_tiles(grid) -> Optional[tuple]:
         dz = float(grid.z_edges[-1] - grid.z_edges[0]) / nz
     except Exception:  # traced edges: plan on cell counts
         dx = dy = dz = 1.0
-    ck = (nx, ny, nz, dx, dy, dz)
+    ck = (nx, ny, nz, dx, dy, dz, cells_max)
     hit = _PLAN_CACHE.get(ck)
     if hit is not None or ck in _PLAN_CACHE:
         return hit
-    plan = _plan_tiles_impl(nx, ny, nz, dx, dy, dz)
+    plan = _plan_tiles_impl(nx, ny, nz, dx, dy, dz, cells_max)
     _PLAN_CACHE[ck] = plan
     return plan
 
 
-def _plan_tiles_impl(nx, ny, nz, dx, dy, dz) -> Optional[tuple]:
+def _plan_tiles_impl(nx, ny, nz, dx, dy, dz, cells_max) -> Optional[tuple]:
 
     def divisors(n):
         return [d for d in range(1, n + 1) if n % d == 0]
@@ -159,7 +170,7 @@ def _plan_tiles_impl(nx, ny, nz, dx, dy, dz) -> Optional[tuple]:
             for tz in divisors(nz):
                 cells = tx * ty * tz
                 n_tiles = (nx // tx) * (ny // ty) * (nz // tz)
-                if cells > TILE_CELLS_MAX or n_tiles > MAX_TILES:
+                if cells > cells_max or n_tiles > MAX_TILES:
                     continue
                 cost = (1.0 / (tx * dx) + 1.0 / (ty * dy)
                         + 1.0 / (tz * dz))
@@ -200,15 +211,14 @@ def tile_ineligibility_reasons(domain: OpticalDomain, surface: Surface,
         ("need_volume_absorption", not need_volume_absorption),
         ("need_absorption_profile", not need_absorption_profile),
         ("domain has no per-cell records", domain.cell_records is not None),
-        ("multi-component domain", domain.n_components == 1),
-        ("non-uniform or oversize phase table",
-         (domain.all_hg and domain.uniform_hg)
-         or (domain.tables.inverse.shape[0] == 1
-             and domain.tables.inverse.size <= 131072)),
+        (f"n_components={domain.n_components} > 3",
+         domain.n_components <= 3),
+        ("non-analytic oversize phase table",
+         domain.all_hg or domain.tables.inverse.size <= 131072),
         ("emission source", source.kind != illumination.EMISSION),
         ("non-uniform-Lambertian surface", surface.is_uniform_lambertian),
         ("irregular grid", grid.xy_regular and grid.z_regular),
-        ("no tile plan", plan_tiles(grid) is not None),
+        ("no tile plan", plan_for(domain) is not None),
     ]
     return [name for name, ok in checks if not ok]
 
@@ -228,6 +238,25 @@ def guard_rows_b(rows_b: int, n_pool: int, n_tiles: int) -> int:
             break
         rows_b *= 2
     return rows_b
+
+
+def tile_fields(domain: OpticalDomain):
+    """Static per-cell field spec the collision gathers (one select
+    chain per field; mirrors the record kernel's scattering-coefficient
+    formulation, _pack_tables): ncomp == 1 -> [beta (, ssa) (, f2)]
+    with the ssa/f2 chains skipped when uniform; ncomp 2..3 ->
+    [beta, ssa_eff, cs_0 (, cs_1), f2_0, f2_1 (, f2_2)]. f2 is the
+    component's HG asymmetry (analytic domains) or its global stacked
+    inverse-CDF row (tabulated)."""
+    ncomp = domain.n_components
+    if ncomp == 1:
+        need_ssa = not domain.uniform_ssa
+        need_f2 = not ((domain.all_hg and domain.uniform_hg)
+                       or (not domain.all_hg
+                           and domain.tables.inverse.shape[0] == 1))
+        return (1 + int(need_ssa) + int(need_f2), need_ssa, need_f2,
+                ncomp)
+    return 2 + (ncomp - 1) + ncomp, True, True, ncomp
 
 
 def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
@@ -258,12 +287,42 @@ def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
         return jnp.pad(at, ((0, 1), (0, pad))).reshape(
             n_tiles + 1, t_rows, 128)
 
-    if domain.uniform_ssa:
-        tab = blockify(a)
+    rec = domain.cell_records
+    shape3 = (nx, ny, nz)
+    _, need_ssa, need_f2, ncomp = tile_fields(domain)
+    if ncomp == 1:
+        parts = [a]
+        if need_ssa:
+            parts.append(tile_field(rec[:, 2 + ncomp].reshape(shape3)))
+        if need_f2:
+            f2c = (rec[:, 2 + 3 * ncomp] if domain.all_hg
+                   else rec[:, 2 + 2 * ncomp]
+                   + domain.tables.offsets.astype(jnp.float32)[0])
+            parts.append(tile_field(f2c.reshape(shape3)))
     else:
-        tab = jnp.concatenate(
-            [blockify(a), blockify(tile_field(domain.ssa[..., 0]))],
-            axis=1)
+        # scattering-coefficient formulation (same math as
+        # pallas_kernel._pack_tables' multi-component branch)
+        cumf = rec[:, 2:2 + ncomp]
+        ssa_c = rec[:, 2 + ncomp:2 + 2 * ncomp]
+        pfi = rec[:, 2 + 2 * ncomp:2 + 3 * ncomp]
+        gs = rec[:, 2 + 3 * ncomp:2 + 4 * ncomp]
+        frac = jnp.diff(cumf, axis=1, prepend=0.0)
+        scat = frac * ssa_c
+        ssa_eff = jnp.sum(scat, axis=1)
+        cs = jnp.cumsum(scat, axis=1) / jnp.maximum(ssa_eff,
+                                                    1e-30)[:, None]
+        cs = jnp.where(ssa_eff[:, None] > 0, cs, 1.0)
+        if domain.all_hg:
+            f2 = gs
+        else:
+            offs = domain.tables.offsets.astype(jnp.float32)
+            f2 = pfi + offs[None, :]
+        parts = [a, tile_field(ssa_eff.reshape(shape3))]
+        for c in range(ncomp - 1):
+            parts.append(tile_field(cs[:, c].reshape(shape3)))
+        for c in range(ncomp):
+            parts.append(tile_field(f2[:, c].reshape(shape3)))
+    tab = jnp.concatenate([blockify(p) for p in parts], axis=1)
     # per-tile-id majorant row for the per-lane empty-skip gather
     # (row 0 of an [8, 128] block; ids beyond n_tiles read 0 = DEAD)
     majrow = jnp.zeros((8, 128), jnp.float32)
@@ -275,9 +334,9 @@ def _pack_tile_table(domain: OpticalDomain, tx: int, ty: int, tz: int):
 
 def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
                        t_rows: int, ft_rows: int, f_rows: int,
-                       use_rr: bool, uniform_ssa: bool,
-                       analytic_hg: bool = True, inv_hp: int = 8,
-                       inv_n_steps: int = 0):
+                       use_rr: bool, ncomp: int, need_ssa: bool,
+                       need_f2: bool, analytic_hg: bool = True,
+                       inv_hp: int = 8, inv_n_steps: int = 0):
     nx, ny, nz = shape
     tx, ty, tz = tiles
     ntx, nty, ntz = nx // tx, ny // ty, nz // tz
@@ -470,23 +529,44 @@ def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
             # tools/exp_tile1.py part A) ----
             lo_g = jnp.bitwise_and(lcell, 127)
             hi_g = jnp.right_shift(lcell, 7)
-            beta_v = jnp.zeros((rows_b, 128), jnp.float32)
-            for h in range(t_rows):
-                row = jnp.broadcast_to(tab_blk_ref[0, h:h + 1, :],
-                                       (rows_b, 128))
-                got = jnp.take_along_axis(row, lo_g, axis=1)
-                beta_v = jnp.where(hi_g == h, got, beta_v)
-            if uniform_ssa:
-                ssa_v = ssa_u
-            else:
-                # per-cell single-scattering albedo: second slab block
-                ssa_v = jnp.zeros((rows_b, 128), jnp.float32)
+
+            def chain(fi):
+                v = jnp.zeros((rows_b, 128), jnp.float32)
                 for h in range(t_rows):
                     row = jnp.broadcast_to(
-                        tab_blk_ref[0, t_rows + h:t_rows + h + 1, :],
+                        tab_blk_ref[0, fi * t_rows + h:
+                                    fi * t_rows + h + 1, :],
                         (rows_b, 128))
                     got = jnp.take_along_axis(row, lo_g, axis=1)
-                    ssa_v = jnp.where(hi_g == h, got, ssa_v)
+                    v = jnp.where(hi_g == h, got, v)
+                return v
+
+            beta_v = chain(0)
+            if ncomp == 1:
+                ssa_v = chain(1) if need_ssa else ssa_u
+                if need_f2:
+                    f2_v = chain(1 + int(need_ssa))
+                else:
+                    f2_v = jnp.broadcast_to(g_hg_s, (rows_b, 128))
+            else:
+                # scattering-coefficient formulation: effective ssa +
+                # component selection against cumulative scattering
+                # fractions with one uniform (reference bisection at
+                # ncomp <= 3:
+                # Integrators/monteCarloRadiativeTransfer.f95:759-760)
+                ssa_v = chain(1)
+                cs0 = chain(2)
+                cs1 = chain(3) if ncomp == 3 else None
+                fb = 1 + ncomp  # first f2 field index
+                u_cmp = uniform(ctr, 8)
+                if ncomp == 2:
+                    f2_v = jnp.where(u_cmp >= cs0, chain(fb + 1),
+                                     chain(fb))
+                else:
+                    f2_v = jnp.where(
+                        u_cmp >= cs1, chain(fb + 2),
+                        jnp.where(u_cmp >= cs0, chain(fb + 1),
+                                  chain(fb)))
 
             real = collide & (u_col * maj < beta_v)
             absorbed = jnp.where(real, w * (1.0 - ssa_v), 0.0)
@@ -505,7 +585,7 @@ def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
             # 1594-1621, 1921-1948) ----
             scatter = real & ~died_w
             if analytic_hg:
-                g_hg = jnp.broadcast_to(g_hg_s, (rows_b, 128))
+                g_hg = f2_v
                 g_safe = jnp.where(jnp.abs(g_hg) < 1e-5, 1.0, g_hg)
                 s_ = (1.0 - g_hg * g_hg) / (1.0 - g_hg
                                             + 2.0 * g_hg * u_ang)
@@ -514,16 +594,22 @@ def _build_tile_kernel(shape, tiles, tcfg: TileConfig, n_blocks: int,
                                       2.0 * u_ang - 1.0,
                                       jnp.clip(ct, -1.0, 1.0))
             else:
-                # single-entry tabulated inverse-CDF angle lookup (the
-                # Mie-class phase; wide hi-first fetch, the round-5
-                # production form -- reference:
-                # Integrators/monteCarloRadiativeTransfer.f95:1594-1621)
+                # tabulated inverse-CDF angle lookup keyed by the
+                # selected component's global phase row (f2; row 0 when
+                # the table is a single shared entry). Wide hi-first
+                # fetch, the round-5 production form -- reference:
+                # Integrators/monteCarloRadiativeTransfer.f95:1594-1621
                 t_u = u_ang * np.float32(inv_n_steps - 1)
                 k_i = jnp.clip(t_u.astype(jnp.int32), 0,
                                inv_n_steps - 2)
                 frac_i = t_u - k_i.astype(jnp.float32)
-                lo_i = jnp.bitwise_and(k_i, 127)
-                hi_i = jnp.right_shift(k_i, 7)
+                if need_f2 or ncomp > 1:
+                    flat_i = ((f2_v + 0.5).astype(jnp.int32)
+                              * np.int32(inv_n_steps) + k_i)
+                else:
+                    flat_i = k_i
+                lo_i = jnp.bitwise_and(flat_i, 127)
+                hi_i = jnp.right_shift(flat_i, 7)
                 a0, dd = _hif_gather2w(inv_ref, inv_hp, hi_i, lo_i,
                                        rows_b)
                 cos_theta = jnp.cos(a0 + frac_i * dd)
@@ -696,7 +782,8 @@ _TILE_LAUNCH_CACHE = {}
 
 def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
                       source_kind: str, use_rr: bool, t_rows: int,
-                      uniform_ssa: bool = True, analytic_hg: bool = True,
+                      fields=(1, False, False, 1),
+                      analytic_hg: bool = True,
                       inv_hp: int = 8, inv_n_steps: int = 0):
     """Build the whole-run function (inject -> sort/pack -> kernel, in a
     pass while_loop) that run_batch_pallas_tile jits and caches."""
@@ -719,9 +806,10 @@ def _make_tile_launch(shape, tiles, tcfg: TileConfig, n_pool: int,
     rows_tot = n_pad // 128
     DEAD = np.int32(n_tiles)
 
-    n_f = 1 if uniform_ssa else 2
+    n_f, need_ssa, need_f2, ncomp = fields
     kernel = _build_tile_kernel(shape, tiles, tcfg, n_blocks, t_rows,
-                                ft_rows, f_rows, use_rr, uniform_ssa,
+                                ft_rows, f_rows, use_rr, ncomp,
+                                need_ssa, need_f2,
                                 analytic_hg, inv_hp, inv_n_steps)
 
     state_spec = pl.BlockSpec((tcfg.rows_b, 128),
@@ -917,7 +1005,7 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
     (flux_up, flux_down, abs_col, n_started, n_bad, n_passes, steps)."""
     grid = domain.grid
     nx, ny, nz = grid.shape
-    tiles = tcfg.force_tiles or plan_tiles(grid)
+    tiles = tcfg.force_tiles or plan_for(domain)
     if tiles is None:
         raise ValueError("no tile plan for grid shape "
                          f"{grid.shape} (pallas_tile)")
@@ -968,15 +1056,15 @@ def run_batch_pallas_tile(domain: OpticalDomain, surface: Surface,
         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
     ]).reshape(1, 16)
 
+    fields = tile_fields(domain)
     lkey = ("tile", (nx, ny, nz), tiles, tcfg, int(n_pool), source.kind,
-            bool(use_russian_roulette), bool(domain.uniform_ssa),
+            bool(use_russian_roulette), fields, domain.n_components,
             analytic_hg, int(inv_hp), int(inv_n_steps))
     launch = _TILE_LAUNCH_CACHE.get(lkey)
     if launch is None:
         launch = jax.jit(_make_tile_launch(
             (nx, ny, nz), tiles, tcfg, int(n_pool), source.kind,
-            bool(use_russian_roulette), t_rows,
-            uniform_ssa=bool(domain.uniform_ssa),
+            bool(use_russian_roulette), t_rows, fields=fields,
             analytic_hg=analytic_hg, inv_hp=int(inv_hp),
             inv_n_steps=int(inv_n_steps)))
         _TILE_LAUNCH_CACHE[lkey] = launch

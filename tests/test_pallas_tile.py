@@ -172,6 +172,53 @@ class TestTileTransport:
         fd = np.asarray(t.flux_down)
         assert fd[8:].sum() > 0.9 * (n_t // 2) * 0.9
 
+    @pytest.mark.parametrize("ncomp", [2, 3])
+    def test_multi_component_matches_xla(self, ncomp):
+        """Dense multi-component domains (gas + cloud + Rayleigh, the
+        production broadband-SW shape) run the scattering-coefficient
+        chains: effective-ssa absorption + component selection against
+        cumulative scattering fractions (reference:
+        Integrators/monteCarloRadiativeTransfer.f95:759-771)."""
+        nx, ny, nz = 16, 16, 8
+        rs = np.random.RandomState(11)
+        grid = Grid.regular(nx, ny, nz, 12.0, 12.0, 4.0)
+        comps = []
+        specs = [(0.05, 0.3, 0.0),    # absorbing gas, isotropic
+                 (0.08, 0.99, 0.85),  # cloud, forward HG
+                 (0.02, 1.0, 0.1)][:ncomp]  # Rayleigh-like
+        for i, (b0, sa, g) in enumerate(specs):
+            beta = b0 * (0.3 + rs.rand(nx, ny, nz))
+            comps.append(OpticalComponent(
+                f"c{i}", beta, np.full_like(beta, sa),
+                np.zeros(beta.shape, np.int32),
+                PhaseFunctionTable(
+                    [PhaseFunction.henyey_greenstein(g, 64)],
+                    key=[1.0])))
+        dom = build_domain(grid, comps, macro_factor=0, n_cdf_steps=201)
+        assert dom.n_components == ncomp
+        sfc = Surface.lambertian(0.2)
+        src = illumination.directional(0.6, 137.0)
+        t = run_tile(dom, sfc, src, rng.batch_key(12, 0),
+                     n_photons=8000, rr=False)
+        n_t = int(t.n_photons)
+        assert int(t.n_bad) == 0
+        balance = float(np.asarray(t.flux_up).sum()
+                        + 0.8 * np.asarray(t.flux_down).sum()
+                        + np.asarray(t.flux_absorbed).sum()) / n_t
+        assert abs(balance - 1.0) < 2e-4
+        cfg = KernelConfig(n_lanes=1 << 11, photons_per_lane=4,
+                           max_steps=20000, tail_compaction=False,
+                           use_pallas="off",
+                           need_volume_absorption=False)
+        tx_ = run_batch(dom, sfc, src, rng.batch_key(12, 1), cfg)
+        n_x = int(tx_.n_photons)
+        for a, b_, nm in ((t.flux_up, tx_.flux_up, "up"),
+                          (t.flux_absorbed, tx_.flux_absorbed, "abs")):
+            am = np.asarray(a) / n_t
+            bm = np.asarray(b_) / n_x
+            sig = np.sqrt(am.sum() / n_t + bm.sum() / n_x + 1e-12)
+            assert abs(am.sum() - bm.sum()) < 5 * sig + 2e-3, nm
+
     def test_tabulated_phase_matches_xla(self):
         """Single-entry tabulated (Mie-class) phase runs the in-kernel
         inverse-CDF angle lookup; fluxes must match the XLA kernel and
